@@ -1,0 +1,798 @@
+"""Query registry — the driver contract surface.
+
+Every operator from SURVEY.md §2 is exposed here as a named query:
+``REGISTRY[name].fn(spark, sf_dir) -> DataFrame`` plus (where
+SQL-expressible) ``REGISTRY[name].oracle`` — the ANSI/DuckDB SQL the
+driver runs side-by-side for the correctness gate.
+
+Design rules that make the oracle comparison exact:
+
+- every computed column is explicitly aliased AND explicitly typed
+  (bigint for integers, double for floats) on BOTH sides;
+- double *sums/averages* go through fixed-scale decimal
+  (:mod:`..functions.exact`) so they are order-insensitive and
+  engine-independent; row-level double arithmetic is IEEE-identical
+  in both engines and needs no special handling;
+- timestamps never leave a query as raw timestamps — they are
+  projected to ``unix_micros`` bigints (DuckDB: ``epoch_us``);
+- every window is totally ordered (unique tiebreaker column) so
+  rank/lag/lead semantics are deterministic.
+
+Scale notes are attached per query: each one states why the plan
+holds at 100 TB (broadcast vs shuffle, pushdown, partial aggs).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .functions.exact import davg_sql, dsum, dsum_sql
+from .functions.text import (
+    NORMALIZE_WORD_SQL,
+    normalize_word_col,
+    tokenize_col,
+    whitespace_tokens_col,
+)
+from .sources.tables import load_table
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    """One registry entry: the Spark implementation, the DuckDB oracle
+    (None → driver records a rows-only check), and tags."""
+
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None
+    bench: bool = False
+    tags: tuple[str, ...] = ()
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    bench: bool = False,
+    tags: tuple[str, ...] = (),
+):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QueryDef(fn=fn, oracle=oracle, bench=bench, tags=tags)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# =====================================================================
+# A1 — word coverage (flagship; reference batch_processor.py:17-37)
+# =====================================================================
+
+_WORD_COVERAGE_SQL = """
+SELECT word, count(*) AS cnt
+FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+      FROM documents)
+WHERE word <> ''
+GROUP BY word
+ORDER BY cnt, word
+"""
+
+
+@register("word_coverage", oracle=_WORD_COVERAGE_SQL, bench=True, tags=("agg", "text"))
+def word_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-frequency table sorted by (count asc, word asc).
+
+    Scale: explode + groupBy(word) is a classic partial-agg shape —
+    map-side combine collapses each partition's counts before the
+    shuffle, so shuffle volume is O(vocabulary), not O(tokens).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(whitespace_tokens_col("text")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.asc("cnt"), F.asc("word"))
+    )
+
+
+# =====================================================================
+# Relational core — aggregation (TPC-H Q1 shape; SURVEY §2.5)
+# =====================================================================
+
+_Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {dsum_sql('l_quantity')} AS sum_qty,
+       {dsum_sql('l_extendedprice')} AS sum_base_price,
+       {dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {davg_sql('l_quantity')} AS avg_qty,
+       {davg_sql('l_extendedprice')} AS avg_price,
+       {davg_sql('l_discount')} AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= timestamp '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register("q1_pricing_summary", oracle=_Q1_SQL, bench=True, tags=("agg",))
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: 2 group keys, 8 aggregates, date filter.
+
+    Scale: filter pushes to the parquet scan; hash-agg with partial
+    aggregation means the shuffle carries 6 groups, not 600M rows.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            (dsum("l_quantity") / F.count("l_quantity")).alias("avg_qty"),
+            (dsum("l_extendedprice") / F.count("l_extendedprice")).alias("avg_price"),
+            (dsum("l_discount") / F.count("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_FILTER_PROJ_SQL = """
+SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount,
+       l_extendedprice * l_discount AS disc_amount
+FROM lineitem
+WHERE l_shipdate >= timestamp '1996-01-01'
+  AND l_shipdate < timestamp '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("filter_pushdown_projection", oracle=_FILTER_PROJ_SQL, tags=("filter",))
+def filter_pushdown_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective filter + narrow projection (TPC-H Q6 shape; SURVEY
+    §2.3 F1-F8 analog).
+
+    Scale: all four predicates and the 5-column projection reach the
+    parquet reader (PushedFilters/ReadSchema) — the scan reads a
+    fraction of a 100 TB table's bytes. Row-level arithmetic stays in
+    whole-stage codegen.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        "l_discount",
+        (F.col("l_extendedprice") * F.col("l_discount")).alias("disc_amount"),
+    )
+
+
+_REGIONAL_REVENUE_SQL = f"""
+SELECT r_name,
+       {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+       count(DISTINCT o_orderkey) AS n_orders
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderdate >= timestamp '1996-01-01'
+  AND o_orderdate < timestamp '1998-01-01'
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+
+@register("join_broadcast_dims", oracle=_REGIONAL_REVENUE_SQL, bench=True, tags=("join",))
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-table star join: revenue per region (TPC-H Q5 shape).
+
+    Scale: region/nation are broadcast (explicit hint), customer is
+    broadcast under the 64 MB threshold at test SFs and shuffles at
+    100 TB; the only unavoidable big shuffle is lineitem⋈orders on
+    orderkey. The date filter pushes into the orders scan BEFORE the
+    join, shrinking the build side.
+    """
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    lineitem = _t(spark, sf_dir, "lineitem")
+    dims = (
+        region.join(nation, nation.n_regionkey == region.r_regionkey)
+        .join(customer, customer.c_nationkey == nation.n_nationkey)
+        .select("r_name", "c_custkey")
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(dims, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("r_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy("r_name")
+    )
+
+
+_SEMI_JOIN_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+"""
+
+
+@register("semi_join_customers", oracle=_SEMI_JOIN_SQL, tags=("join",))
+def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / left-semi join (SURVEY §2.4 note: engine exposes the
+    join types the reference lacks).
+
+    Scale: semi-join never duplicates the left side and the probe
+    list is distinct-able; Catalyst/AQE turn it into a broadcast when
+    the filtered orders side is small.
+    """
+    customer = _t(spark, sf_dir, "customer")
+    f_orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return customer.join(
+        f_orders, customer.c_custkey == f_orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+_ANTI_JOIN_SQL = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey NOT IN
+      (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+
+@register("anti_join_customers", oracle=_ANTI_JOIN_SQL, tags=("join",))
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS / left-anti join: customers who never placed an
+    urgent order (non-degenerate at every SF)."""
+    customer = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return customer.join(
+        urgent, customer.c_custkey == urgent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+_COND_AGG_SQL = f"""
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       cast(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS bigint) AS n_urgent,
+       {dsum_sql("CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0.0 END")} AS urgent_revenue,
+       max(o_totalprice) AS max_price,
+       min(o_totalprice) AS min_price
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register("conditional_agg_orders", oracle=_COND_AGG_SQL, tags=("agg",))
+def conditional_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional counters — the reference's kept/rejected tallies
+    (SURVEY §2.5 A4/A7) as sum(CASE WHEN ...)."""
+    orders = _t(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.when(urgent, 1).otherwise(0)).cast("bigint").alias("n_urgent"),
+            dsum(F.when(urgent, F.col("o_totalprice")).otherwise(0.0), "urgent_revenue"),
+            F.max("o_totalprice").alias("max_price"),
+            F.min("o_totalprice").alias("min_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_ROLLUP_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {dsum_sql('l_quantity')} AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@register("rollup_revenue", oracle=_ROLLUP_SQL, tags=("agg",))
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (engine extension beyond the
+    reference's flat aggregates, SURVEY §2.5 note)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"), F.count("*").alias("n_rows")
+    )
+
+
+_DISTINCT_SQL = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("distinct_counts", oracle=_DISTINCT_SQL, tags=("agg",))
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expand+two-phase under the hood).
+
+    Scale: two distincts on different keys force an Expand operator —
+    acceptable here; for 100 TB dashboards use approx_count_distinct
+    (HLL, single pass, no expand)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# =====================================================================
+# Windows / top-k (SURVEY §2.6-2.7)
+# =====================================================================
+
+_TOPK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             cast(row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS bigint) AS rn
+      FROM orders)
+WHERE rn <= 3
+"""
+
+
+@register("topk_orders_per_cust", oracle=_TOPK_SQL, bench=True, tags=("window",))
+def topk_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — W2 longest-span-top-1 generalized
+    to top-k. Unique tiebreaker (orderkey) makes ranking total.
+
+    Scale: rank inside each partition after a single hash shuffle on
+    o_custkey; AQE splits skewed customers. No global sort.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+_SET_OPS_SQL = """
+SELECT c_custkey FROM (
+  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+   UNION
+   SELECT c_custkey FROM customer WHERE c_acctbal > 7000)
+  EXCEPT
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+)
+INTERSECT
+SELECT o_custkey FROM orders
+"""
+
+
+@register("set_ops_segments", oracle=_SET_OPS_SQL, tags=("setop",))
+def set_ops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / EXCEPT / INTERSECT chain (SURVEY §2.8 — absent in the
+    reference, built-in here)."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = customer.filter(F.col("c_acctbal") > 7000).select("c_custkey")
+    machinery = customer.filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
+    has_order = orders.select(F.col("o_custkey").alias("c_custkey"))
+    return (
+        building.union(rich).distinct().subtract(machinery).intersect(has_order)
+    )
+
+
+# =====================================================================
+# Scalar function layer (SURVEY §2.9)
+# =====================================================================
+
+_NORM_FIRST = NORMALIZE_WORD_SQL.format(col="tokens[1]")
+_NORM_LAST = NORMALIZE_WORD_SQL.format(col="tokens[-1]")
+
+_SCALAR_TOKENS_SQL = f"""
+SELECT doc_id,
+       cast(len(tokens) AS bigint) AS n_tokens,
+       tokens[1] AS first_token,
+       tokens[-1] AS last_token,
+       {_NORM_FIRST} AS norm_first,
+       {_NORM_LAST} AS norm_last
+FROM (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9''-]+') AS tokens
+      FROM documents)
+"""
+
+
+@register("scalar_normalize_tokens", oracle=_SCALAR_TOKENS_SQL, tags=("scalar", "text"))
+def scalar_normalize_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 normalize + C3 tokenize as pure column expressions — no
+    Python in the plan (whole-stage codegen end to end)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokenize_col("text")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.element_at(toks, -1).alias("last_token"),
+        normalize_word_col(F.element_at(toks, 1)).alias("norm_first"),
+        normalize_word_col(F.element_at(toks, -1)).alias("norm_last"),
+    )
+
+
+_MS_SQL = """
+SELECT event_id, value AS value_s,
+       cast(round(value * 1000) AS bigint) AS value_ms
+FROM events
+"""
+
+
+@register("ms_round_convert", oracle=_MS_SQL, tags=("scalar",))
+def ms_round_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 seconds→milliseconds int conversion, the reference's
+    pervasive int(round(x*1000)) (claude_research_optimal.py:317)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.col("value").alias("value_s"),
+        F.round(F.col("value") * 1000).cast("bigint").alias("value_ms"),
+    )
+
+
+_JSON_SQL = """
+SELECT event_id,
+       cast(json_extract_string(props, '$.k') AS bigint) AS prop_k
+FROM events
+"""
+
+
+@register("json_extract_props", oracle=_JSON_SQL, tags=("scalar", "json"))
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C16 JSON payload access via get_json_object (Jackson-based,
+    JVM-side — no Python)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
+    )
+
+
+_GUARD_SQL = """
+SELECT event_id,
+       value / 200 AS conf,
+       cast(CASE WHEN value / 200 > 0.75 THEN floor(250 * 0.7)
+                 WHEN value / 200 < 0.6  THEN floor(250 * 1.3)
+                 ELSE 250 END AS bigint) AS guard_ms
+FROM events
+"""
+
+
+@register("case_adaptive_guard", oracle=_GUARD_SQL, tags=("scalar",))
+def case_adaptive_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 compute_adaptive_guard
+    (claude_research_optimal.py:374-386): high-confidence → 70% of the
+    base guard, low-confidence → 130%, else base. Pure when/otherwise
+    chain; `value/200` stands in for word confidence on the events
+    fixture (straddles both thresholds)."""
+    ev = _t(spark, sf_dir, "events")
+    conf = F.col("value") / 200
+    base = F.lit(250)
+    return ev.select(
+        "event_id",
+        conf.alias("conf"),
+        F.when(conf > 0.75, F.floor(base * 0.7))
+        .when(conf < 0.6, F.floor(base * 1.3))
+        .otherwise(base)
+        .cast("bigint")
+        .alias("guard_ms"),
+    )
+
+
+_PHONEME_SQL = """
+SELECT doc_id, last_word,
+       cast(CASE
+         WHEN length(last_word) < 3 THEN 0
+         WHEN last_word LIKE '%ing' THEN 60
+         WHEN right(last_word, 1) IN ('s','z','x','f','v') THEN 50
+         WHEN right(last_word, 1) IN ('t','d','k','p','n','m','g') THEN 40
+         WHEN right(last_word, 2) IN ('ce','se','ze','ge','ch','sh','th','ng') THEN 50
+         ELSE 0
+       END AS bigint) AS ext_ms
+FROM (SELECT doc_id, (string_split(text, ' '))[-1] AS last_word FROM documents)
+"""
+
+
+@register("phoneme_case_extension", oracle=_PHONEME_SQL, tags=("scalar",))
+def phoneme_case_extension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 phoneme tail-extension CASE
+    (claude_research_optimal.py:560-582) — branch ORDER is preserved
+    exactly (including that the 'ing' test precedes the single-char
+    tests, shadowing 'g'); the reference's dead dge/tch branch is a
+    no-op by construction and is documented rather than replicated."""
+    docs = _t(spark, sf_dir, "documents")
+    lw = F.element_at(F.split(F.col("text"), " "), -1)
+    last1 = F.right(lw, F.lit(1))
+    last2 = F.right(lw, F.lit(2))
+    ext = (
+        F.when(F.length(lw) < 3, 0)
+        .when(lw.endswith("ing"), 60)
+        .when(last1.isin("s", "z", "x", "f", "v"), 50)
+        .when(last1.isin("t", "d", "k", "p", "n", "m", "g"), 40)
+        .when(last2.isin("ce", "se", "ze", "ge", "ch", "sh", "th", "ng"), 50)
+        .otherwise(0)
+    )
+    return docs.select(
+        "doc_id", lw.alias("last_word"), ext.cast("bigint").alias("ext_ms")
+    )
+
+
+_AVG_COALESCE_SQL = f"""
+SELECT user_id,
+       coalesce({dsum_sql("CASE WHEN event_type = 'error' THEN value END")}
+                / nullif(count(CASE WHEN event_type = 'error' THEN value END), 0),
+                1.0) AS avg_error_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("avg_confidence_coalesce", oracle=_AVG_COALESCE_SQL, tags=("agg",))
+def avg_confidence_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 span-average-with-default: mean over a conditional subset,
+    1.0 when the subset is empty (claude_research_optimal.py:524)."""
+    ev = _t(spark, sf_dir, "events")
+    err_val = F.when(F.col("event_type") == "error", F.col("value"))
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.coalesce(
+                dsum(err_val) / F.nullif(F.count(err_val), F.lit(0)),
+                F.lit(1.0),
+            ).alias("avg_error_value")
+        )
+        .orderBy("user_id")
+    )
+
+
+# =====================================================================
+# Sessionization + neighbor windows (SURVEY §2.6 W1/W3/W4, §2.4 J3/J4)
+# =====================================================================
+
+SESSION_GAP_US = 1_800_000_000  # 30 min, in microseconds
+
+_SESSIONIZE_SQL = f"""
+WITH ordered AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN prev_us IS NULL
+                   OR ts_us - prev_us > {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_sess
+  FROM ordered
+), numbered AS (
+  SELECT *, cast(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS bigint) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       min(ts_us) AS session_start_us,
+       max(ts_us) AS session_end_us,
+       {dsum_sql('value')} AS sum_value
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+@register("sessionize_events", oracle=_SESSIONIZE_SQL, bench=True, tags=("window", "session"))
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 gap-bridging sessionization
+    (claude_research_optimal.py:291-305): lag → gap flag → running sum
+    = session id → per-session aggregates. The reference bridges word
+    runs when the time gap ≤ 0.5 s; here the same operator sessionizes
+    the events stream with a 30-minute gap.
+
+    Scale: ONE hash shuffle on user_id serves both the window and the
+    groupBy (same partitioning reused); per-user data is sorted once.
+    Streaming form: session_window(ts, gap) — see streaming/.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = ev.withColumn("prev_us", F.lag("ts_us").over(w)).withColumn(
+        "new_sess",
+        F.when(
+            F.col("prev_us").isNull()
+            | (F.col("ts_us") - F.col("prev_us") > SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).cast("bigint"),
+    )
+    return (
+        numbered.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts_us").alias("session_start_us"),
+            F.max("ts_us").alias("session_end_us"),
+            dsum("value", "sum_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+_BOUNDARY_SQL = """
+WITH w AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts))  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_us
+  FROM events
+), b AS (
+  SELECT user_id, event_id,
+         greatest(ts_us - 200000, coalesce(prev_us + 50000, 0)) AS s_us,
+         least(ts_us + 300000, coalesce(next_us - 100000, ts_us + 300000)) AS e_us
+  FROM w
+)
+SELECT user_id, event_id, s_us,
+       CASE WHEN e_us <= s_us THEN s_us + 1000 ELSE e_us END AS e_us
+FROM b
+"""
+
+
+@register("lag_lead_boundaries", oracle=_BOUNDARY_SQL, tags=("window",))
+def lag_lead_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4+C6: neighbor-bounded boundary math — start padded left but
+    clamped by the previous neighbor + guard; end padded right but
+    clamped by the next neighbor - guard; degenerate spans repaired to
+    1 ms, exactly like claude_research_optimal.py:527-556,584-585
+    (pads scaled to the events fixture, microsecond arithmetic)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    b = (
+        ev.withColumn("prev_us", F.lag("ts_us").over(w))
+        .withColumn("next_us", F.lead("ts_us").over(w))
+        .select(
+            "user_id",
+            "event_id",
+            F.greatest(
+                F.col("ts_us") - 200000, F.coalesce(F.col("prev_us") + 50000, F.lit(0))
+            ).alias("s_us"),
+            F.least(
+                F.col("ts_us") + 300000,
+                F.coalesce(F.col("next_us") - 100000, F.col("ts_us") + 300000),
+            ).alias("e_us"),
+        )
+    )
+    return b.select(
+        "user_id",
+        "event_id",
+        "s_us",
+        F.when(F.col("e_us") <= F.col("s_us"), F.col("s_us") + 1000)
+        .otherwise(F.col("e_us"))
+        .alias("e_us"),
+    )
+
+
+_SEQPOS_SQL = """
+SELECT user_id, event_id,
+       cast(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS bigint) AS pos
+FROM events
+"""
+
+
+@register("sequence_position", oracle=_SEQPOS_SQL, tags=("window",))
+def sequence_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: 0-based position of each element in its ordered sequence
+    (the reference's ASRWord.idx, claude_research_optimal.py:255)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.row_number().over(w) - 1).cast("bigint").alias("pos"),
+    )
+
+
+_TOP1_SQL = """
+SELECT user_id, event_id, value
+FROM (SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
+@register("longest_span_top1", oracle=_TOP1_SQL, tags=("window",))
+def longest_span_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: argmax-per-group with deterministic tiebreak — the
+    reference's 'longest validator span' pick
+    (claude_research_optimal.py:504-508)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "value")
+    )
+
+
+_FIRST_MATCH_SQL = """
+SELECT user_id, event_type, value AS first_value
+FROM (SELECT user_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
+@register("first_match_confidence", oracle=_FIRST_MATCH_SQL, tags=("window", "join"))
+def first_match_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 first-match semantics: the reference scans used words in
+    order and takes the FIRST with an equal norm
+    (claude_research_optimal.py:515-524) — an O(n·m) loop there;
+    here a row_number()==1 pick after one shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", F.col("value").alias("first_value"))
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.fn for name, q in REGISTRY.items()}
+
+
+def oracles() -> dict[str, str]:
+    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle}
+
+
+def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.fn for name, q in REGISTRY.items() if q.bench}

@@ -1,0 +1,62 @@
+"""Parquet star-schema sources.
+
+The engine's batch inputs are the driver-generated TPC-H-ish tables
+(see /root/repo/TESTDATA.md). Everything is read with explicit paths
+and no schema inference — parquet footers carry the schema, and
+Catalyst gets filter pushdown + column pruning on these scans for
+free (verify with ``df.explain``: ``PushedFilters`` / ``ReadSchema``).
+
+Scale notes (100 TB): the fact tables (lineitem/orders/events/
+documents/embeddings) are the big side — scans are split by
+``spark.sql.files.maxPartitionBytes``; the dims (region/nation/
+supplier/part/customer) stay broadcast-able at any realistic SF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any scale factor the
+# engine targets; used by operators to pick explicit broadcast hints.
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # TIMESTAMP(NANOS) parquet arrives as nanosecond longs (see
+    # session.py nanosAsLong). Values are micro-aligned in practice,
+    # so truncating division to micros is lossless here and matches
+    # ANSI engines' nanos→micros cast.
+    for f in df.schema.fields:
+        if f.name == "ts" and isinstance(f.dataType, T.LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view (for the SQL API paths)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
