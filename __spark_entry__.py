@@ -15,7 +15,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from asr_training_data_pipeline_spark import queries as _q
+from asr_training_data_pipeline_spark import api as _q
+from asr_training_data_pipeline_spark.queries import word_coverage as _word_coverage
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -23,7 +24,7 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the reference's word-coverage aggregation
     (batch_processor.py:17-37) over the documents table."""
-    return _q.word_coverage(spark, _SMOKE_SF_DIR)
+    return _word_coverage(spark, _SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

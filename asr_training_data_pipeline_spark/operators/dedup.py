@@ -1,0 +1,409 @@
+"""Deduplication operator family (north-star extension, SURVEY §2.12).
+
+Five levels, each the right tool at a different scale/fidelity point:
+
+- exact key dedup          — hash-groupBy on a derived key
+- exact content-hash dedup — sha256(content) + first-survivor window
+- n-gram Jaccard           — shingle inverted-index join (exact
+                             similarity, candidate-bounded)
+- MinHash + LSH banding    — the 100 TB near-dup path: O(n·bands)
+                             shuffle instead of O(n²) pairs
+- SimHash                  — 64-bit fingerprints + pigeonhole band
+                             join for small hamming radii
+
+All of it is built-in DataFrame ops (higher-order array functions,
+hash functions, windows) — zero Python UDFs, everything inside
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.text import whitespace_tokens_col
+from ..registry import register
+from ..sources.tables import load_table
+from .shingles import shingles_col, shingles_sql
+
+# ---------------------------------------------------------------------
+# Exact dedup by derived key
+# ---------------------------------------------------------------------
+
+_PREFIX_K = 8
+
+_DEDUP_EXACT_SQL = f"""
+SELECT key, cast(count(*) AS bigint) AS n_dups, min(doc_id) AS keep_id
+FROM (SELECT doc_id,
+             array_to_string((string_split(text, ' '))[1:{_PREFIX_K}], ' ') AS key
+      FROM documents)
+GROUP BY key
+HAVING count(*) > 1
+ORDER BY key
+"""
+
+
+@register("dedup_exact", oracle=_DEDUP_EXACT_SQL, tags=("dedup",))
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups by a derived key (first 8 words): the
+    hash-groupBy dedup primitive. Survivor = lowest doc_id.
+
+    Scale: one shuffle on the (short) key; map-side partial counts.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, _PREFIX_K))
+    return (
+        docs.select(F.col("doc_id"), key.alias("key"))
+        .groupBy("key")
+        .agg(
+            F.count("*").cast("bigint").alias("n_dups"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+        .orderBy("key")
+    )
+
+
+_DEDUP_HASH_SQL = """
+SELECT doc_id, content_hash
+FROM (SELECT doc_id, sha256(text) AS content_hash,
+             row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+      FROM documents)
+WHERE rn = 1
+"""
+
+
+@register("dedup_exact_hash", oracle=_DEDUP_HASH_SQL, tags=("dedup",))
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash dedup: sha256 fingerprint, keep the first doc per
+    hash. The production shape for exact dedup at 100 TB — the
+    shuffle key is a fixed 32-byte hash, never the document body.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.sha2(F.col("text"), 256)
+    w = W.partitionBy(h).orderBy("doc_id")
+    return (
+        docs.select("doc_id", h.alias("content_hash"), F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "content_hash")
+    )
+
+
+# ---------------------------------------------------------------------
+# n-gram Jaccard (exact near-dup over a candidate join)
+# ---------------------------------------------------------------------
+
+_SHINGLE_K = 5
+_JACCARD_THRESHOLD = 0.8
+
+_JACCARD_SQL = f"""
+WITH {shingles_sql(_SHINGLE_K)},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       cast(inter AS double) / (sa.n + sb.n - inter) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE cast(inter AS double) / (sa.n + sb.n - inter) >= {_JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_SQL, bench=True, tags=("dedup",))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard near-dup pairs via a shingle inverted index:
+    explode distinct 5-gram shingles, self-join on shingle to count
+    intersections, |A∪B| = |A|+|B|−|A∩B|.
+
+    Scale: cost is Σ(group²) over shingle frequency — fine when
+    shingles are selective. When they aren't (huge corpora, hot
+    shingles), this is exactly what dedup_minhash_lsh replaces; at
+    100 TB you'd also drop the top-0.1% most frequent shingles
+    (stop-shingles) before the join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select(
+            "doc_id",
+            F.explode(shingles_col(F.split(F.col("text"), " "), _SHINGLE_K)).alias(
+                "shingle"
+            ),
+        )
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("inter").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("inter")
+    )
+    return (
+        shared.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------
+# MinHash + LSH banding (the scale path)
+# ---------------------------------------------------------------------
+
+_N_HASHES = 64
+_N_BANDS = 16  # 16 bands × 4 rows → catches j≳0.5 with high prob.
+_ROWS_PER_BAND = _N_HASHES // _N_BANDS
+_MERSENNE = (1 << 31) - 1
+_EST_THRESHOLD = 0.5
+
+_rng = random.Random(1217)
+_MINHASH_PARAMS = [
+    (_rng.randrange(1, _MERSENNE), _rng.randrange(0, _MERSENNE))
+    for _ in range(_N_HASHES)
+]
+
+
+def _minhash_params_lit():
+    return F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in _MINHASH_PARAMS
+        ]
+    )
+
+
+def minhash_signature_col(shingles):
+    """64-slot MinHash signature as ONE pass over the shingles.
+
+    Each shingle is reduced to a 31-bit integer (xxhash64 → pmod);
+    the signature is a single ``aggregate`` fold whose accumulator is
+    the 64-element running-min array, updated per shingle with
+    ``zip_with(acc, params, least(acc, (a·h+b) mod p))``. Products
+    stay < 2⁶², safe under ANSI arithmetic.
+
+    One fold (not 64 independent array_min expressions) matters:
+    higher-order subexpressions are not CSE'd across slots, so the
+    naive form re-hashes every shingle 64× and explodes codegen —
+    measured 40× slower at sf0.1.
+    """
+    h32 = F.transform(
+        shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)).cast("long")
+    )
+    init = F.array_repeat(F.lit(_MERSENNE).cast("long"), _N_HASHES)
+    return F.aggregate(
+        h32,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            _minhash_params_lit(),
+            lambda m, p: F.least(m, (h * p["a"] + p["b"]) % F.lit(_MERSENNE)),
+        ),
+    )
+
+
+@register("dedup_minhash_lsh", bench=True, tags=("dedup", "lsh"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs — the 100 TB dedup path.
+
+    shingle → 64-slot MinHash signature → 16 banded keys → self-join
+    on (band, key) → estimated Jaccard = fraction of equal signature
+    slots, thresholded at 0.5.
+
+    Scale: shuffle volume is n·16 band keys (constant per doc) and
+    candidate pairs only form inside identical-band buckets —
+    O(n·bands + candidates), never O(n²). Signature computation is
+    embarrassingly parallel in the scan stage.
+
+    No SQL oracle (hash-function specific); correctness is pinned by
+    the recall test against dedup_ngram_jaccard's exact pairs
+    (tests/test_dedup.py).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # Local fixture parquet is a single split; signature computation is
+    # the CPU-heavy stage, so spread it across cores explicitly. On a
+    # real cluster the scan already yields ≫cores splits and AQE
+    # coalesces this away.
+    n_part = spark.sparkContext.defaultParallelism
+    sigs = (
+        docs.repartition(n_part)
+        .select(
+            "doc_id",
+            minhash_signature_col(
+                shingles_col(F.split(F.col("text"), " "), _SHINGLE_K)
+            ).alias("sig"),
+        )
+        .filter(F.col("sig").isNotNull())
+    )
+
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_N_BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * _ROWS_PER_BAND + 1, _ROWS_PER_BAND),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("band_key"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc_id", "sig", "band.band_id", "band.band_key")
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / _N_HASHES
+    )
+    return (
+        cand.select("doc_a", "doc_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= _EST_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------
+# SimHash (frequency-weighted 64-bit fingerprint)
+# ---------------------------------------------------------------------
+
+_SIMHASH_BANDS = 4  # 4 × 16 bits; hamming ≤ 3 ⇒ ≥1 band equal
+_HAMMING_MAX = 3
+
+
+# Single-bit masks as literal longs; bit 63 is the sign bit of a
+# signed long (-2^63), which bitwiseAND handles exactly.
+_BIT_MASKS = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
+
+
+def _masks_lit():
+    return F.array(*[F.lit(m).cast("long") for m in _BIT_MASKS])
+
+
+def simhash_col(tokens):
+    """64-bit SimHash of a token array (duplicates = weights).
+
+    bit b of the fingerprint = sign of Σ_tokens (±1 by bit b of
+    xxhash64(token)). Computed as ONE aggregate fold over the token
+    hashes with a 64-element bit-sum accumulator (see
+    minhash_signature_col for why one pass, not 64).
+    """
+    th = F.transform(tokens, lambda t: F.xxhash64(t))
+    sums = F.aggregate(
+        th,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            _masks_lit(),
+            lambda s, m: s + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    # pack: Σ over bits with positive sum of that bit's mask. The sum
+    # of distinct masks cannot overflow (it is just setting bits).
+    return F.aggregate(
+        F.zip_with(
+            sums,
+            _masks_lit(),
+            lambda s, m: F.when(s > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+@register("dedup_simhash", tags=("dedup", "lsh"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit fingerprints, pigeonhole band
+    join (4×16-bit bands — any pair with hamming ≤ 3 must agree on
+    ≥1 band), exact hamming filter via bit_count(xor).
+
+    Scale: 4 band keys per doc; candidates only within equal bands.
+    Fingerprints are 8 bytes — the pair join ships longs, not text.
+    Rows-only check (hash-specific); pinned by tests/test_dedup.py
+    (a doc and its near-dup mutation land within the radius).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.repartition(spark.sparkContext.defaultParallelism).select(
+        "doc_id", simhash_col(whitespace_tokens_col("text")).alias("fp")
+    )
+    band_exprs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band_id"),
+                    F.shiftright(F.col("fp"), i * 16)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("band_key"),
+                )
+                for i in range(_SIMHASH_BANDS)
+            ]
+        )
+    )
+    bands = fp.select("doc_id", "fp", band_exprs.alias("band")).select(
+        "doc_id", "fp", "band.band_id", "band.band_key"
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    ham = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("bigint").alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= _HAMMING_MAX)
+        .orderBy("doc_a", "doc_b")
+    )

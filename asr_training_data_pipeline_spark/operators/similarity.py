@@ -1,0 +1,195 @@
+"""Similarity search over the embeddings table (north star, SURVEY
+§2.12): brute-force cosine top-k as the exact baseline, plus a
+random-hyperplane (sign-LSH) bucketed variant as the scale path.
+
+Dot products / norms are computed with ``zip_with`` + a sequential
+``aggregate`` fold in double precision — deterministic IEEE order, so
+the DuckDB oracle (``list_dot_product`` over ``double[]``) matches to
+the last bit; scores are still rounded to 6 dp in the output as a
+belt-and-braces measure.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import load_table
+
+_TOPK = 5
+_N_QUERIES = 8  # vec_id < 8 are the query vectors
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return dot_col(a, b) / (F.sqrt(dot_col(a, a)) * F.sqrt(dot_col(b, b)))
+
+
+_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, cast(embedding AS double[]) AS qe
+           FROM embeddings WHERE vec_id < {_N_QUERIES}),
+v AS (SELECT vec_id, cast(embedding AS double[]) AS ve FROM embeddings),
+s AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         list_dot_product(qe, ve)
+           / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ve, ve))) AS score
+  FROM q, v WHERE vec_id <> query_id
+), r AS (
+  SELECT query_id, neighbor_id, score,
+         cast(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id) AS bigint) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, round(score, 6) AS score, rank
+FROM r WHERE rank <= {_TOPK}
+ORDER BY query_id, rank
+"""
+
+
+@register("ann_cosine_topk", oracle=_TOPK_SQL, bench=True, tags=("similarity",))
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against
+    every vector, rank per query.
+
+    Scale: the fact side streams once through a broadcast-nested-loop
+    with the Q queries — O(n·Q·d) flops, no shuffle of the vectors;
+    the only shuffle is the per-query top-k (Q·n rows → window on Q
+    partitions). For large Q or recall/latency trade-offs, use
+    ann_lsh_buckets.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        )
+    )
+    v = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ve"))
+    scored = (
+        v.crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_col(F.col("qe"), F.col("ve")).alias("score"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _TOPK)
+        .select("query_id", "neighbor_id", F.round("score", 6).alias("score"), "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+_PAIRS_THRESHOLD = 0.4
+
+_PAIRS_SQL = f"""
+WITH v AS (SELECT vec_id, cast(embedding AS double[]) AS e FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.e, b.e)
+         / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS score
+FROM v a, v b
+WHERE a.vec_id < b.vec_id
+  AND list_dot_product(a.e, b.e)
+      / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= {_PAIRS_THRESHOLD}
+ORDER BY vec_a, vec_b
+"""
+
+
+@register("embedding_cosine_pairs", oracle=_PAIRS_SQL, tags=("similarity", "dedup"))
+def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All vector pairs with cosine ≥ 0.4 — the embedding-space
+    near-duplicate primitive (brute force, exact).
+
+    Scale: O(n²) by construction — correct at calibration scale; the
+    production path is ann_lsh_buckets (bucketed candidates) with
+    this exact scorer applied inside buckets only.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b", cosine_col(F.col("ea"), F.col("eb")).alias("raw")
+        )
+        .filter(F.col("raw") >= _PAIRS_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("raw", 6).alias("score"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+# ---------------------------------------------------------------------
+# Sign-LSH bucketed ANN (scale path)
+# ---------------------------------------------------------------------
+
+_DIM = 64
+_N_PLANES = 12
+
+_rng = random.Random(4099)
+_PLANES = [
+    [_rng.gauss(0.0, 1.0) for _ in range(_DIM)] for _ in range(_N_PLANES)
+]
+
+
+@register("ann_lsh_buckets", tags=("similarity", "lsh"))
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketing: each vector's bucket is the
+    12-bit sign pattern of projections onto fixed Gaussian planes.
+    Emits per-bucket population stats — the index-build stage of a
+    bucketed ANN (probe = hash the query, scan its bucket ± probes).
+
+    Scale: one pass, no shuffle except the final per-bucket count;
+    bucket keys are ints. Cosine-similar vectors collide with prob
+    (1 − θ/π)^12. Rows-only check; recall pinned in
+    tests/test_similarity.py against exact top-k.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    buckets = emb.select("vec_id", lsh_bucket_col(F.col("embedding")).alias("bucket"))
+    return (
+        buckets.groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.max("vec_id").alias("max_vec_id"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def lsh_bucket_col(e: Column) -> Column:
+    """Bucket id of one embedding column (shared by probe-side code
+    and tests)."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    e,
+                    F.array(*[F.lit(p) for p in plane]),
+                    lambda x, w_: x.cast("double") * w_,
+                ),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for plane in _PLANES
+    ]
+    bucket = bits[0]
+    for i in range(1, _N_PLANES):
+        bucket = bucket + F.shiftleft(bits[i], i)
+    return bucket

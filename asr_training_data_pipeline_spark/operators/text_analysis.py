@@ -1,0 +1,171 @@
+"""Text-analysis operators (north star, SURVEY §2.12): language-ID
+heuristic, quality scoring, token counting, document fingerprinting.
+
+All pure column expressions with exact DuckDB oracles — the Spark and
+oracle sides compute the same IEEE double expressions in the same
+order, so equality is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import load_table
+from .shingles import shingles_col, shingles_sql
+
+# A small English stopword core (public knowledge); enough for a
+# ratio-based heuristic on whitespace text.
+_STOPWORDS = (
+    "the a an and or of to in is are was were be been it this that "
+    "with for on as at by from not but"
+).split()
+
+_SW_SQL_LIST = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+_LANG_ID_SQL = f"""
+SELECT doc_id, lang,
+       cast(n_stop AS double) / n_tok AS stop_ratio,
+       CASE WHEN cast(n_stop AS double) / n_tok >= 0.05 THEN 'en'
+            ELSE 'unknown' END AS predicted_lang
+FROM (
+  SELECT doc_id, lang,
+         len(t) AS n_tok,
+         len(list_filter(t, x -> x IN ({_SW_SQL_LIST}))) AS n_stop
+  FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS t FROM documents)
+)
+WHERE n_tok > 0
+"""
+
+
+@register("lang_id_heuristic", oracle=_LANG_ID_SQL, tags=("text",))
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language ID: fraction of tokens in an English
+    stopword core; ≥5% → 'en'. N-gram-profile language ID follows the
+    same shape (token stats → ratio → argmax) at scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.lower(F.col("text")), " ")
+    n_tok = F.size(t)
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+    ratio = n_stop.cast("double") / n_tok
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            ratio.alias("stop_ratio"),
+            F.when(ratio >= 0.05, "en").otherwise("unknown").alias("predicted_lang"),
+        )
+        .filter(n_tok > 0)
+    )
+
+
+_QUALITY_SQL = f"""
+SELECT doc_id, n_tokens, uniq_ratio, avg_token_len, stop_ratio,
+       0.4 * least(cast(n_tokens AS double) / 100, 1.0)
+         + 0.3 * uniq_ratio + 0.3 * stop_ratio AS quality_score
+FROM (
+  SELECT doc_id,
+         cast(len(t) AS bigint) AS n_tokens,
+         cast(len(list_distinct(t)) AS double) / len(t) AS uniq_ratio,
+         cast(length(array_to_string(t, '')) AS double) / len(t) AS avg_token_len,
+         cast(len(list_filter(t, x -> x IN ({_SW_SQL_LIST}))) AS double) / len(t) AS stop_ratio
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+  WHERE len(t) > 0
+)
+"""
+
+
+@register("quality_score", oracle=_QUALITY_SQL, tags=("text",))
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length, lexical diversity, average
+    token length, stopword ratio → weighted score. The filter-gate
+    shape used to drop boilerplate/garbage docs from training data.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.lower(F.col("text")), " ")
+    n = F.size(t)
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    uniq_ratio = F.size(F.array_distinct(t)).cast("double") / n
+    avg_len = F.length(F.concat_ws("", t)).cast("double") / n
+    stop_ratio = F.size(F.filter(t, lambda x: F.array_contains(sw, x))).cast(
+        "double"
+    ) / n
+    score = (
+        0.4 * F.least(n.cast("double") / 100, F.lit(1.0))
+        + 0.3 * uniq_ratio
+        + 0.3 * stop_ratio
+    )
+    return docs.filter(n > 0).select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        uniq_ratio.alias("uniq_ratio"),
+        avg_len.alias("avg_token_len"),
+        stop_ratio.alias("stop_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+_TOKEN_COUNT_SQL = """
+SELECT doc_id,
+       cast(len(string_split_regex(text, '\\s+')) AS bigint) AS n_ws_tokens,
+       cast(len(regexp_extract_all(text, '[A-Za-z0-9''-]+')) AS bigint) AS n_re_tokens,
+       cast(length(text) AS bigint) AS n_chars,
+       cast(ceil(length(text) / 4.0) AS bigint) AS approx_bpe_tokens
+FROM documents
+"""
+
+
+@register("token_count", oracle=_TOKEN_COUNT_SQL, tags=("text",))
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace split, regex word scan
+    (the reference's tokenizer, claude_research_optimal.py:31), and
+    the chars/4 BPE approximation used for LLM budget estimates.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), r"\s+")).cast("bigint").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z0-9'-]+"), 0))
+        .cast("bigint")
+        .alias("n_re_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("approx_bpe_tokens"),
+    )
+
+
+_FP_K = 4
+
+_FINGERPRINT_SQL = f"""
+WITH {shingles_sql(_FP_K)}
+SELECT doc_id,
+       min(md5(shingle)) AS fingerprint,
+       cast(count(*) AS bigint) AS n_shingles
+FROM sh
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("doc_fingerprint", oracle=_FINGERPRINT_SQL, tags=("text", "dedup"))
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-hash document fingerprint: md5 over distinct word 4-grams,
+    keep the minimum digest — a 1-slot MinHash (winnowing with a
+    single global window). Two near-identical docs collide on it with
+    probability ≈ their Jaccard similarity.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(shingles_col(F.split(F.col("text"), " "), _FP_K)).alias("shingle"),
+    )
+    return (
+        sh.groupBy("doc_id")
+        .agg(
+            F.min(F.md5(F.col("shingle"))).alias("fingerprint"),
+            F.count("*").cast("bigint").alias("n_shingles"),
+        )
+        .orderBy("doc_id")
+    )

@@ -24,9 +24,6 @@ holds at 100 TB (broadcast vs shuffle, pushdown, partial aggs).
 
 from __future__ import annotations
 
-from collections.abc import Callable
-from dataclasses import dataclass, field
-
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -37,34 +34,8 @@ from .functions.text import (
     tokenize_col,
     whitespace_tokens_col,
 )
+from .registry import REGISTRY, QueryDef, register  # noqa: F401 (re-export)
 from .sources.tables import load_table
-
-
-@dataclass(frozen=True)
-class QueryDef:
-    """One registry entry: the Spark implementation, the DuckDB oracle
-    (None → driver records a rows-only check), and tags."""
-
-    fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None = None
-    bench: bool = False
-    tags: tuple[str, ...] = ()
-
-
-REGISTRY: dict[str, QueryDef] = {}
-
-
-def register(
-    name: str,
-    oracle: str | None = None,
-    bench: bool = False,
-    tags: tuple[str, ...] = (),
-):
-    def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        REGISTRY[name] = QueryDef(fn=fn, oracle=oracle, bench=bench, tags=tags)
-        return fn
-
-    return deco
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -786,13 +757,4 @@ def first_match_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: q.fn for name, q in REGISTRY.items()}
-
-
-def oracles() -> dict[str, str]:
-    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle}
-
-
-def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: q.fn for name, q in REGISTRY.items() if q.bench}
+from .registry import bench_queries, oracles, queries  # noqa: E402,F401

@@ -17,7 +17,7 @@ import duckdb
 import pandas as pd
 from pyspark.sql import SparkSession
 
-from .queries import REGISTRY
+from .api import REGISTRY
 from .sources.tables import TABLES
 
 

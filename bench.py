@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed once as a warm-up-free wall-clock measurement
+of the full pipeline (scan → plan → execute → materialize counts);
+results are materialized via count() on a cached-free plan so nothing
+is skipped by laziness.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from asr_training_data_pipeline_spark.api import REGISTRY, bench_queries
+from asr_training_data_pipeline_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    spark = get_spark(app_name="asr_pipeline_bench", cpus=cpus)
+
+    # JVM/codegen warm-up on a trivial action so q1 doesn't pay it.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    t_total = time.time()
+    for name, fn in sorted(bench_queries().items()):
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]:.2f}s", file=sys.stderr)
+    total = round(time.time() - t_total, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cpus": cpus,
+                "n_queries_total": len(REGISTRY),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,81 @@
+"""Dedup-family semantics beyond the oracle: recall of the
+approximate paths (MinHash-LSH, SimHash) against exact ground truth."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from asr_training_data_pipeline_spark.api import REGISTRY
+from asr_training_data_pipeline_spark.operators.dedup import (
+    minhash_signature_col,
+    simhash_col,
+)
+from asr_training_data_pipeline_spark.operators.shingles import shingles_col
+
+
+def _pairs(df: pd.DataFrame, a: str = "doc_a", b: str = "doc_b") -> set[tuple]:
+    return set(zip(df[a], df[b]))
+
+
+def test_minhash_recall_vs_exact_jaccard(spark, sf_dir):
+    """LSH candidates must recover (almost) all exact-Jaccard≥0.8
+    pairs; at 16 bands × 4 rows the detection prob at j=0.8 is
+    1-(1-0.8^4)^16 ≈ 0.9997, so demand full recall here."""
+    exact = _pairs(REGISTRY["dedup_ngram_jaccard"].fn(spark, sf_dir).toPandas())
+    approx = _pairs(REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir).toPandas())
+    assert exact, "fixture should contain near-dup pairs"
+    missed = exact - approx
+    assert not missed, f"LSH missed exact pairs: {missed}"
+
+
+def test_minhash_estimate_tracks_exact(spark, sf_dir):
+    exact = REGISTRY["dedup_ngram_jaccard"].fn(spark, sf_dir).toPandas()
+    approx = REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir).toPandas()
+    merged = exact.merge(approx, on=["doc_a", "doc_b"])
+    assert not merged.empty
+    err = (merged.jaccard - merged.est_jaccard).abs()
+    assert err.max() < 0.25, f"minhash estimate off by {err.max()}"
+
+
+def test_simhash_separates_near_dups_from_random(spark, sf_dir):
+    """SimHash is a statistical fingerprint: near-dup pairs (exact
+    jaccard≥0.8) must sit far below random pairs in hamming distance
+    on average (individual pairs can flip many bits when per-bit sums
+    hover near zero — tiny-vocab word soup does that)."""
+    import itertools
+    import statistics
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fp = docs.select(
+        "doc_id",
+        simhash_col(F.split(F.lower(F.col("text")), r"\s+")).alias("fp"),
+    ).toPandas()
+    by_id = dict(zip(fp.doc_id, fp.fp))
+    exact = REGISTRY["dedup_ngram_jaccard"].fn(spark, sf_dir).toPandas()
+    assert not exact.empty
+    near = [
+        bin(by_id[a] ^ by_id[b]).count("1") for a, b in zip(exact.doc_a, exact.doc_b)
+    ]
+    ids = sorted(by_id)[:60]
+    near_set = set(zip(exact.doc_a, exact.doc_b))
+    rand = [
+        bin(by_id[a] ^ by_id[b]).count("1")
+        for a, b in itertools.combinations(ids, 2)
+        if (a, b) not in near_set
+    ]
+    assert statistics.median(near) <= 8
+    assert statistics.mean(near) < statistics.mean(rand) / 2, (
+        f"near mean {statistics.mean(near):.1f} vs random {statistics.mean(rand):.1f}"
+    )
+
+
+def test_minhash_signature_shape(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(5)
+    sig = docs.select(
+        minhash_signature_col(
+            shingles_col(F.split(F.col("text"), " "), 5)
+        ).alias("sig")
+    ).toPandas()
+    assert all(len(s) == 64 for s in sig.sig)
+    assert all(all(0 <= int(x) < (1 << 31) for x in s) for s in sig.sig)

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import pytest
 
-from asr_training_data_pipeline_spark.queries import REGISTRY
+from asr_training_data_pipeline_spark.api import REGISTRY
 from asr_training_data_pipeline_spark.testing import compare_to_oracle
 
 ORACLE_QUERIES = sorted(n for n, q in REGISTRY.items() if q.oracle)
