@@ -3,30 +3,77 @@ core operator: an ordered subsequence-alignment "join" between the
 transcript word sequence and the ASR word sequence
 (/root/reference/claude_research_optimal.py:283-289, 365-371).
 
-No relational operator expresses order-sensitive LCS, so this is a
-cogrouped ``applyInPandas``: each pair's two token sequences meet in
-one pandas group, ``difflib.SequenceMatcher(autojunk=False)`` (the
-exact algorithm the reference calls — parity by construction) emits
-equal blocks, and blocks of length ≥ min_run become EqualRun rows
-(bi*/ai* half-open index spans, claude_research_optimal.py:104-106).
+No relational operator expresses order-sensitive LCS, so the plan is:
+collapse each side to a per-key token array with a JVM-side
+``array_sort(collect_list(struct(pos, norm)))`` aggregate, equi-join
+the two single-row-per-key tables, then run
+``difflib.SequenceMatcher(autojunk=False)`` (the exact algorithm the
+reference calls — parity by construction) once per row inside ONE
+Arrow-batched pandas UDF that returns an ``array<struct>`` of equal
+runs, exploded back to rows.
 
-Scale: pairs are independent — the cogroup shuffles each pair's
-tokens to one task and alignment parallelizes across pairs. Token
-payloads are small (norms only). Skew = one enormous document; the
-mitigation at 100 TB is chunked alignment (align per chapter /
-window), which composes from this same operator over a finer pair
-key.
+This shape beats a cogrouped ``applyInPandas`` by a wide margin at
+high group counts: the cogroup pays a pandas-DataFrame construction
+per GROUP, while here thousands of pairs ride in one Arrow batch and
+Python is entered once per batch. Shuffle count is identical (both
+sides hash-partition on the key).
+
+Scale: pairs are independent — alignment parallelizes across keys,
+and token payloads are small (norms only). Skew = one enormous
+document; the mitigation at 100 TB is chunked alignment (align per
+chapter / window), which composes from this same operator over a
+finer pair key.
 """
 
 from __future__ import annotations
 
 import difflib
+from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 EQUAL_RUNS_SCHEMA = "pair_id long, bi0 long, bi1 long, ai0 long, ai1 long"
+
+_RUNS_ARRAY_TYPE = "array<struct<bi0:long,bi1:long,ai0:long,ai1:long>>"
+
+
+def _sorted_tokens(order_col: str, norm_col: str = "norm") -> Column:
+    """Per-key ordered token array, built entirely JVM-side."""
+    return F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col(order_col), F.col(norm_col)))),
+        lambda s: s[norm_col],
+    )
+
+
+def _make_align_udf(min_run: int):
+    """Pandas UDF: (book tokens, asr tokens) → equal runs of length
+    ≥ min_run, as get_opcodes() 'equal' blocks — bit-identical to
+    claude_research_optimal.py:283-289."""
+
+    @F.pandas_udf(_RUNS_ARRAY_TYPE)
+    def align(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        for a_col, b_col in it:
+            out = []
+            for a, b in zip(a_col, b_col):
+                a = list(a)
+                b = list(b)
+                if not a or not b:
+                    out.append([])
+                    continue
+                sm = difflib.SequenceMatcher(None, a, b, autojunk=False)
+                out.append(
+                    [
+                        (i1, i2, j1, j2)
+                        for tag, i1, i2, j1, j2 in sm.get_opcodes()
+                        if tag == "equal" and (i2 - i1) >= min_run
+                    ]
+                )
+            yield pd.Series(out)
+
+    return align
 
 
 def lcs_equal_runs(
@@ -38,25 +85,15 @@ def lcs_equal_runs(
 ) -> DataFrame:
     """J1: equal runs of length ≥ min_run between two keyed token
     sequences. ``book``: (pair_id, pos, norm); ``asr``:
-    (pair_id, idx, norm)."""
-
-    def align(key: tuple, book_pdf: pd.DataFrame, asr_pdf: pd.DataFrame) -> pd.DataFrame:
-        a = book_pdf.sort_values(book_order)["norm"].tolist()
-        b = asr_pdf.sort_values(asr_order)["norm"].tolist()
-        if not a or not b:
-            return pd.DataFrame(columns=["pair_id", "bi0", "bi1", "ai0", "ai1"])
-        sm = difflib.SequenceMatcher(None, a, b, autojunk=False)
-        rows = [
-            (key[0], i1, i2, j1, j2)
-            for tag, i1, i2, j1, j2 in sm.get_opcodes()
-            if tag == "equal" and (i2 - i1) >= min_run
-        ]
-        return pd.DataFrame(rows, columns=["pair_id", "bi0", "bi1", "ai0", "ai1"])
-
+    (pair_id, idx, norm). A key present on only one side yields no
+    runs (inner join — same as the cogroup-with-empty-side case)."""
+    align = _make_align_udf(min_run)
+    book_arr = book.groupBy("pair_id").agg(_sorted_tokens(book_order).alias("a_toks"))
+    asr_arr = asr.groupBy("pair_id").agg(_sorted_tokens(asr_order).alias("b_toks"))
     return (
-        book.groupBy("pair_id")
-        .cogroup(asr.groupBy("pair_id"))
-        .applyInPandas(align, EQUAL_RUNS_SCHEMA)
+        book_arr.join(asr_arr, "pair_id")
+        .select("pair_id", F.explode(align("a_toks", "b_toks")).alias("r"))
+        .select("pair_id", "r.bi0", "r.bi1", "r.ai0", "r.ai1")
     )
 
 
@@ -69,28 +106,16 @@ def lcs_pairs_consensus(
     the validator's re-transcription, min_run=1 (every equal block
     counts, claude_research_optimal.py:365-371). Keyed by
     (pair_id, group_id) — one clip per group."""
-
-    def align(key: tuple, cw: pd.DataFrame, vw: pd.DataFrame) -> pd.DataFrame:
-        a = cw.sort_values("word_pos")["norm"].tolist()
-        b = vw.sort_values("start")["norm"].tolist()
-        if not a or not b:
-            return pd.DataFrame(
-                columns=["pair_id", "group_id", "bi0", "bi1", "ai0", "ai1"]
-            )
-        sm = difflib.SequenceMatcher(None, a, b, autojunk=False)
-        rows = [
-            (key[0], key[1], i1, i2, j1, j2)
-            for tag, i1, i2, j1, j2 in sm.get_opcodes()
-            if tag == "equal"
-        ]
-        return pd.DataFrame(
-            rows, columns=["pair_id", "group_id", "bi0", "bi1", "ai0", "ai1"]
-        )
-
+    align = _make_align_udf(1)
+    keys = list(key_cols)
+    cw_arr = clip_words.groupBy(*keys).agg(
+        _sorted_tokens("word_pos").alias("a_toks")
+    )
+    vw_arr = validator_words.groupBy(*keys).agg(
+        _sorted_tokens("start").alias("b_toks")
+    )
     return (
-        clip_words.groupBy(*key_cols)
-        .cogroup(validator_words.groupBy(*key_cols))
-        .applyInPandas(
-            align, "pair_id long, group_id long, bi0 long, bi1 long, ai0 long, ai1 long"
-        )
+        cw_arr.join(vw_arr, keys)
+        .select(*keys, F.explode(align("a_toks", "b_toks")).alias("r"))
+        .select(*keys, "r.bi0", "r.bi1", "r.ai0", "r.ai1")
     )

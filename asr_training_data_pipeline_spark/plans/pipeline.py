@@ -226,16 +226,34 @@ def validated_clips(
 
 
 def full_pipeline(
-    spark: SparkSession, sf_dir: str, p: PipelineParams = P, validate: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    p: PipelineParams = P,
+    validate: bool = True,
+    persist: bool = True,
 ) -> dict[str, DataFrame]:
     """The whole dataflow, lazily: returns the named intermediate
-    stages so callers pick what to materialize."""
-    words = fixtures.asr_words(spark, sf_dir)
+    stages so callers pick what to materialize.
+
+    ``persist`` pins the fan-out subtrees (words, runs, gwords,
+    clips) at MEMORY_AND_DISK: each feeds 2+ downstream branches
+    (clips → kept/rejected/validator; gwords → assembly + consensus),
+    and without a cache Spark re-executes the Python LCS cogroup once
+    per branch. On a cluster the same reuse points are where you'd
+    persist (or checkpoint past the lineage) — the stages above them
+    are pandas-UDF work that does not get cheaper at scale.
+    """
+    from pyspark import StorageLevel
+
+    def pin(df: DataFrame) -> DataFrame:
+        return df.persist(StorageLevel.MEMORY_AND_DISK) if persist else df
+
+    words = pin(fixtures.asr_words(spark, sf_dir))
     book = fixtures.book_tokens(spark, sf_dir)
-    runs = lcs_equal_runs(book, words, min_run=p.min_run)
+    runs = pin(lcs_equal_runs(book, words, min_run=p.min_run))
     groups = bridged_groups(words, runs, p)
-    gwords = group_words(words, groups)
-    clips = assemble_clips(gwords, groups, p)
+    gwords = pin(group_words(words, groups))
+    clips = pin(assemble_clips(gwords, groups, p))
     kept = clips.filter(F.col("duration_s") >= p.min_dur_s)
     rejected = clips.filter(F.col("duration_s") < p.min_dur_s).withColumn(
         "reason", F.lit("too_short")

@@ -52,6 +52,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Python-heavy stages (cogrouped LCS, inference mapInPandas)
+        # are CPU-bound per ROW, not per byte — don't let AQE coalesce
+        # their shuffles down to a handful of 1 MB tasks and idle the
+        # other cores. 64 KB floor keeps ~cores-many tasks alive at
+        # small SF while remaining a no-op at cluster scale.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         # --- memory ----------------------------------------------------
         .config("spark.driver.memory", driver_memory)
         .config("spark.driver.maxResultSize", "4g")
