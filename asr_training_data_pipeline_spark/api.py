@@ -7,6 +7,7 @@ from . import queries as core_queries  # noqa: F401  (relational/window/scalar c
 from .operators import dedup, multimodal, similarity, text_analysis  # noqa: F401
 from .plans import pipeline  # noqa: F401
 from .registry import REGISTRY, bench_queries, oracles, queries  # noqa: F401
+from .sinks import exports  # noqa: F401
 from .streaming import windows  # noqa: F401
 
 __all__ = ["REGISTRY", "bench_queries", "oracles", "queries"]

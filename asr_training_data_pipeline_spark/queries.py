@@ -758,3 +758,182 @@ def first_match_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from .registry import bench_queries, oracles, queries  # noqa: E402,F401
+
+
+# =====================================================================
+# Coverage completions: J5, C2, C13, C14, A6, cube (SURVEY §2)
+# =====================================================================
+
+_PAIRING_SQL = """
+WITH a AS (SELECT doc_id AS audio_id,
+                  row_number() OVER (ORDER BY doc_id) AS pos
+           FROM documents WHERE doc_id % 2 = 0),
+     t AS (SELECT doc_id AS text_id,
+                  row_number() OVER (ORDER BY doc_id) AS pos
+           FROM documents WHERE doc_id % 2 = 1)
+SELECT cast(a.pos AS bigint) AS pos, audio_id, text_id
+FROM a JOIN t ON a.pos = t.pos
+ORDER BY pos
+"""
+
+
+@register("positional_pairing", oracle=_PAIRING_SQL, tags=("join",))
+def positional_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: zip two ordered manifests by position — the reference pairs
+    audio and transcript files by upload order (gui.py:35-38,
+    batch_processor.py:198-205). The single-partition window is fine
+    by construction: a pairing manifest is CLI/UI-sized metadata, the
+    100 TB payload sits behind the paths, not in them."""
+    docs = _t(spark, sf_dir, "documents")
+    w = W.orderBy("doc_id")
+    a = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("audio_id"),
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
+    t = docs.filter(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("text_id"),
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
+    return a.join(t, "pos").select("pos", "audio_id", "text_id").orderBy("pos")
+
+
+_ONES_SQL = (
+    "['zero','one','two','three','four','five','six','seven','eight','nine',"
+    "'ten','eleven','twelve','thirteen','fourteen','fifteen','sixteen',"
+    "'seventeen','eighteen','nineteen']"
+)
+_TENS_SQL = (
+    "['zero','ten','twenty','thirty','forty','fifty','sixty','seventy',"
+    "'eighty','ninety']"
+)
+
+_NUM_WORDS_SQL = f"""
+SELECT p_partkey, p_size,
+       CASE WHEN p_size < 20 THEN {_ONES_SQL}[p_size + 1]
+            ELSE {_TENS_SQL}[(p_size // 10) + 1]
+                 || CASE WHEN p_size % 10 > 0
+                         THEN {_ONES_SQL}[(p_size % 10) + 1] ELSE '' END
+       END AS size_words
+FROM part
+ORDER BY p_partkey
+"""
+
+
+@register("num_to_words_sizes", oracle=_NUM_WORDS_SQL, tags=("scalar", "udf"))
+def num_to_words_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 _num_to_words (claude_research_optimal.py:37-64) as the one
+    genuine Python scalar UDF, applied to part sizes. The oracle
+    reconstructs the bounded domain (1-50) with SQL list indexing —
+    the full billions-range semantics are pinned by the golden unit
+    test against the reference algorithm (tests/test_functions.py)."""
+    from .functions.text import num_to_words_udf
+
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        "p_size",
+        num_to_words_udf(F.col("p_size").cast("string")).alias("size_words"),
+    ).orderBy("p_partkey")
+
+
+_GROUP_CONCAT_SQL = """
+SELECT user_id,
+       string_agg(event_type, ' ' ORDER BY ts, event_id) AS type_seq
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("group_concat_ordered", oracle=_GROUP_CONCAT_SQL, tags=("agg", "text"))
+def group_concat_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C13 clip-text materialization (claude_research_optimal.py:658):
+    ordered string concat per group — collect structs, array_sort by
+    the (unique) order key, project, join. All JVM-side."""
+    ev = _t(spark, sf_dir, "events")
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.unix_micros("ts").alias("o1"), "event_id", "event_type")
+                )
+            ),
+            lambda s: s["event_type"],
+        ),
+        " ",
+    )
+    return (
+        ev.groupBy("user_id").agg(seq.alias("type_seq")).orderBy("user_id")
+    )
+
+
+_DATE_FMT_SQL = """
+SELECT event_id,
+       strftime(ts, '%H:%M:%S') AS log_time,
+       strftime(ts, '%Y%m%d_%H%M%S') AS dir_stamp
+FROM events
+ORDER BY event_id
+"""
+
+
+@register("timestamp_format", oracle=_DATE_FMT_SQL, tags=("scalar",))
+def timestamp_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C14: the reference's two strftime usages — log line times
+    (claude_research_optimal.py:28) and output-dir stamps
+    (gui.py:14-15) — as date_format column expressions (UTC pinned
+    in the session so both engines agree)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_format("ts", "HH:mm:ss").alias("log_time"),
+        F.date_format("ts", "yyyyMMdd_HHmmss").alias("dir_stamp"),
+    ).orderBy("event_id")
+
+
+_VOTE_SQL = """
+SELECT event_id,
+       cast((CASE WHEN value > 50 THEN 1 ELSE 0 END
+           + CASE WHEN event_type = 'error' THEN 1 ELSE 0 END
+           + CASE WHEN epoch_us(ts) % 2 = 0 THEN 1 ELSE 0 END) AS bigint) AS votes,
+       (CASE WHEN value > 50 THEN 1 ELSE 0 END
+      + CASE WHEN event_type = 'error' THEN 1 ELSE 0 END
+      + CASE WHEN epoch_us(ts) % 2 = 0 THEN 1 ELSE 0 END) >= 2 AS leak
+FROM events
+ORDER BY event_id
+"""
+
+
+@register("leak_vote_2of3", oracle=_VOTE_SQL, tags=("scalar",))
+def leak_vote_2of3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 acoustic-leak 2-of-3 vote (claude_research_optimal.py:225-226):
+    three boolean signals cast to ints, summed, thresholded."""
+    ev = _t(spark, sf_dir, "events")
+    b1 = F.when(F.col("value") > 50, 1).otherwise(0)
+    b2 = F.when(F.col("event_type") == "error", 1).otherwise(0)
+    b3 = F.when(F.unix_micros("ts") % 2 == 0, 1).otherwise(0)
+    votes = b1 + b2 + b3
+    return ev.select(
+        "event_id",
+        votes.cast("bigint").alias("votes"),
+        (votes >= 2).alias("leak"),
+    ).orderBy("event_id")
+
+
+_CUBE_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {dsum_sql('l_quantity')} AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register("cube_quantities", oracle=_CUBE_SQL, tags=("agg",))
+def cube_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over both group keys (all 2ⁿ grouping sets) — completes
+    the grouping-sets family next to rollup_revenue (SURVEY §2.5
+    note)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"), F.count("*").alias("n_rows")
+    )

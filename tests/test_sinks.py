@@ -1,0 +1,117 @@
+"""Sink-layer round-trips (SURVEY §2.2 K1-K8): export to a tmp dir,
+read every artifact back, check counts/shapes/content against the
+pipeline stages that produced them."""
+
+from __future__ import annotations
+
+import json
+import os
+import wave
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from asr_training_data_pipeline_spark.plans.pipeline import full_pipeline
+from asr_training_data_pipeline_spark.sinks import export_pipeline_outputs
+
+def _pair_filter():
+    return F.col("pair_id") % 10 == 0  # bounded, deterministic subset
+
+
+@pytest.fixture(scope="module")
+def exported_dir(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("sink_out"))
+    manifest = export_pipeline_outputs(
+        spark, sf_dir, out, pair_filter=_pair_filter()
+    ).toPandas()
+    return out, manifest
+
+
+def test_manifest_matches_exported_clips(spark, sf_dir, exported_dir):
+    out, manifest = exported_dir
+    n_clips = (
+        full_pipeline(spark, sf_dir)["exported"].filter(_pair_filter()).count()
+    )
+    assert n_clips > 0
+    assert (manifest["kind"] == "wav").sum() == n_clips
+    assert (manifest["kind"] == "txt").sum() == n_clips
+    n_pairs = manifest[manifest["kind"] == "wav"]["pair_id"].nunique()
+    assert (manifest["kind"] == "full_wav").sum() == n_pairs
+
+
+def test_wav_is_valid_and_sized(exported_dir):
+    out, manifest = exported_dir
+    row = manifest[manifest["kind"] == "wav"].iloc[0]
+    path = os.path.join(
+        out, "clips", f"clip_{int(row.pair_id):06d}_{int(row.group_id):04d}.wav"
+    )
+    with wave.open(path, "rb") as w:
+        assert w.getnchannels() == 1
+        assert w.getsampwidth() == 2
+        assert w.getframerate() == 16000
+        assert w.getnframes() == row.n_frames
+    # 44-byte RIFF header + 2 bytes/sample
+    assert row.n_bytes == 44 + 2 * row.n_frames
+
+
+def test_txt_matches_clip_text(spark, sf_dir, exported_dir):
+    out, _ = exported_dir
+    clips = (
+        full_pipeline(spark, sf_dir)["exported"]
+        .filter(_pair_filter())
+        .select("pair_id", "group_id", "clip_text")
+        .limit(5)
+        .collect()
+    )
+    for r in clips:
+        path = os.path.join(
+            out, "clips", f"clip_{r.pair_id:06d}_{r.group_id:04d}.txt"
+        )
+        assert open(path).read().rstrip("\n") == r.clip_text
+
+
+def test_full_corpus_concatenation(exported_dir):
+    out, manifest = exported_dir
+    pair = int(manifest[manifest["kind"] == "wav"]["pair_id"].iloc[0])
+    clip_frames = manifest[
+        (manifest["pair_id"] == pair) & (manifest["kind"] == "wav")
+    ]["n_frames"].sum()
+    n_clips = (
+        (manifest["pair_id"] == pair) & (manifest["kind"] == "wav")
+    ).sum()
+    full_frames = int(
+        manifest[(manifest["pair_id"] == pair) & (manifest["kind"] == "full_wav")][
+            "n_frames"
+        ].iloc[0]
+    )
+    gap_frames = 500 * 16  # 500 ms at 16 kHz
+    assert full_frames == clip_frames + gap_frames * (n_clips - 1)
+    with wave.open(os.path.join(out, f"full_{pair:06d}.wav"), "rb") as w:
+        assert w.getnframes() == full_frames
+
+
+def test_clips_tsv_roundtrip(spark, sf_dir, exported_dir):
+    out, manifest = exported_dir
+    tsv = (
+        spark.read.option("sep", "\t")
+        .option("header", True)
+        .csv(os.path.join(out, "clips_tsv"))
+    )
+    assert tsv.count() == (manifest["kind"] == "wav").sum()
+    assert tsv.columns == [
+        "path", "start", "end", "duration_s2", "words", "pieces",
+        "avg_conf", "acoustic_quality",
+    ]
+
+
+def test_summary_and_coverage(spark, sf_dir, exported_dir):
+    out, manifest = exported_dir
+    summary = json.load(open(os.path.join(out, "summary.json")))
+    assert summary["exported"] == (manifest["kind"] == "wav").sum()
+    assert "params" in summary and summary["params"]["min_run"] == 4
+    cov = spark.read.option("header", True).csv(
+        os.path.join(out, "word_coverage_csv")
+    )
+    assert cov.columns == ["word", "count"]
+    assert cov.count() > 0
