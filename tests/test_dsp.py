@@ -1,0 +1,75 @@
+"""DSP kernel semantics (C8-C10, F7) on constructed signals: the
+decision behavior — silence passes, an abrupt loud boundary leaks —
+must match the reference's vote logic."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from asr_training_data_pipeline_spark.operators.dsp import (
+    boundary_leakage,
+    mfcc_distance,
+    spectral_flux,
+)
+
+SR = 16000
+rng = np.random.default_rng(1217)
+
+
+def _sine(freq, ms, amp=0.5):
+    t = np.arange(int(SR * ms / 1000)) / SR
+    return (amp * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+
+
+def test_silent_boundary_no_leak():
+    pcm = np.concatenate([_sine(440, 500), np.zeros(SR // 2, dtype=np.float32)])
+    leak, d = boundary_leakage(pcm, SR, boundary_ms=1000)
+    assert not leak
+    assert d["dbfs"] < -40.0
+
+
+def test_abrupt_loud_boundary_leaks():
+    # Loud wideband noise right up to (and past) the boundary: tail is
+    # not silent and the spectrum changes hard → ≥2 votes.
+    noise = (rng.standard_normal(SR) * 0.8).astype(np.float32)
+    tone = _sine(200, 1000, amp=0.9)
+    pcm = np.concatenate([noise, tone])
+    leak, d = boundary_leakage(pcm, SR, boundary_ms=1000)
+    assert leak
+    assert d["votes"] >= 2
+
+
+def test_mfcc_distance_discriminates():
+    same = np.concatenate([_sine(440, 200), _sine(440, 200)])
+    diff = np.concatenate([_sine(440, 200), _sine(3000, 200)])
+    d_same = mfcc_distance(same, SR, boundary_ms=200)
+    d_diff = mfcc_distance(diff, SR, boundary_ms=200)
+    assert d_diff > d_same
+
+
+def test_mfcc_short_window_fallback():
+    pcm = _sine(440, 4)  # 4 ms → both windows < 32 samples? (64 samples)
+    d = mfcc_distance(pcm, SR, boundary_ms=2, window_ms=50)
+    assert d >= 0.0  # falls back to scaled RMS difference, no crash
+
+
+def test_spectral_flux_zero_on_short():
+    assert spectral_flux(_sine(440, 10), SR, boundary_ms=5) == 0.0
+
+
+def test_flux_higher_on_transition():
+    steady = np.concatenate([_sine(440, 300), _sine(440, 300)])
+    trans = np.concatenate([_sine(440, 300),
+                            (rng.standard_normal(int(SR * 0.3)) * 0.8).astype(np.float32)])
+    assert spectral_flux(trans, SR, 300) > spectral_flux(steady, SR, 300)
+
+
+def test_acoustic_gate_query_runs(spark, sf_dir):
+    from asr_training_data_pipeline_spark.api import REGISTRY
+
+    df = REGISTRY["acoustic_boundary_gate"].fn(spark, sf_dir)
+    pdf = df.toPandas()
+    assert len(pdf) > 0
+    assert set(pdf["quality"]) <= {"ok", "acoustic_leakage", "acoustic_leakage_unfixable"}
+    assert (pdf["votes"] >= 0).all()
