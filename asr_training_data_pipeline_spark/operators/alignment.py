@@ -82,18 +82,59 @@ def lcs_equal_runs(
     min_run: int = 4,
     book_order: str = "pos",
     asr_order: str = "idx",
+    with_times: bool = False,
 ) -> DataFrame:
     """J1: equal runs of length ≥ min_run between two keyed token
     sequences. ``book``: (pair_id, pos, norm); ``asr``:
     (pair_id, idx, norm). A key present on only one side yields no
-    runs (inner join — same as the cogroup-with-empty-side case)."""
+    runs (inner join — same as the cogroup-with-empty-side case).
+
+    ``with_times=True`` additionally emits ``run_start``/``run_end``
+    (first matched word's start, last matched word's end) resolved
+    INSIDE the same aggregation — the per-key start/end arrays ride
+    along with the token array, so downstream sessionization needs no
+    join back to the word table (two shuffles saved).
+
+    Index semantics: ai0/ai1 index into the per-key ORDERED token
+    sequence, so the timing lookup is position-based and correct even
+    if ``asr_order`` values had gaps. (The reference assigns idx after
+    its empty-norm filter, so its indexes are dense positions too —
+    claude_research_optimal.py:255-277.)
+    """
     align = _make_align_udf(min_run)
     book_arr = book.groupBy("pair_id").agg(_sorted_tokens(book_order).alias("a_toks"))
-    asr_arr = asr.groupBy("pair_id").agg(_sorted_tokens(asr_order).alias("b_toks"))
-    return (
+    if not with_times:
+        asr_arr = asr.groupBy("pair_id").agg(_sorted_tokens(asr_order).alias("b_toks"))
+        return (
+            book_arr.join(asr_arr, "pair_id")
+            .select("pair_id", F.explode(align("a_toks", "b_toks")).alias("r"))
+            .select("pair_id", "r.bi0", "r.bi1", "r.ai0", "r.ai1")
+        )
+    sorted_rows = F.array_sort(
+        F.collect_list(F.struct(F.col(asr_order), F.col("norm"), F.col("start"), F.col("end")))
+    )
+    asr_arr = asr.groupBy("pair_id").agg(
+        F.transform(sorted_rows, lambda s: s["norm"]).alias("b_toks"),
+        F.transform(sorted_rows, lambda s: s["start"]).alias("b_starts"),
+        F.transform(sorted_rows, lambda s: s["end"]).alias("b_ends"),
+    )
+    runs = (
         book_arr.join(asr_arr, "pair_id")
-        .select("pair_id", F.explode(align("a_toks", "b_toks")).alias("r"))
-        .select("pair_id", "r.bi0", "r.bi1", "r.ai0", "r.ai1")
+        .select(
+            "pair_id",
+            "b_starts",
+            "b_ends",
+            F.explode(align("a_toks", "b_toks")).alias("r"),
+        )
+    )
+    return runs.select(
+        "pair_id",
+        "r.bi0",
+        "r.bi1",
+        "r.ai0",
+        "r.ai1",
+        F.element_at("b_starts", F.col("r.ai0").cast("int") + 1).alias("run_start"),
+        F.element_at("b_ends", F.col("r.ai1").cast("int")).alias("run_end"),
     )
 
 

@@ -48,31 +48,16 @@ class PipelineParams:
 P = PipelineParams()
 
 
-def bridged_groups(words: DataFrame, runs: DataFrame, p: PipelineParams = P) -> DataFrame:
+def bridged_groups(runs_timed: DataFrame, p: PipelineParams = P) -> DataFrame:
     """W1 gap-bridging over equal runs
     (claude_research_optimal.py:291-305): runs sorted by ai0 merge
-    while word-gap ≤ max_gap_words AND time-gap ≤ max_gap_time."""
-    w_start = words.select(
-        F.col("pair_id").alias("ws_pair"),
-        F.col("idx").alias("ws_idx"),
-        F.col("start").alias("run_start"),
-    )
-    w_end = words.select(
-        F.col("pair_id").alias("we_pair"),
-        F.col("idx").alias("we_idx"),
-        F.col("end").alias("run_end"),
-    )
-    timed = (
-        runs.join(
-            w_start,
-            (F.col("pair_id") == F.col("ws_pair")) & (F.col("ai0") == F.col("ws_idx")),
-        )
-        .join(
-            w_end,
-            (F.col("pair_id") == F.col("we_pair"))
-            & (F.col("ai1") - 1 == F.col("we_idx")),
-        )
-        .select("pair_id", "bi0", "bi1", "ai0", "ai1", "run_start", "run_end")
+    while word-gap ≤ max_gap_words AND time-gap ≤ max_gap_time.
+
+    ``runs_timed`` carries run_start/run_end from the alignment stage
+    (lcs_equal_runs with_times=True) — no join back to the word table.
+    """
+    timed = runs_timed.select(
+        "pair_id", "bi0", "bi1", "ai0", "ai1", "run_start", "run_end"
     )
     w = W.partitionBy("pair_id").orderBy("ai0")
     flagged = (
@@ -250,8 +235,8 @@ def full_pipeline(
 
     words = pin(fixtures.asr_words(spark, sf_dir))
     book = fixtures.book_tokens(spark, sf_dir)
-    runs = pin(lcs_equal_runs(book, words, min_run=p.min_run))
-    groups = bridged_groups(words, runs, p)
+    runs = pin(lcs_equal_runs(book, words, min_run=p.min_run, with_times=True))
+    groups = bridged_groups(runs, p)
     gwords = pin(group_words(words, groups))
     clips = pin(assemble_clips(gwords, groups, p))
     kept = clips.filter(F.col("duration_s") >= p.min_dur_s)
@@ -293,8 +278,8 @@ def bridge_runs_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 gap-bridging of aligned runs into clip groups."""
     words = fixtures.asr_words(spark, sf_dir)
     book = fixtures.book_tokens(spark, sf_dir)
-    runs = lcs_equal_runs(book, words, min_run=P.min_run)
-    return bridged_groups(words, runs).orderBy("pair_id", "group_id", "ai0")
+    runs = lcs_equal_runs(book, words, min_run=P.min_run, with_times=True)
+    return bridged_groups(runs).orderBy("pair_id", "group_id", "ai0")
 
 
 @register("asr_pipeline_clips", bench=True, tags=("pipeline", "udf"))

@@ -73,8 +73,8 @@ def _stub_model():
     def transcribe(pair_id: int, text: str) -> list[dict]:
         t = 0.0
         rows = []
-        for idx, tok in enumerate(text.split(" ")):
-            h = xxh(pair_id, tok, idx)
+        for pos, tok in enumerate(text.split(" ")):
+            h = xxh(pair_id, tok, pos)
             dur = 0.1 + (h % 400) / 1000.0
             gap = 0.8 if h % 11 == 0 else 0.05
             conf = 0.4 + (h % 601) / 1000.0
@@ -83,7 +83,9 @@ def _stub_model():
                 rows.append(
                     dict(
                         pair_id=pair_id,
-                        idx=idx,
+                        # dense post-filter index, like the reference
+                        # (claude_research_optimal.py:255-277)
+                        idx=len(rows),
                         text=tok,
                         norm=norm,
                         start=t,

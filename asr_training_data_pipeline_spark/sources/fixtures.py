@@ -58,6 +58,13 @@ def asr_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("norm", normalize_word_col("text"))
         .filter(F.col("norm").isNotNull())
     )
+    # The reference assigns idx AFTER dropping empty-norm words
+    # (claude_research_optimal.py:255-277), so idx is a dense 0..n-1
+    # position; renumber post-filter to match (timings still advance
+    # over dropped tokens, as there).
+    out = out.withColumn(
+        "idx", F.row_number().over(W.partitionBy("pair_id").orderBy("idx")) - 1
+    )
     return out.select("pair_id", "idx", "text", "norm", "start", "end", "confidence")
 
 
