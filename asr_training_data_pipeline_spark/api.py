@@ -8,6 +8,6 @@ from .operators import dedup, dsp, multimodal, similarity, text_analysis  # noqa
 from .plans import pipeline  # noqa: F401
 from .registry import REGISTRY, bench_queries, oracles, queries  # noqa: F401
 from .sinks import exports  # noqa: F401
-from .streaming import windows  # noqa: F401
+from .streaming import stateful, windows  # noqa: F401
 
 __all__ = ["REGISTRY", "bench_queries", "oracles", "queries"]

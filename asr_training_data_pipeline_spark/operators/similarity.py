@@ -193,3 +193,123 @@ def lsh_bucket_col(e: Column) -> Column:
     for i in range(1, _N_PLANES):
         bucket = bucket + F.shiftleft(bits[i], i)
     return bucket
+
+
+# ---------------------------------------------------------------------
+# Probed ANN variants: LSH-bucket top-k and IVF top-k (scale paths)
+# ---------------------------------------------------------------------
+
+_N_PROBE_BITS = 1  # multi-probe: also scan buckets at hamming distance ≤ 1
+
+
+@register("ann_lsh_topk", tags=("similarity", "lsh"))
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-probed approximate top-k: hash both sides to 12-bit sign
+    buckets, multi-probe each query's bucket plus all hamming-1
+    neighbors, exact-rerank candidates with the cosine scorer.
+
+    Scale: candidate volume is n·(bits+1)/2^bits of the brute-force
+    pairs (here 13/4096 ≈ 0.3%); the join key is an int. Recall vs
+    the exact top-k is pinned in tests/test_similarity.py. Rows-only
+    check (bucket membership is hash-specific).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ve"),
+        lsh_bucket_col(F.col("embedding")).alias("bucket"),
+    )
+    q0 = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        lsh_bucket_col(F.col("embedding")).alias("qbucket"),
+    )
+    # multi-probe bucket list: own bucket + flip each bit once
+    probes = F.array(
+        F.col("qbucket"),
+        *[
+            F.col("qbucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+            for i in range(_N_PLANES)
+        ],
+    )
+    q = F.broadcast(
+        q0.select("query_id", "qe", F.explode(probes).alias("bucket"))
+    )
+    cand = v.join(q, "bucket").filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine_col(F.col("qe"), F.col("ve")).alias("score")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _TOPK)
+        .select("query_id", "neighbor_id", F.round("score", 6).alias("score"), "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+_N_CENTROIDS = 16
+_N_PROBE_CENTROIDS = 4
+
+
+@register("ann_ivf_topk", tags=("similarity",))
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat approximate top-k: centroids = a deterministic sample
+    of the vectors themselves (vec_id % (n/16) == 0 → 16 seeds);
+    every vector is assigned to its nearest centroid (the inverted
+    lists); each query probes its 4 nearest centroids and exact-reranks
+    only those lists.
+
+    Scale: assignment is one broadcast pass (n·C flops, no shuffle of
+    vectors); probe reads ~C_probe/C of the corpus. On a real corpus
+    the centroids come from KMeans (MLlib) trained on a sample — the
+    probe/assign plan is identical. Rows-only; recall pinned in tests.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    step = max(1, n // _N_CENTROIDS)
+    cents = F.broadcast(
+        emb.filter(
+            (F.col("vec_id") % step == 0)
+            & ((F.col("vec_id") / step).cast("long") < _N_CENTROIDS)
+        )
+        .select(
+            (F.col("vec_id") / step).cast("long").alias("centroid_id"),
+            F.col("embedding").alias("ce"),
+        )
+    )
+
+    def nearest(df, vec_col, id_col, k):
+        scored = df.crossJoin(cents).select(
+            "*", cosine_col(F.col(vec_col), F.col("ce")).alias("csim")
+        )
+        w = W.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("centroid_id"))
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= k)
+            .drop("ce", "csim", "crank")
+        )
+
+    v = nearest(
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ve")),
+        "ve", "neighbor_id", 1,
+    )
+    q = nearest(
+        emb.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        ),
+        "qe", "query_id", _N_PROBE_CENTROIDS,
+    )
+    cand = v.join(F.broadcast(q), "centroid_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine_col(F.col("qe"), F.col("ve")).alias("score")
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _TOPK)
+        .select("query_id", "neighbor_id", F.round("score", 6).alias("score"), "rank")
+        .orderBy("query_id", "rank")
+    )

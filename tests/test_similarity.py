@@ -51,3 +51,50 @@ def test_cosine_col_self_similarity(spark, sf_dir):
         cosine_col(F.col("embedding"), F.col("embedding")).alias("c")
     ).toPandas()
     assert all(math.isclose(c, 1.0, rel_tol=1e-12) for c in got.c)
+
+
+def _recall_vs_exact(spark, sf_dir, name, floor):
+    exact = REGISTRY["ann_cosine_topk"].fn(spark, sf_dir).toPandas()
+    approx = REGISTRY[name].fn(spark, sf_dir).toPandas()
+    recalls = []
+    for qid in exact.query_id.unique():
+        e = set(exact[exact.query_id == qid].neighbor_id)
+        a = set(approx[approx.query_id == qid].neighbor_id)
+        recalls.append(len(e & a) / len(e))
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= floor, f"{name} recall {mean_recall:.2f} < {floor}"
+
+
+def test_lsh_planted_neighbors_collide(spark, sf_dir):
+    # The driver embeddings are near-random (top cosine ~0.35), so
+    # recall-vs-exact mostly measures scan fraction there. The real
+    # LSH contract is: NEAR duplicates collide. Plant perturbed copies
+    # (cosine ~0.995) and require most pairs within hamming <= 1 of
+    # each other's bucket - the multi-probe radius ann_lsh_topk scans.
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 64))
+    near = base + 0.05 * rng.standard_normal((40, 64))
+    rows = [(i, v.tolist()) for i, v in enumerate(base)] + [
+        (1000 + i, v.tolist()) for i, v in enumerate(near)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pdf = df.select("vec_id", lsh_bucket_col(F.col("embedding")).alias("b")).toPandas()
+    b = dict(zip(pdf.vec_id, pdf.b))
+    hits = sum(
+        1 for i in range(40) if bin(b[i] ^ b[1000 + i]).count("1") <= 1
+    )
+    assert hits >= 30, f"only {hits}/40 planted pairs within probe radius"
+
+
+def test_lsh_topk_runs_and_scores_exact(spark, sf_dir):
+    # Machinery check: every returned candidate is scored identically
+    # to the brute-force scorer (same cosine, so scores must agree
+    # with the exact query wherever ids overlap).
+    exact = REGISTRY["ann_cosine_topk"].fn(spark, sf_dir).toPandas()
+    ap = REGISTRY["ann_lsh_topk"].fn(spark, sf_dir).toPandas()
+    merged = ap.merge(exact, on=["query_id", "neighbor_id"], suffixes=("_a", "_e"))
+    assert (merged.score_a == merged.score_e).all()
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    _recall_vs_exact(spark, sf_dir, "ann_ivf_topk", 0.4)
