@@ -161,3 +161,70 @@ def multimodal_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_part = spark.sparkContext.defaultParallelism
     media = media_table(spark, sf_dir).repartition(n_part)
     return frame_sample(media, every_n=100).orderBy("media_id", "frame_no")
+
+
+# ---------------------------------------------------------------------
+# Image path: decode-stub → strided resize → thumbnail features
+# ---------------------------------------------------------------------
+
+IMAGE_RESIZE_SCHEMA = (
+    "media_id long, src_h bigint, src_w bigint, dst_h bigint, dst_w bigint, "
+    "mean_px double, checksum bigint"
+)
+
+
+def _decode_image_stub(payload: bytes, width: int = 64) -> np.ndarray:
+    """STUB IMAGE DECODER — deterministic fake (no PIL/ffmpeg in this
+    container). Maps bytes → a uint8 H×W single-channel 'image' by
+    row-major reshape, padding the tail row with zeros. A real decoder
+    (PIL.Image.open → np.asarray) drops in with the same contract:
+    pure function of payload, uint8 array out."""
+    raw = np.frombuffer(payload, dtype=np.uint8)
+    h = (len(raw) + width - 1) // width
+    img = np.zeros(h * width, dtype=np.uint8)
+    img[: len(raw)] = raw
+    return img.reshape(h, width)
+
+
+def image_resize(media: DataFrame, dst_h: int = 16, dst_w: int = 16) -> DataFrame:
+    """Decode + nearest-neighbor resize + thumbnail stats in one
+    mapInPandas pass — the image-column analog of the audio feature
+    stage. The resize is index-striding (no interpolation), the
+    standard cheap thumbnail for dedup/feature pipelines."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = _decode_image_stub(bytes(payload))
+                sh, sw = img.shape
+                ys = (np.arange(dst_h) * sh // dst_h).clip(0, sh - 1)
+                xs = (np.arange(dst_w) * sw // dst_w).clip(0, sw - 1)
+                thumb = img[np.ix_(ys, xs)]
+                rows.append(
+                    dict(
+                        media_id=int(media_id),
+                        src_h=sh,
+                        src_w=sw,
+                        dst_h=dst_h,
+                        dst_w=dst_w,
+                        mean_px=float(thumb.mean()),
+                        checksum=int(thumb.astype(np.int64).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "src_h", "src_w", "dst_h", "dst_w",
+                         "mean_px", "checksum"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, IMAGE_RESIZE_SCHEMA)
+
+
+@register("multimodal_image_resize", tags=("multimodal", "udf"))
+def multimodal_image_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary → decode-stub → strided 16×16 thumbnail → stats through
+    the pandas-UDF boundary (rows-only; deterministic payloads)."""
+    n_part = spark.sparkContext.defaultParallelism
+    media = media_table(spark, sf_dir).repartition(n_part)
+    return image_resize(media).orderBy("media_id")

@@ -169,3 +169,107 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------
+# TF-IDF top terms (SURVEY §2.12: the classic text-weighting operator)
+# ---------------------------------------------------------------------
+
+_TFIDF_TOPK = 3
+
+_TFIDF_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM tok WHERE term <> '' GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln(cast(n.n_docs AS double) / df.df) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, round(tfidf, 6) AS tfidf,
+         cast(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, term) AS bigint) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= {_TFIDF_TOPK}
+ORDER BY doc_id, rank
+"""
+
+
+@register("tfidf_top_terms", oracle=_TFIDF_SQL, tags=("text", "agg"))
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document: explode → per-(doc,term) TF →
+    per-term DF → idf = ln(N/df) → rank per doc.
+
+    Scale: two partial-agg shuffles (doc,term) and (term); the DF table
+    is vocabulary-sized and broadcasts back onto the TF table; N is a
+    scalar literal. Same shape as MLlib's HashingTF+IDF without the
+    hashing collision (exact terms).
+
+    The IEEE expression tf·ln(N/df) is computed identically in both
+    engines, so the oracle matches exactly (rounded to 6 dp on both
+    sides for belt and braces).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    n_docs = docs.count()
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _TFIDF_TOPK)
+        .select("doc_id", "term", F.round("tfidf", 6).alias("tfidf"), "rank")
+        .orderBy("doc_id", "rank")
+    )
+
+
+_STOPWORD_FILTER_SQL = f"""
+SELECT doc_id,
+       array_to_string(list_filter(string_split(lower(text), ' '),
+                   x -> x <> '' AND x NOT IN ({_SW_SQL_LIST})), ' ') AS content_text,
+       cast(len(list_filter(string_split(lower(text), ' '),
+                   x -> x <> '' AND x NOT IN ({_SW_SQL_LIST}))) AS bigint) AS n_content
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("stopword_filter", oracle=_STOPWORD_FILTER_SQL, tags=("text",))
+def stopword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StopWordsRemover semantics as a pure array expression: drop
+    stopwords/empties from the token array, keep original order."""
+    docs = load_table(spark, sf_dir, "documents")
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    toks = F.filter(
+        F.split(F.lower("text"), " "),
+        lambda x: (x != "") & ~F.array_contains(sw, x),
+    )
+    return docs.select(
+        "doc_id",
+        F.array_join(toks, " ").alias("content_text"),
+        F.size(toks).cast("bigint").alias("n_content"),
+    ).orderBy("doc_id")

@@ -937,3 +937,83 @@ def cube_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.cube("l_returnflag", "l_linestatus").agg(
         dsum("l_quantity", "sum_qty"), F.count("*").alias("n_rows")
     )
+
+
+_MIN_COST_SUPPLIER_SQL = """
+SELECT p_partkey, s_suppkey, ps_supplycost
+FROM part
+JOIN partsupp_like ON p_partkey = ps_partkey
+JOIN supplier ON s_suppkey = ps_suppkey
+WHERE ps_supplycost = (SELECT min(ps2.ps_supplycost)
+                       FROM partsupp_like ps2
+                       WHERE ps2.ps_partkey = p_partkey)
+ORDER BY p_partkey, s_suppkey
+"""
+
+
+@register("correlated_min_subquery", tags=("join", "subquery"))
+def correlated_min_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated min-subquery — suppliers matching the
+    per-part minimum supply cost. No partsupp table in the fixtures,
+    so a deterministic stand-in is derived from lineitem
+    (ps_supplycost = min extended price seen for that part+supplier).
+    Decorrelated the way Catalyst would: per-part min as an aggregate
+    joined back (no per-row subquery execution at scale).
+
+    Rows-only: the derived partsupp CTE makes a single SQL oracle
+    awkward; semantics pinned by test_relational_extra.py against a
+    pandas recomputation.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    partsupp = (
+        li.groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(F.min("l_extendedprice").alias("ps_supplycost"))
+    )
+    min_cost = partsupp.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    return (
+        partsupp.join(min_cost, "ps_partkey")
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
+        .join(part, F.col("ps_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supplier), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "s_suppkey", "ps_supplycost")
+        .orderBy("p_partkey", "s_suppkey")
+    )
+
+
+_CUST_ORDER_DIST_SQL = """
+SELECT n_orders, cast(count(*) AS bigint) AS n_custs
+FROM (SELECT c_custkey, cast(count(o_orderkey) AS bigint) AS n_orders
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+GROUP BY n_orders
+ORDER BY n_custs DESC, n_orders DESC
+"""
+
+
+@register("cust_order_distribution", oracle=_CUST_ORDER_DIST_SQL, tags=("join", "agg"))
+def cust_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join + two-level aggregation —
+    customers by order count including the zero-order bucket (the
+    outer join's null side, which an inner join would silently drop).
+
+    Scale: one shuffle on custkey for join+first agg (co-partitioned),
+    second agg over a tiny distribution table."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count("*").cast("bigint").alias("n_custs"))
+        .orderBy(F.desc("n_custs"), F.desc("n_orders"))
+    )

@@ -1,0 +1,27 @@
+"""Pandas-recomputation pin for the rows-only correlated subquery."""
+
+from __future__ import annotations
+
+
+def test_correlated_min_subquery_matches_pandas(spark, sf_dir):
+    from asr_training_data_pipeline_spark.api import REGISTRY
+
+    got = REGISTRY["correlated_min_subquery"].fn(spark, sf_dir).toPandas()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").toPandas()
+    ps = (
+        li.groupby(["l_partkey", "l_suppkey"], as_index=False)["l_extendedprice"]
+        .min()
+        .rename(columns={"l_extendedprice": "cost"})
+    )
+    ps["min_cost"] = ps.groupby("l_partkey")["cost"].transform("min")
+    expect = ps[ps.cost == ps.min_cost]
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").toPandas().s_suppkey
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").toPandas().p_partkey
+    expect = expect[
+        expect.l_suppkey.isin(set(sup)) & expect.l_partkey.isin(set(part))
+    ]
+    assert len(got) == len(expect)
+    g = got.sort_values(["p_partkey", "s_suppkey"]).reset_index(drop=True)
+    e = expect.sort_values(["l_partkey", "l_suppkey"]).reset_index(drop=True)
+    assert (g.p_partkey.to_numpy() == e.l_partkey.to_numpy()).all()
+    assert (g.ps_supplycost.to_numpy() == e.cost.to_numpy()).all()
