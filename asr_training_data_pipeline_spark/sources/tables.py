@@ -60,3 +60,31 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+def read_transcripts(spark, path_glob: str):
+    """S1 transcript scan (claude_research_optimal.py:434): whole-file
+    UTF-8 text, one row per file, with the source path for pairing.
+    ``wholetext`` keeps one transcript per row (the reference reads the
+    entire file as one string); the input_file_name column is the join
+    key for J5 positional pairing at scale."""
+    from pyspark.sql import functions as F
+
+    return spark.read.text(path_glob, wholetext=True).select(
+        F.input_file_name().alias("path"), F.col("value").alias("text")
+    )
+
+
+def read_audio_files(spark, path_glob: str):
+    """S2 audio container scan (claude_research_optimal.py:474): opaque
+    bytes + metadata via the binaryFile source; decode happens later in
+    a pandas-UDF stage (operators.multimodal), never at scan time —
+    filters on path/length prune before any decode."""
+    return spark.read.format("binaryFile").load(path_glob).select(
+        "path", "length", "content"
+    )
+
+
+def read_summaries(spark, path_glob: str):
+    """S5 summary read-back (batch_processor.py:93-95): JSON."""
+    return spark.read.json(path_glob)

@@ -18,6 +18,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 from asr_training_data_pipeline_spark.api import REGISTRY, bench_queries
 from asr_training_data_pipeline_spark.session import get_spark
 
@@ -29,6 +31,20 @@ def main() -> None:
 
     # JVM/codegen warm-up on a trivial action so q1 doesn't pay it.
     spark.range(1000).selectExpr("sum(id)").collect()
+    # Python-worker-pool warm-up: fork one worker per core and pay the
+    # pandas/numpy import once, outside the timed region. (Workers are
+    # reused across stages — spark.python.worker.reuse — so this is a
+    # one-time cost that would otherwise land on the first pandas-UDF
+    # query; stage metrics showed runTime ≈ 10× cpuTime there.)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        import numpy  # noqa: F401
+
+        return s
+
+    spark.range(cpus * 4, numPartitions=cpus).select(_warm("id")).count()
 
     timings: dict[str, float] = {}
     t_total = time.time()
