@@ -24,10 +24,10 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.exact import davg
-from ..operators.alignment import lcs_equal_runs, lcs_pairs_consensus
+from ..operators.alignment import lcs_equal_runs
 from ..registry import register
 from ..sources import fixtures
-from ..sources.asr_scan import asr_scan, validator_scan
+from ..sources.asr_scan import asr_scan, validator_scan_arrays
 from ..sources.tables import load_table
 
 
@@ -111,6 +111,10 @@ def assemble_clips(gwords: DataFrame, groups: DataFrame, p: PipelineParams = P) 
             ),
             " ",
         ).alias("clip_text"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("idx"), F.col("norm")))),
+            lambda s: s["norm"],
+        ).alias("clip_norms"),
         F.max_by("text", "idx").alias("last_text"),
     )
     pieces = groups.groupBy("pair_id", "group_id").agg(
@@ -181,24 +185,36 @@ def assemble_clips(gwords: DataFrame, groups: DataFrame, p: PipelineParams = P) 
         "n_pieces",
         "avg_conf",
         "clip_text",
+        "clip_norms",
     )
 
 
 def validated_clips(
-    spark: SparkSession, clips: DataFrame, gwords: DataFrame, p: PipelineParams = P
+    spark: SparkSession, clips: DataFrame, p: PipelineParams = P
 ) -> DataFrame:
     """Validator consensus (S4 → J2 → W2 → F5): re-transcribe each
     clip with the validator scan, align, keep clips whose longest
     consensus span has ≥ min_valid_words
-    (claude_research_optimal.py:492-510)."""
-    wpos = W.partitionBy("pair_id", "group_id").orderBy("idx")
-    clip_words = gwords.withColumn("word_pos", F.row_number().over(wpos) - 1).select(
-        "pair_id", "group_id", "word_pos", "norm"
+    (claude_research_optimal.py:492-510).
+
+    Shuffle-free consensus: clips already carry ``clip_norms`` (built
+    in the assembly aggregation), the array-form validator scan
+    appends ``vnorms`` in the same pass, and the J2 alignment runs in
+    the immediately following projection — zero exchanges between the
+    scan and the span filter. The word-row forms of these operators
+    (validator_scan, lcs_pairs_consensus) remain the public API for
+    callers that need per-word output."""
+    from ..operators.alignment import _make_align_udf
+
+    align = _make_align_udf(1)
+    v = validator_scan_arrays(spark, clips)
+    spans = v.select(
+        "pair_id",
+        "group_id",
+        F.explode(align("clip_norms", "vnorms")).alias("r"),
     )
-    vwords = validator_scan(spark, clips)
-    spans = lcs_pairs_consensus(clip_words, vwords)
     best = (
-        spans.withColumn("span_len", F.col("bi1") - F.col("bi0"))
+        spans.select("pair_id", "group_id", (F.col("r.bi1") - F.col("r.bi0")).alias("span_len"))
         .groupBy("pair_id", "group_id")
         .agg(F.max("span_len").alias("best_len"))
     )
@@ -243,7 +259,7 @@ def full_pipeline(
     rejected = clips.filter(F.col("duration_s") < p.min_dur_s).withColumn(
         "reason", F.lit("too_short")
     )
-    exported = validated_clips(spark, kept, gwords, p) if validate else kept
+    exported = validated_clips(spark, kept, p) if validate else kept
     return dict(
         words=words,
         book=book,

@@ -192,3 +192,44 @@ def validator_scan(spark: SparkSession, clips: DataFrame) -> DataFrame:
     return clips.select("pair_id", "group_id", "clip_text").mapInPandas(
         run, VALIDATOR_WORDS_SCHEMA
     )
+
+
+def validator_scan_arrays(spark: SparkSession, clips: DataFrame) -> DataFrame:
+    """S4 variant shaped for the consensus join: same stub backend,
+    but emits ONE row per clip with the validator's norm sequence as
+    an array column, passing the clip's own norms through.
+
+    This removes two shuffles from the consensus stage: no word-row
+    explode → no groupBy-collect on either side → the J2 alignment
+    runs directly on (clip_norms, vnorms) in the very next projection.
+    A real faster-whisper backend plugs in identically — it returns
+    word dicts per clip and only the norms ride on.
+    """
+    factory = _BACKEND_FACTORY
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        global _MODEL
+        if _MODEL is None:
+            _MODEL = factory()
+        for pdf in batches:
+            out = []
+            for pair_id, group_id, text, norms in zip(
+                pdf["pair_id"], pdf["group_id"], pdf["clip_text"], pdf["clip_norms"]
+            ):
+                rows = _MODEL(int(pair_id), text)
+                vnorms = [
+                    r["norm"]
+                    for k, r in enumerate(rows)
+                    if k % 11 != 10  # simulated validator miss (as word form)
+                ]
+                out.append((int(pair_id), int(group_id), list(norms), vnorms))
+            yield pd.DataFrame(
+                out, columns=["pair_id", "group_id", "clip_norms", "vnorms"]
+            )
+
+    return clips.select(
+        "pair_id", "group_id", "clip_text", "clip_norms"
+    ).mapInPandas(
+        run,
+        "pair_id long, group_id long, clip_norms array<string>, vnorms array<string>",
+    )
