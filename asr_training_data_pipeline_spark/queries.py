@@ -1017,3 +1017,52 @@ def cust_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_custs"))
         .orderBy(F.desc("n_custs"), F.desc("n_orders"))
     )
+
+
+_MEDIAN_SQL = """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+       round(quantile_cont(o_totalprice, 0.9), 6) AS p90_price
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register("percentile_prices", oracle=_MEDIAN_SQL, tags=("agg",))
+def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median, p90) per group — both
+    engines sort and linearly interpolate identically; rounded to 6 dp
+    on both sides to absorb last-bit interpolation differences.
+
+    Scale note: exact percentile requires a per-group sort; for 100 TB
+    dashboards use approx_percentile (KLL/GK sketch, single pass,
+    mergeable) — see approx_stats_orders."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("median_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register("approx_stats_orders", tags=("agg", "approx"))
+def approx_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregates — the single-pass, mergeable shapes for
+    100 TB interactive stats: HyperLogLog++ distinct counts and
+    approximate percentiles. Rows-only (sketches are implementation-
+    specific); error bounds asserted against exact values in
+    tests/test_relational_extra.py."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.approx_count_distinct("o_custkey", 0.02).alias("approx_custs"),
+            F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_median"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -25,3 +25,25 @@ def test_correlated_min_subquery_matches_pandas(spark, sf_dir):
     e = expect.sort_values(["l_partkey", "l_suppkey"]).reset_index(drop=True)
     assert (g.p_partkey.to_numpy() == e.l_partkey.to_numpy()).all()
     assert (g.ps_supplycost.to_numpy() == e.cost.to_numpy()).all()
+
+
+def test_approx_stats_within_bounds(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from asr_training_data_pipeline_spark.api import REGISTRY
+
+    approx = REGISTRY["approx_stats_orders"].fn(spark, sf_dir).toPandas()
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    exact = (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.expr("percentile(o_totalprice, 0.5)").alias("median"),
+        )
+        .toPandas()
+        .set_index("o_orderstatus")
+    )
+    for _, r in approx.iterrows():
+        e = exact.loc[r.o_orderstatus]
+        assert abs(r.approx_custs - e.n_custs) <= max(5, 0.05 * e.n_custs)
+        assert abs(r.approx_median - e["median"]) <= 0.01 * e["median"] + 1
