@@ -1066,3 +1066,68 @@ def approx_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+_N_SALT = 8
+
+_SALTED_SQL = f"""
+SELECT p.o_orderpriority AS priority, p.weight,
+       {dsum_sql('o_totalprice')} AS weighted_revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN (SELECT DISTINCT o_orderpriority,
+             length(o_orderpriority) AS weight
+      FROM orders) p USING (o_orderpriority)
+GROUP BY p.o_orderpriority, p.weight
+ORDER BY priority
+"""
+
+
+@register("skew_join_salted", oracle=_SALTED_SQL, tags=("join", "skew"))
+def skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salting for skewed join keys: o_orderpriority has 5 values, so
+    a plain shuffle join lands each priority's millions of rows on ONE
+    reducer. The fact side gets a deterministic salt
+    (xxhash64(orderkey) mod 8) appended to the key; the tiny dim side
+    is exploded across all 8 salts; the join key becomes
+    (priority, salt) → each hot key spreads over 8 reducers. Results
+    are identical to the unsalted join — which is the oracle.
+
+    (AQE skew-join splitting handles sort-merge cases automatically;
+    explicit salting is the portable form that also covers aggregations
+    and older planners. The dim side here would broadcast anyway at
+    this size — the hint forces the shuffle path so the salted shape is
+    actually exercised.)
+    """
+    orders = _t(spark, sf_dir, "orders")
+    dim = (
+        orders.select("o_orderpriority")
+        .distinct()
+        .select(
+            "o_orderpriority",
+            F.length("o_orderpriority").cast("bigint").alias("weight"),
+        )
+    )
+    dim_salted = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(_N_SALT - 1)))
+    )
+    fact_salted = orders.withColumn(
+        "salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(_N_SALT)).cast("int")
+    )
+    joined = fact_salted.hint("merge").join(
+        dim_salted, ["o_orderpriority", "salt"]
+    )
+    return (
+        joined.groupBy("o_orderpriority", "weight")
+        .agg(
+            dsum("o_totalprice", "weighted_revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            "weight",
+            "weighted_revenue",
+            "n_orders",
+        )
+        .orderBy("priority")
+    )

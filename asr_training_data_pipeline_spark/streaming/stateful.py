@@ -89,3 +89,9 @@ def streaming_stateful_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "n_events", "sum_value")
         .orderBy("user_id")
     )
+
+
+# transformWithStateInPandas (the Spark 4 arbitrary-state API) is the
+# natural upgrade for the operator above, but its driver worker needs
+# google.protobuf, which this container lacks — attempted and removed;
+# applyInPandasWithState covers the stateful contract here.
