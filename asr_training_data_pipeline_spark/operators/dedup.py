@@ -135,8 +135,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (stop-shingles) before the join.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # Local fixture parquet is one split; the inverted-index self-join
+    # is the heavy stage, so spread the shingle explode across cores.
+    # A real 100 TB scan already yields ≫cores splits.
     sh = (
-        docs.select(
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select(
             "doc_id",
             F.explode(shingles_col(F.split(F.col("text"), " "), _SHINGLE_K)).alias(
                 "shingle"
@@ -174,6 +178,39 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------
 # MinHash + LSH banding (the scale path)
 # ---------------------------------------------------------------------
+
+
+def _band_pairs(bands: DataFrame, payload: str) -> DataFrame:
+    """Candidate pairs via self-join on the band bucket key, with the
+    bands table PERSISTED first.
+
+    Without the persist, the self-join references the fingerprint
+    subtree twice, so Spark executes the (pandas-UDF) signature
+    computation twice. Persisting the tiny bands projection
+    (doc_id, fingerprint, band keys — never the text) computes it
+    once; this is also the production shape at 100 TB, where
+    signatures are materialized once (table/checkpoint) and every
+    downstream pass joins against them. Measured against the
+    alternative single-shuffle shape (groupBy bucket + double-explode
+    pair expansion): the hash self-join is ~4× faster — the explode
+    materializes each bucket's member array once per member.
+
+    Returns columns ``x``/``y``: structs of (doc_id, <payload>).
+    """
+    from pyspark import StorageLevel
+
+    bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return a.join(
+        b,
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.struct(F.col("a.doc_id").alias("doc_id"), F.col(f"a.{payload}").alias(payload)).alias("x"),
+        F.struct(F.col("b.doc_id").alias("doc_id"), F.col(f"b.{payload}").alias(payload)).alias("y"),
+    )
 
 _N_HASHES = 64
 _N_BANDS = 16  # 16 bands × 4 rows → catches j≳0.5 with high prob.
@@ -297,20 +334,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("band"),
     ).select("doc_id", "sig", "band.band_id", "band.band_key")
 
-    a = bands.alias("a")
-    b = bands.alias("b")
     cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        _band_pairs(bands, "sig")
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.sig").alias("sig_a"),
+            F.col("y.sig").alias("sig_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
@@ -416,19 +446,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = fp.select("doc_id", "fp", band_exprs.alias("band")).select(
         "doc_id", "fp", "band.band_id", "band.band_key"
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    ham = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
+    ham = F.bit_count(F.col("x.fp").bitwiseXOR(F.col("y.fp")))
     return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        _band_pairs(bands, "fp")
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
             ham.cast("bigint").alias("hamming"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
