@@ -39,6 +39,14 @@ EQUAL_RUNS_SCHEMA = "pair_id long, bi0 long, bi1 long, ai0 long, ai1 long"
 
 _RUNS_ARRAY_TYPE = "array<struct<bi0:long,bi1:long,ai0:long,ai1:long>>"
 
+# Struct-of-arrays form: one struct of 4 long-arrays per pair. Arrow
+# converts flat numeric arrays ~an order of magnitude faster than an
+# array-of-structs (which materializes one Python dict per run), and
+# the zip back to run rows is a JVM-side arrays_zip+explode.
+_RUNS_SOA_TYPE = (
+    "struct<bi0:array<long>,bi1:array<long>,ai0:array<long>,ai1:array<long>>"
+)
+
 
 def _sorted_tokens(order_col: str, norm_col: str = "norm") -> Column:
     """Per-key ordered token array, built entirely JVM-side."""
@@ -76,6 +84,38 @@ def _make_align_udf(min_run: int):
     return align
 
 
+def _make_align_soa_udf(min_run: int):
+    """Struct-of-arrays variant of the align UDF: same difflib
+    algorithm, but emits (bi0[], bi1[], ai0[], ai1[]) per pair so the
+    Arrow boundary moves flat numeric arrays instead of per-run
+    structs. Used by lcs_equal_runs; the array-of-struct form remains
+    for callers that consume runs as a nested column."""
+
+    @F.pandas_udf(_RUNS_SOA_TYPE)
+    def align(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        for a_col, b_col in it:
+            out = []
+            for a, b in zip(a_col, b_col):
+                a = list(a)
+                b = list(b)
+                bi0: list[int] = []
+                bi1: list[int] = []
+                ai0: list[int] = []
+                ai1: list[int] = []
+                if a and b:
+                    sm = difflib.SequenceMatcher(None, a, b, autojunk=False)
+                    for tag, i1, i2, j1, j2 in sm.get_opcodes():
+                        if tag == "equal" and (i2 - i1) >= min_run:
+                            bi0.append(i1)
+                            bi1.append(i2)
+                            ai0.append(j1)
+                            ai1.append(j2)
+                out.append({"bi0": bi0, "bi1": bi1, "ai0": ai0, "ai1": ai1})
+            yield pd.DataFrame(out)
+
+    return align
+
+
 def lcs_equal_runs(
     book: DataFrame,
     asr: DataFrame,
@@ -101,14 +141,26 @@ def lcs_equal_runs(
     its empty-norm filter, so its indexes are dense positions too —
     claude_research_optimal.py:255-277.)
     """
-    align = _make_align_udf(min_run)
+    align = _make_align_soa_udf(min_run)
+
+    def explode_runs(df: DataFrame) -> DataFrame:
+        zipped = F.arrays_zip(
+            F.col("r.bi0").alias("bi0"),
+            F.col("r.bi1").alias("bi1"),
+            F.col("r.ai0").alias("ai0"),
+            F.col("r.ai1").alias("ai1"),
+        )
+        keep = [c for c in df.columns if c != "r"]
+        return df.select(*keep, F.explode(zipped).alias("e"))
+
     book_arr = book.groupBy("pair_id").agg(_sorted_tokens(book_order).alias("a_toks"))
     if not with_times:
         asr_arr = asr.groupBy("pair_id").agg(_sorted_tokens(asr_order).alias("b_toks"))
-        return (
-            book_arr.join(asr_arr, "pair_id")
-            .select("pair_id", F.explode(align("a_toks", "b_toks")).alias("r"))
-            .select("pair_id", "r.bi0", "r.bi1", "r.ai0", "r.ai1")
+        joined = book_arr.join(asr_arr, "pair_id").select(
+            "pair_id", align("a_toks", "b_toks").alias("r")
+        )
+        return explode_runs(joined).select(
+            "pair_id", "e.bi0", "e.bi1", "e.ai0", "e.ai1"
         )
     sorted_rows = F.array_sort(
         F.collect_list(F.struct(F.col(asr_order), F.col("norm"), F.col("start"), F.col("end")))
@@ -118,23 +170,20 @@ def lcs_equal_runs(
         F.transform(sorted_rows, lambda s: s["start"]).alias("b_starts"),
         F.transform(sorted_rows, lambda s: s["end"]).alias("b_ends"),
     )
-    runs = (
-        book_arr.join(asr_arr, "pair_id")
-        .select(
-            "pair_id",
-            "b_starts",
-            "b_ends",
-            F.explode(align("a_toks", "b_toks")).alias("r"),
-        )
-    )
-    return runs.select(
+    runs = book_arr.join(asr_arr, "pair_id").select(
         "pair_id",
-        "r.bi0",
-        "r.bi1",
-        "r.ai0",
-        "r.ai1",
-        F.element_at("b_starts", F.col("r.ai0").cast("int") + 1).alias("run_start"),
-        F.element_at("b_ends", F.col("r.ai1").cast("int")).alias("run_end"),
+        "b_starts",
+        "b_ends",
+        align("a_toks", "b_toks").alias("r"),
+    )
+    return explode_runs(runs).select(
+        "pair_id",
+        "e.bi0",
+        "e.bi1",
+        "e.ai0",
+        "e.ai1",
+        F.element_at("b_starts", F.col("e.ai0").cast("int") + 1).alias("run_start"),
+        F.element_at("b_ends", F.col("e.ai1").cast("int")).alias("run_end"),
     )
 
 

@@ -27,7 +27,7 @@ from ..functions.exact import davg
 from ..operators.alignment import lcs_equal_runs
 from ..registry import register
 from ..sources import fixtures
-from ..sources.asr_scan import asr_scan, validator_scan_arrays
+from ..sources.asr_scan import asr_scan
 from ..sources.tables import load_table
 
 
@@ -198,25 +198,17 @@ def validated_clips(
     (claude_research_optimal.py:492-510).
 
     Shuffle-free consensus: clips already carry ``clip_norms`` (built
-    in the assembly aggregation), the array-form validator scan
-    appends ``vnorms`` in the same pass, and the J2 alignment runs in
-    the immediately following projection — zero exchanges between the
-    scan and the span filter. The word-row forms of these operators
-    (validator_scan, lcs_pairs_consensus) remain the public API for
-    callers that need per-word output."""
-    from ..operators.alignment import _make_align_udf
+    in the assembly aggregation) and the FUSED validator scan
+    (validator_consensus_scan) re-transcribes, aligns, and reduces to
+    the longest span inside one mapInPandas kernel — zero exchanges
+    and one Python boundary between the scan and the span filter.
+    The word-row forms of these operators (validator_scan,
+    lcs_pairs_consensus) remain the public API for callers that need
+    per-word output."""
+    from ..sources.asr_scan import validator_consensus_scan
 
-    align = _make_align_udf(1)
-    v = validator_scan_arrays(spark, clips)
-    spans = v.select(
-        "pair_id",
-        "group_id",
-        F.explode(align("clip_norms", "vnorms")).alias("r"),
-    )
-    best = (
-        spans.select("pair_id", "group_id", (F.col("r.bi1") - F.col("r.bi0")).alias("span_len"))
-        .groupBy("pair_id", "group_id")
-        .agg(F.max("span_len").alias("best_len"))
+    best = validator_consensus_scan(spark, clips).select(
+        "pair_id", "group_id", "best_len"
     )
     return (
         clips.join(best, ["pair_id", "group_id"], "left")
@@ -252,6 +244,15 @@ def full_pipeline(
     words = pin(fixtures.asr_words(spark, sf_dir))
     book = fixtures.book_tokens(spark, sf_dir)
     runs = pin(lcs_equal_runs(book, words, min_run=p.min_run, with_times=True))
+    if persist:
+        # Materialization barrier: populate the words+runs cache BEFORE
+        # the downstream action. Without it, AQE materializes broadcast
+        # subtrees (groups/pieces are broadcast sides) concurrently with
+        # the first cache fill and re-executes the whole Python
+        # alignment subtree — observed as a serial single-task stage
+        # re-running the align UDF. One cheap count() turns every
+        # downstream reference into a cache read.
+        runs.count()
     groups = bridged_groups(runs, p)
     gwords = pin(group_words(words, groups))
     clips = pin(assemble_clips(gwords, groups, p))

@@ -64,6 +64,11 @@ def get_spark(
         # --- pandas-UDF / Arrow boundary -------------------------------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Fork workers from a daemon that has pandas/pyarrow/numpy and
+        # the pyspark worker machinery pre-imported (copy-on-write):
+        # cold-fork init drops from seconds to ~0 even when several
+        # concurrent pandas-UDF stages drain the idle-worker pool.
+        .config("spark.python.daemon.module", "asr_training_data_pipeline_spark.daemon")
         # --- semantics -------------------------------------------------
         # UTC so timestamp round-trips match ANSI engines (DuckDB oracle).
         .config("spark.sql.session.timeZone", "UTC")

@@ -233,3 +233,52 @@ def validator_scan_arrays(spark: SparkSession, clips: DataFrame) -> DataFrame:
         run,
         "pair_id long, group_id long, clip_norms array<string>, vnorms array<string>",
     )
+
+
+def validator_consensus_scan(spark: SparkSession, clips: DataFrame) -> DataFrame:
+    """S4 + J2 + W2 fused: validator re-transcription, consensus LCS
+    against the clip's own norms, and the longest-equal-span reduction
+    — one row per clip, ONE Python boundary.
+
+    The separate forms (validator_scan → lcs_pairs_consensus →
+    max-span) remain the public per-word API; this fused form is what
+    the full pipeline plan uses. Rationale: chaining MapInPandas into
+    a second ArrowEvalPython stage doubles Python-worker demand per
+    task (two workers held simultaneously), which at high task
+    concurrency drains the worker pool and forces cold forks — the
+    dominant cost at small SF, and wasted executor occupancy at any
+    SF. The fused kernel does the same difflib consensus
+    (claude_research_optimal.py:365-371, 504-508) in the worker that
+    already holds the validator output, so nothing extra moves over
+    Arrow and no second worker is needed.
+    """
+    import difflib
+
+    factory = _BACKEND_FACTORY
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        global _MODEL
+        if _MODEL is None:
+            _MODEL = factory()
+        for pdf in batches:
+            out = []
+            for pair_id, group_id, text, norms in zip(
+                pdf["pair_id"], pdf["group_id"], pdf["clip_text"], pdf["clip_norms"]
+            ):
+                rows = _MODEL(int(pair_id), text)
+                vnorms = [
+                    r["norm"] for k, r in enumerate(rows) if k % 11 != 10
+                ]
+                a = list(norms)
+                best = 0
+                if a and vnorms:
+                    sm = difflib.SequenceMatcher(None, a, vnorms, autojunk=False)
+                    for tag, i1, i2, _j1, _j2 in sm.get_opcodes():
+                        if tag == "equal" and (i2 - i1) > best:
+                            best = i2 - i1
+                out.append((int(pair_id), int(group_id), best))
+            yield pd.DataFrame(out, columns=["pair_id", "group_id", "best_len"])
+
+    return clips.select(
+        "pair_id", "group_id", "clip_text", "clip_norms"
+    ).mapInPandas(run, "pair_id long, group_id long, best_len long")

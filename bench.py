@@ -53,6 +53,11 @@ def main() -> None:
         n = fn(spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {n} rows in {timings[name]:.2f}s", file=sys.stderr)
+        # Per-query isolation: some plans persist() reuse points
+        # (pipeline fan-out, LSH bands); drop them so the next query
+        # is measured against a clean executor, not the previous
+        # query's leftover blocks.
+        spark.catalog.clearCache()
     total = round(time.time() - t_total, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
