@@ -153,18 +153,29 @@ ACOUSTIC_SCHEMA = (
 def acoustic_gate(clips_sliced: DataFrame, retry_shift_ms: int = 30) -> DataFrame:
     """F7: per-clip acoustic boundary gate with one retry.
 
-    Input rows: (pair_id, group_id, frame_rate, samples) where
-    ``samples`` is the clip-local PCM. Checks the END boundary; on a
-    leak vote, retries once at end−30 ms (claude_research_optimal.py:
-    630-638); if the retry still leaks → ``acoustic_leakage_unfixable``.
+    Input rows: the ``_clips_with_samples`` shape — envelope PCM plus
+    piece spans and the validated [s_ms, e_ms] window; the kernel
+    assembles the exported piece (fades + seams) exactly as the
+    writers do, then checks its END boundary like the reference does
+    on the faded piece (claude_research_optimal.py:599-620). On a leak
+    vote, retries once at end−30 ms (:630-638); if the retry still
+    leaks → ``acoustic_leakage_unfixable``.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..plans.pipeline import P
+        from ..sinks.exports import _apply_fades, _assemble_piece
+
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                pcm = np.asarray(r.samples, dtype=np.float32)
                 sr = int(r.frame_rate)
+                pcm = _assemble_piece(
+                    np.asarray(r.samples, dtype=np.float32),
+                    r.rel_spans, int(r.s_ms), int(r.e_ms),
+                    sr, P.fade_ms, P.seam_silence_ms,
+                )
+                pcm = _apply_fades(pcm, sr, P.fade_ms)
                 end_ms = len(pcm) * 1000 // sr
                 leak, d = boundary_leakage(pcm, sr, end_ms)
                 retried = False
@@ -187,7 +198,7 @@ def acoustic_gate(clips_sliced: DataFrame, retry_shift_ms: int = 30) -> DataFram
             )
 
     return clips_sliced.select(
-        "pair_id", "group_id", "frame_rate", "samples"
+        "pair_id", "group_id", "frame_rate", "samples", "rel_spans", "s_ms", "e_ms"
     ).mapInPandas(run, ACOUSTIC_SCHEMA)
 
 

@@ -9,11 +9,12 @@ math into codegen stages and the only materialization points are the
 shuffles (alignment cogroup, group-by, windows) — the whole thing
 parallelizes across pairs/groups on any cluster size.
 
-Parameter defaults mirror the reference CLI
-(claude_research_optimal.py:389-424): min_run=4, max_gap_words=2,
-max_gap_time=0.5 s, start_pad=150 ms, end_pad=100 ms,
-tail_safety=60 ms, start_guard=50 ms, adaptive guard base 250 ms,
-min_dur=1.0 s, min_valid_words=2.
+Parameter defaults mirror the reference CLI argparse exactly
+(claude_research_optimal.py:395-420): min_run=4, max_gap_words=2,
+max_gap_time=0.5 s, min_dur=1.5 s, fade=20 ms, start_pad=150 ms,
+end_pad=140 ms, tail_safety=80 ms, base_end_guard=35 ms,
+start_guard=30 ms, seam_silence=120 ms, full_gap=500 ms,
+min_valid_words=2.
 """
 
 from __future__ import annotations
@@ -37,12 +38,15 @@ class PipelineParams:
     max_gap_words: int = 2
     max_gap_time: float = 0.5
     start_pad_ms: int = 150
-    end_pad_ms: int = 100
-    tail_safety_ms: int = 60
-    start_guard_ms: int = 50
-    guard_base_ms: int = 250
-    min_dur_s: float = 1.0
+    end_pad_ms: int = 140
+    tail_safety_ms: int = 80
+    start_guard_ms: int = 30
+    guard_base_ms: int = 35  # --base_end_guard_ms
+    min_dur_s: float = 1.5
     min_valid_words: int = 2
+    fade_ms: int = 20
+    seam_silence_ms: int = 120
+    full_gap_ms: int = 500
 
 
 P = PipelineParams()
@@ -93,10 +97,18 @@ def group_words(words: DataFrame, groups: DataFrame) -> DataFrame:
 
 
 def assemble_clips(gwords: DataFrame, groups: DataFrame, p: PipelineParams = P) -> DataFrame:
-    """Per-group clip assembly + boundary math
-    (claude_research_optimal.py:308-341, 527-585): aggregate the
-    group's words, then neighbor-clamped padded boundaries, adaptive
-    guard (C4), phoneme tail extension (C5), degenerate repair."""
+    """Per-group base-clip assembly (claude_research_optimal.py:308-341):
+    the group's used words in order (text/norm/confidence arrays) plus
+    the geometry of the assembled clip — one (start,end) ms span per
+    run piece (start pad on the first, end pad on the last, degenerate
+    span repaired to 1 ms, :317-327) and the total assembled length
+    including the seam silence between pieces (:335-340).
+
+    Everything is JVM-side: collect_list + array_sort aggregations and
+    pure span arithmetic. The boundary math that uses these facts
+    lives downstream (validated_clips), because in the reference it
+    operates on the VALIDATOR's view of this clip, not on the raw
+    group span."""
     agg = gwords.groupBy("pair_id", "group_id").agg(
         F.min("start").alias("t_start"),
         F.max("end").alias("t_end"),
@@ -115,14 +127,127 @@ def assemble_clips(gwords: DataFrame, groups: DataFrame, p: PipelineParams = P) 
             F.array_sort(F.collect_list(F.struct(F.col("idx"), F.col("norm")))),
             lambda s: s["norm"],
         ).alias("clip_norms"),
-        F.max_by("text", "idx").alias("last_text"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("idx"), F.col("confidence")))
+            ),
+            lambda s: s["confidence"],
+        ).alias("clip_confs"),
+    )
+    # Piece geometry from the runs themselves (run_start/run_end carry
+    # the first/last word times of each equal run). rint = half-even,
+    # matching the reference's int(round(x*1000)) (C7).
+    n_runs = F.count("*").cast("bigint")
+    spans_sorted = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("ai0"),
+                F.rint(F.col("run_start") * 1000).cast("long").alias("s"),
+                F.rint(F.col("run_end") * 1000).cast("long").alias("e"),
+            )
+        )
     )
     pieces = groups.groupBy("pair_id", "group_id").agg(
-        F.count("*").cast("bigint").alias("n_pieces")
+        n_runs.alias("n_pieces"), spans_sorted.alias("_spans0")
     )
-    clips = agg.join(pieces, ["pair_id", "group_id"])
+    k = F.lit(p.seam_silence_ms).cast("long")
+    n = F.size(F.col("_spans0"))
+    piece_spans = F.transform(
+        F.col("_spans0"),
+        lambda x, i: F.struct(
+            F.when(i == 0, F.greatest(x["s"] - p.start_pad_ms, F.lit(0).cast("long")))
+            .otherwise(x["s"])
+            .alias("s"),
+            F.when(i == n - 1, x["e"] + p.end_pad_ms).otherwise(x["e"]).alias("e"),
+        ),
+    )
+    # degenerate piece repair: e <= s → s + 1 (reference :326-327)
+    piece_spans = F.transform(
+        piece_spans,
+        lambda x: F.struct(
+            x["s"].alias("s"),
+            F.when(x["e"] <= x["s"], x["s"] + 1).otherwise(x["e"]).alias("e"),
+        ),
+    )
+    clip_len = (
+        F.aggregate(
+            F.col("piece_spans"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + (x["e"] - x["s"]),
+        )
+        + k * (n - 1).cast("long")
+    )
+    return (
+        agg.join(pieces, ["pair_id", "group_id"])
+        .withColumn("piece_spans", piece_spans)
+        .withColumn("clip_len_ms", clip_len)
+        .drop("_spans0")
+    )
 
-    w = W.partitionBy("pair_id").orderBy("t_start")
+
+def validated_clips(
+    spark: SparkSession, clips: DataFrame, p: PipelineParams = P
+) -> DataFrame:
+    """Validator consensus + boundary math (S4 → J2 → W2 → J3 →
+    C4/C5/C6), claude_research_optimal.py:492-595.
+
+    The FUSED validator scan (validator_consensus_scan) re-transcribes
+    each assembled clip, aligns against the clip's own norms, picks the
+    longest validator span, and emits its facts (clip-relative span
+    times, neighbor validator-word bounds, last word text/confidence,
+    first-match span confidence) — zero exchanges, one Python boundary.
+    Everything after that is Catalyst column expressions, in the
+    reference's exact order:
+
+    1. F4/F5: drop clips with no validator output / no consensus /
+       best span < min_valid_words (:493-510)
+    2. start: pad, then clamp against the previous validator word's
+       end + start_guard (:529-536)
+    3. end: + end_pad + tail_safety (:544); adaptive guard clamp
+       against the next validator word's start, guard scaled by the
+       LAST KEPT WORD's confidence (C4, :546-556); THEN the phoneme
+       tail extension is added — after the clamp, deliberately
+       (C5, :558-582, including the shadowed dge/tch branch)
+    4. degenerate repair e ≤ s → s+1 (:584-585)
+    5. duration: the exported piece is base_clip[s_ms:e_ms], so its
+       real length clamps to the assembled clip (:597) — pydub slice
+       semantics, duration 0 when s is past the end.
+
+    ``min_dur`` is NOT applied here: the kept/rejected split is the
+    caller's (full_pipeline), since the reference logs too-short clips
+    to the rejection sink (:588-595).
+    """
+    from ..sources.asr_scan import validator_consensus_scan
+
+    facts = validator_consensus_scan(spark, clips)
+    v = clips.join(facts, ["pair_id", "group_id"]).filter(
+        F.col("best_len") >= p.min_valid_words
+    )
+
+    zero = F.lit(0).cast("long")
+    s0 = (
+        F.greatest(F.col("s_raw_ms") - p.start_pad_ms, zero)
+        if p.start_pad_ms > 0
+        else F.col("s_raw_ms")
+    )
+    s_ms = F.when(
+        F.col("prev_end_ms").isNotNull(),
+        F.greatest(s0, F.col("prev_end_ms") + p.start_guard_ms),
+    ).otherwise(s0)
+
+    e0 = F.col("e_raw_ms") + p.end_pad_ms + p.tail_safety_ms
+    # C4 adaptive guard — int() truncation == floor for positive bases
+    guard = (
+        F.when(F.col("last_conf") > 0.75, F.floor(F.lit(p.guard_base_ms) * 0.7))
+        .when(F.col("last_conf") < 0.6, F.floor(F.lit(p.guard_base_ms) * 1.3))
+        .otherwise(F.lit(p.guard_base_ms))
+        .cast("long")
+    )
+    safe_end = F.col("next_start_ms") - guard
+    e1 = F.when(
+        F.col("next_start_ms").isNotNull() & (e0 > safe_end), safe_end
+    ).otherwise(e0)
+
     lw = F.lower(F.col("last_text"))
     last1 = F.right(lw, F.lit(1))
     last2 = F.right(lw, F.lit(2))
@@ -133,41 +258,11 @@ def assemble_clips(gwords: DataFrame, groups: DataFrame, p: PipelineParams = P) 
         .when(last1.isin("t", "d", "k", "p", "n", "m", "g"), 40)
         .when(last2.isin("ce", "se", "ze", "ge", "ch", "sh", "th", "ng"), 50)
         .otherwise(0)
-    )
-    guard = (
-        F.when(F.col("avg_conf") > 0.75, F.floor(F.lit(p.guard_base_ms) * 0.7))
-        .when(F.col("avg_conf") < 0.6, F.floor(F.lit(p.guard_base_ms) * 1.3))
-        .otherwise(F.lit(p.guard_base_ms).cast("long"))
-    )
+    ).cast("long")
+    e2 = e1 + phoneme_ext
     b = (
-        clips.withColumn("prev_end_ms", F.round(F.lag("t_end").over(w) * 1000).cast("long"))
-        .withColumn("next_start_ms", F.round(F.lead("t_start").over(w) * 1000).cast("long"))
-        .withColumn(
-            "s_ms",
-            F.greatest(
-                F.greatest(
-                    F.round(F.col("t_start") * 1000).cast("long") - p.start_pad_ms,
-                    F.lit(0).cast("long"),
-                ),
-                F.coalesce(
-                    F.col("prev_end_ms") + p.start_guard_ms, F.lit(0).cast("long")
-                ),
-            ),
-        )
-        .withColumn(
-            "e_raw",
-            F.round(F.col("t_end") * 1000).cast("long")
-            + p.end_pad_ms
-            + p.tail_safety_ms
-            + phoneme_ext.cast("long"),
-        )
-        .withColumn(
-            "e_ms",
-            F.least(
-                F.col("e_raw"),
-                F.coalesce(F.col("next_start_ms") - guard, F.col("e_raw")),
-            ),
-        )
+        v.withColumn("s_ms", s_ms)
+        .withColumn("e_ms", e2)
         .withColumn(
             "e_ms",
             F.when(F.col("e_ms") <= F.col("s_ms"), F.col("s_ms") + 1).otherwise(
@@ -175,46 +270,14 @@ def assemble_clips(gwords: DataFrame, groups: DataFrame, p: PipelineParams = P) 
             ),
         )
     )
-    return b.select(
-        "pair_id",
-        "group_id",
-        "s_ms",
-        "e_ms",
-        ((F.col("e_ms") - F.col("s_ms")).cast("double") / 1000.0).alias("duration_s"),
-        "n_words",
-        "n_pieces",
-        "avg_conf",
-        "clip_text",
-        "clip_norms",
+    # pydub slice clamp: piece = base_clip[s_ms:e_ms]
+    piece_ms = F.greatest(
+        F.least(F.col("e_ms"), F.col("clip_len_ms"))
+        - F.least(F.col("s_ms"), F.col("clip_len_ms")),
+        zero,
     )
-
-
-def validated_clips(
-    spark: SparkSession, clips: DataFrame, p: PipelineParams = P
-) -> DataFrame:
-    """Validator consensus (S4 → J2 → W2 → F5): re-transcribe each
-    clip with the validator scan, align, keep clips whose longest
-    consensus span has ≥ min_valid_words
-    (claude_research_optimal.py:492-510).
-
-    Shuffle-free consensus: clips already carry ``clip_norms`` (built
-    in the assembly aggregation) and the FUSED validator scan
-    (validator_consensus_scan) re-transcribes, aligns, and reduces to
-    the longest span inside one mapInPandas kernel — zero exchanges
-    and one Python boundary between the scan and the span filter.
-    The word-row forms of these operators (validator_scan,
-    lcs_pairs_consensus) remain the public API for callers that need
-    per-word output."""
-    from ..sources.asr_scan import validator_consensus_scan
-
-    best = validator_consensus_scan(spark, clips).select(
-        "pair_id", "group_id", "best_len"
-    )
-    return (
-        clips.join(best, ["pair_id", "group_id"], "left")
-        .withColumn("best_len", F.coalesce("best_len", F.lit(0)))
-        .filter(F.col("best_len") >= p.min_valid_words)
-        .drop("best_len")
+    return b.withColumn(
+        "duration_s", piece_ms.cast("double") / 1000.0
     )
 
 
@@ -222,7 +285,6 @@ def full_pipeline(
     spark: SparkSession,
     sf_dir: str,
     p: PipelineParams = P,
-    validate: bool = True,
     persist: bool = True,
 ) -> dict[str, DataFrame]:
     """The whole dataflow, lazily: returns the named intermediate
@@ -256,11 +318,22 @@ def full_pipeline(
     groups = bridged_groups(runs, p)
     gwords = pin(group_words(words, groups))
     clips = pin(assemble_clips(gwords, groups, p))
-    kept = clips.filter(F.col("duration_s") >= p.min_dur_s)
-    rejected = clips.filter(F.col("duration_s") < p.min_dur_s).withColumn(
-        "reason", F.lit("too_short")
+    # F3 empty-clip guard (:488-489); with the 1 ms degenerate repair a
+    # 1-run clip is always >0, so this is a structural no-op kept for
+    # parity with the reference's guard.
+    base = clips.filter(F.col("clip_len_ms") > 0)
+    validated = pin(validated_clips(spark, base, p))
+    min_dur_ms = int(p.min_dur_s * 1000)
+    dur_ms = F.col("e_ms") - F.col("s_ms")
+    # F6 min-duration split on the PRE-SLICE span (:588-595): rejected
+    # clips are logged with reason + duration_ms.
+    kept = validated.filter(dur_ms >= min_dur_ms)
+    rejected = validated.filter(dur_ms < min_dur_ms).select(
+        "pair_id",
+        "group_id",
+        F.lit("too_short").alias("reason"),
+        dur_ms.alias("duration_ms"),
     )
-    exported = validated_clips(spark, kept, p) if validate else kept
     return dict(
         words=words,
         book=book,
@@ -269,7 +342,7 @@ def full_pipeline(
         gwords=gwords,
         clips=clips,
         rejected=rejected,
-        exported=exported,
+        exported=kept,
     )
 
 
@@ -301,10 +374,22 @@ def bridge_runs_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("asr_pipeline_clips", bench=True, tags=("pipeline", "udf"))
 def asr_pipeline_clips_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end: fixture → align → bridge → assemble → validate →
-    quality-gate → clip metadata (the clips.tsv analog, SURVEY K3)."""
+    """End-to-end: fixture → align → bridge → assemble → validator
+    consensus → boundary math → quality-gate → clip metadata (the
+    clips.tsv analog, SURVEY K3: duration, words=validated span size,
+    pieces=runs, span avg confidence)."""
     stages = full_pipeline(spark, sf_dir)
-    return stages["exported"].orderBy("pair_id", "group_id")
+    return stages["exported"].select(
+        "pair_id",
+        "group_id",
+        "s_ms",
+        "e_ms",
+        "duration_s",
+        F.col("n_keep").alias("words"),
+        F.col("n_pieces").alias("pieces"),
+        F.col("span_avg_conf").alias("avg_conf"),
+        "seg_text",
+    ).orderBy("pair_id", "group_id")
 
 
 @register("asr_pipeline_summary", tags=("pipeline",))

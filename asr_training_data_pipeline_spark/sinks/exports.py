@@ -84,22 +84,66 @@ def _apply_fades(pcm: np.ndarray, frame_rate: int, fade_ms: int = 30) -> np.ndar
 
 def _clips_with_samples(clips: DataFrame, audio: DataFrame) -> DataFrame:
     """Join exported clips to their pair's PCM and slice the clip's
-    sample window JVM-side (array slice — decoded samples never
-    shuffle beyond their own clip's span)."""
+    ENVELOPE (first piece start → last piece end) JVM-side, carrying
+    the piece spans rebased to the envelope.
+
+    The exported audio is a window of the ASSEMBLED clip — per-run
+    pieces with fades, joined by seam silence
+    (claude_research_optimal.py:308-341, :597). Slicing only the
+    envelope here keeps the Arrow transfer proportional to the clip,
+    not the recording; the per-piece assembly happens in the writer
+    kernel (the last point where decoded samples exist)."""
     a = audio.select("pair_id", "frame_rate", "samples")
-    start_idx = (F.col("s_ms") * _SAMPLES_PER_MS + 1).cast("int")
-    length = ((F.col("e_ms") - F.col("s_ms")) * _SAMPLES_PER_MS).cast("int")
+    env_s = F.col("piece_spans")[0]["s"]
+    env_e = F.element_at("piece_spans", -1)["e"]
+    start_idx = (env_s * _SAMPLES_PER_MS + 1).cast("int")
+    length = ((env_e - env_s) * _SAMPLES_PER_MS).cast("int")
+    rel_spans = F.transform(
+        "piece_spans",
+        lambda x: F.struct(
+            (x["s"] - env_s).alias("s"), (x["e"] - env_s).alias("e")
+        ),
+    )
     return clips.join(a, "pair_id").select(
         "pair_id",
         "group_id",
-        "clip_text",
+        F.col("seg_text").alias("clip_text"),
         "frame_rate",
         F.slice("samples", start_idx, length).alias("samples"),
+        rel_spans.alias("rel_spans"),
+        "s_ms",
+        "e_ms",
     )
 
 
+def _assemble_piece(
+    env: np.ndarray,
+    rel_spans,
+    s_ms: int,
+    e_ms: int,
+    frame_rate: int,
+    fade_ms: int,
+    seam_ms: int,
+) -> np.ndarray:
+    """numpy analog of assemble_runs_to_clip + the final slice
+    (claude_research_optimal.py:308-341, :597): per-piece fades, seam
+    silence between pieces, then the validated [s_ms:e_ms] window of
+    the assembled clip. Slices clamp like pydub's."""
+    spms = frame_rate // 1000
+    parts: list[np.ndarray] = []
+    last = len(rel_spans) - 1
+    for i, span in enumerate(rel_spans):
+        seg = env[span["s"] * spms : span["e"] * spms]
+        parts.append(_apply_fades(np.asarray(seg, dtype=np.float32), frame_rate, fade_ms))
+        if i != last and seam_ms > 0:
+            parts.append(np.zeros(seam_ms * spms, dtype=np.float32))
+    base = np.concatenate(parts) if parts else np.zeros(0, dtype=np.float32)
+    return base[s_ms * spms : e_ms * spms]
+
+
 def export_clip_files(
-    clips_sliced: DataFrame, out_dir: str, fade_ms: int = 30
+    clips_sliced: DataFrame, out_dir: str, fade_ms: int = P.fade_ms,
+    seam_ms: int = P.seam_silence_ms,
 ) -> DataFrame:
     """K1+K2: one WAV + one TXT per clip, written by the executors.
 
@@ -114,7 +158,12 @@ def export_clip_files(
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                pcm = np.asarray(r.samples, dtype=np.float32)
+                pcm = _assemble_piece(
+                    np.asarray(r.samples, dtype=np.float32),
+                    r.rel_spans, int(r.s_ms), int(r.e_ms),
+                    int(r.frame_rate), fade_ms, seam_ms,
+                )
+                # final asymmetric fades on the exported piece (:599-606)
                 pcm = _apply_fades(pcm, int(r.frame_rate), fade_ms)
                 base = os.path.join(
                     clip_dir, f"clip_{int(r.pair_id):06d}_{int(r.group_id):04d}"
@@ -138,12 +187,15 @@ def export_clip_files(
 
 
 def export_full_corpus(
-    clips_sliced: DataFrame, out_dir: str, full_gap_ms: int = 500
+    clips_sliced: DataFrame, out_dir: str, full_gap_ms: int = P.full_gap_ms,
+    fade_ms: int = P.fade_ms, seam_ms: int = P.seam_silence_ms,
 ) -> DataFrame:
     """K4+K8: per-recording concatenated corpus — ``full_{pair}.wav``
-    and ``full_{pair}.txt`` with ``full_gap_ms`` of silence between
-    clips (claude_research_optimal.py:668-676), named with the batch
-    wrapper's promoted convention (batch_processor.py:100-110).
+    and ``full_{pair}.txt``, each exported piece followed by
+    ``full_gap_ms`` of silence INCLUDING the last
+    (claude_research_optimal.py:668: ``full_audio += piece +
+    silent(full_gap_ms)``), named with the batch wrapper's promoted
+    convention (batch_processor.py:100-110).
 
     One task per pair via applyInPandas — concatenation happens where
     that pair's clips already live; no global collect. (The reference
@@ -156,10 +208,13 @@ def export_full_corpus(
         fr = int(pdf["frame_rate"].iloc[0])
         gap = np.zeros(full_gap_ms * fr // 1000, dtype=np.float32)
         pieces: list[np.ndarray] = []
-        for s in pdf["samples"]:
-            if pieces:
-                pieces.append(gap)
-            pieces.append(np.asarray(s, dtype=np.float32))
+        for r in pdf.itertuples(index=False):
+            piece = _assemble_piece(
+                np.asarray(r.samples, dtype=np.float32),
+                r.rel_spans, int(r.s_ms), int(r.e_ms), fr, fade_ms, seam_ms,
+            )
+            pieces.append(_apply_fades(piece, fr, fade_ms))
+            pieces.append(gap)
         pcm = np.concatenate(pieces) if pieces else np.zeros(0, dtype=np.float32)
         base = os.path.join(out_dir, f"full_{int(key[0]):06d}")
         _write_wav(base + ".wav", pcm, fr)
@@ -188,10 +243,10 @@ def write_clips_tsv(clips: DataFrame, out_dir: str) -> None:
         F.lit(0.0).alias("start"),
         F.col("duration_s").alias("end"),
         F.col("duration_s").alias("duration_s2"),
-        F.col("n_words").alias("words"),
+        F.col("n_keep").alias("words"),
         F.col("n_pieces").alias("pieces"),
-        F.col("avg_conf").alias("avg_conf"),
-        F.lit("ok").alias("acoustic_quality"),
+        F.col("span_avg_conf").alias("avg_conf"),
+        F.lit("not_checked").alias("acoustic_quality"),
     )
     (
         out.write.mode("overwrite")
@@ -222,7 +277,7 @@ def write_word_coverage_csv(clips: DataFrame, out_dir: str) -> None:
     """K6: word,count CSV sorted (count asc, word asc) over the
     exported clip texts (batch_processor.py:17-45)."""
     cov = (
-        clips.select(F.explode(F.split(F.lower("clip_text"), r"\s+")).alias("word"))
+        clips.select(F.explode(F.split(F.lower("seg_text"), r"\s+")).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count("*").alias("count"))
@@ -260,13 +315,18 @@ def export_pipeline_outputs(
     audio = fixtures.audio_samples(spark, sf_dir, _FRAME_RATE)
     sliced = _clips_with_samples(exported, audio)
 
-    manifest = export_clip_files(sliced, out_dir).unionByName(
-        export_full_corpus(sliced, out_dir, full_gap_ms)
+    manifest = export_clip_files(
+        sliced, out_dir, fade_ms=p.fade_ms, seam_ms=p.seam_silence_ms
+    ).unionByName(
+        export_full_corpus(
+            sliced, out_dir, full_gap_ms,
+            fade_ms=p.fade_ms, seam_ms=p.seam_silence_ms,
+        )
     )
 
     write_clips_tsv(exported, out_dir)
     write_json_records(
-        rejected.select("pair_id", "group_id", "reason", "duration_s"),
+        rejected.select("pair_id", "group_id", "reason", "duration_ms"),
         out_dir,
         "rejections_json",
     )

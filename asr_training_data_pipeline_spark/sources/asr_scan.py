@@ -235,22 +235,47 @@ def validator_scan_arrays(spark: SparkSession, clips: DataFrame) -> DataFrame:
     )
 
 
-def validator_consensus_scan(spark: SparkSession, clips: DataFrame) -> DataFrame:
-    """S4 + J2 + W2 fused: validator re-transcription, consensus LCS
-    against the clip's own norms, and the longest-equal-span reduction
-    — one row per clip, ONE Python boundary.
+CONSENSUS_SCHEMA = (
+    "pair_id long, group_id long, best_len long, "
+    "s_raw_ms long, e_raw_ms long, prev_end_ms long, next_start_ms long, "
+    "last_text string, last_conf double, span_avg_conf double, "
+    "seg_text string, n_keep long"
+)
 
-    The separate forms (validator_scan → lcs_pairs_consensus →
-    max-span) remain the public per-word API; this fused form is what
-    the full pipeline plan uses. Rationale: chaining MapInPandas into
-    a second ArrowEvalPython stage doubles Python-worker demand per
-    task (two workers held simultaneously), which at high task
-    concurrency drains the worker pool and forces cold forks — the
-    dominant cost at small SF, and wasted executor occupancy at any
-    SF. The fused kernel does the same difflib consensus
-    (claude_research_optimal.py:365-371, 504-508) in the worker that
-    already holds the validator output, so nothing extra moves over
-    Arrow and no second worker is needed.
+
+def validator_consensus_scan(spark: SparkSession, clips: DataFrame) -> DataFrame:
+    """S4 + J2 + W2 + J3 fused: validator re-transcription, consensus
+    LCS against the clip's own norms, longest-validator-span pick, and
+    the span's boundary/confidence facts — one row per clip, ONE
+    Python boundary.
+
+    Mirrors the reference's per-group consensus block
+    (claude_research_optimal.py:492-545) exactly:
+
+    - ``lcs_pairs(used_norms, vnorms)`` keeps every equal block (:365-371)
+    - longest span maximizes the VALIDATOR-side length ``bi1-bi0``,
+      first on ties via strict ``>`` (:504-508)
+    - ``keep_words = vwords[bi0:bi1]``; the exported clip's text and
+      boundary baselines come from the VALIDATOR words, in
+      clip-relative time (:512, :525-527, :658)
+    - span confidence: for each kept word, the FIRST used word with an
+      equal norm contributes its WhisperX confidence; mean, default
+      1.0 on empty (J3, :515-524 — first-match = first-occurrence map)
+    - neighbor bounds: ``vwords[bi0-1].end`` / ``vwords[bi1].start``,
+      null at the sequence edges (:531-536, :547-551)
+    - ms values use Python ``round`` (half-even), like the
+      reference's ``int(round(x*1000))`` (:527-528, :533, :548)
+
+    The boundary ARITHMETIC (pads, guards, phoneme CASE, min-dur) is
+    NOT in here — it stays in Catalyst column expressions
+    (plans.pipeline.validated_clips), where it codegens and where the
+    oracle-checked scalar operators (C4-C6) live.
+
+    Why fused: chaining MapInPandas into further Python stages holds
+    two workers per task and re-ships the validator rows over Arrow;
+    the consensus facts are a fixed-width row per clip, computed where
+    the validator output already lives. The word-row forms
+    (validator_scan, lcs_pairs_consensus) remain the public API.
     """
     import difflib
 
@@ -260,25 +285,63 @@ def validator_consensus_scan(spark: SparkSession, clips: DataFrame) -> DataFrame
         global _MODEL
         if _MODEL is None:
             _MODEL = factory()
+        cols = [c.strip().split(" ")[0] for c in CONSENSUS_SCHEMA.split(",")]
         for pdf in batches:
             out = []
-            for pair_id, group_id, text, norms in zip(
-                pdf["pair_id"], pdf["group_id"], pdf["clip_text"], pdf["clip_norms"]
+            for pair_id, group_id, text, norms, confs in zip(
+                pdf["pair_id"],
+                pdf["group_id"],
+                pdf["clip_text"],
+                pdf["clip_norms"],
+                pdf["clip_confs"],
             ):
                 rows = _MODEL(int(pair_id), text)
-                vnorms = [
-                    r["norm"] for k, r in enumerate(rows) if k % 11 != 10
-                ]
+                vwords = [
+                    r for k, r in enumerate(rows) if k % 11 != 10
+                ]  # simulated validator miss (as validator_scan)
                 a = list(norms)
-                best = 0
-                if a and vnorms:
-                    sm = difflib.SequenceMatcher(None, a, vnorms, autojunk=False)
-                    for tag, i1, i2, _j1, _j2 in sm.get_opcodes():
-                        if tag == "equal" and (i2 - i1) > best:
-                            best = i2 - i1
-                out.append((int(pair_id), int(group_id), best))
-            yield pd.DataFrame(out, columns=["pair_id", "group_id", "best_len"])
+                b = [w["norm"] for w in vwords]
+                best = None
+                best_len = 0
+                if a and b:
+                    sm = difflib.SequenceMatcher(None, a, b, autojunk=False)
+                    for tag, _i1, _i2, j1, j2 in sm.get_opcodes():
+                        if tag == "equal" and (j2 - j1) > best_len:
+                            best = (j1, j2)
+                            best_len = j2 - j1
+                if best is None:
+                    out.append(
+                        (int(pair_id), int(group_id), 0,
+                         None, None, None, None, None, None, None, None, 0)
+                    )
+                    continue
+                j1, j2 = best
+                keep = vwords[j1:j2]
+                first_conf = {}
+                for n, c in zip(norms, confs):
+                    first_conf.setdefault(n, float(c))
+                span_confs = [first_conf[w["norm"]] for w in keep if w["norm"] in first_conf]
+                avg_conf = (
+                    sum(span_confs) / len(span_confs) if span_confs else 1.0
+                )
+                out.append(
+                    (
+                        int(pair_id),
+                        int(group_id),
+                        best_len,
+                        round(keep[0]["start"] * 1000),
+                        round(keep[-1]["end"] * 1000),
+                        round(vwords[j1 - 1]["end"] * 1000) if j1 > 0 else None,
+                        round(vwords[j2]["start"] * 1000) if j2 < len(vwords) else None,
+                        keep[-1]["text"],
+                        float(keep[-1]["confidence"]),
+                        avg_conf,
+                        " ".join(w["text"] for w in keep),
+                        best_len,
+                    )
+                )
+            yield pd.DataFrame(out, columns=cols)
 
     return clips.select(
-        "pair_id", "group_id", "clip_text", "clip_norms"
-    ).mapInPandas(run, "pair_id long, group_id long, best_len long")
+        "pair_id", "group_id", "clip_text", "clip_norms", "clip_confs"
+    ).mapInPandas(run, CONSENSUS_SCHEMA)

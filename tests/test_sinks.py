@@ -55,12 +55,15 @@ def test_wav_is_valid_and_sized(exported_dir):
     assert row.n_bytes == 44 + 2 * row.n_frames
 
 
-def test_txt_matches_clip_text(spark, sf_dir, exported_dir):
+def test_txt_matches_seg_text(spark, sf_dir, exported_dir):
+    # The exported transcript is the VALIDATED span's text
+    # (keep_words), not the whole group's (claude_research_optimal.py
+    # :658, :664).
     out, _ = exported_dir
     clips = (
         full_pipeline(spark, sf_dir)["exported"]
         .filter(_pair_filter())
-        .select("pair_id", "group_id", "clip_text")
+        .select("pair_id", "group_id", "seg_text")
         .limit(5)
         .collect()
     )
@@ -68,7 +71,7 @@ def test_txt_matches_clip_text(spark, sf_dir, exported_dir):
         path = os.path.join(
             out, "clips", f"clip_{r.pair_id:06d}_{r.group_id:04d}.txt"
         )
-        assert open(path).read().rstrip("\n") == r.clip_text
+        assert open(path).read().rstrip("\n") == r.seg_text
 
 
 def test_full_corpus_concatenation(exported_dir):
@@ -85,8 +88,10 @@ def test_full_corpus_concatenation(exported_dir):
             "n_frames"
         ].iloc[0]
     )
+    # gap follows EVERY piece, including the last
+    # (claude_research_optimal.py:668)
     gap_frames = 500 * 16  # 500 ms at 16 kHz
-    assert full_frames == clip_frames + gap_frames * (n_clips - 1)
+    assert full_frames == clip_frames + gap_frames * n_clips
     with wave.open(os.path.join(out, f"full_{pair:06d}.wav"), "rb") as w:
         assert w.getnframes() == full_frames
 
