@@ -334,28 +334,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("band"),
     ).select("doc_id", "sig", "band.band_id", "band.band_key")
 
-    cand = (
-        _band_pairs(bands, "sig")
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            F.col("x.sig").alias("sig_a"),
-            F.col("y.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    # Estimate BEFORE the pair-dedup shuffle: a pair colliding in k
+    # bands is emitted k times, and shipping (doc_a, doc_b, est) —
+    # 24 bytes — through the dropDuplicates exchange beats shipping
+    # two 64-slot signatures (~1 KB) per occurrence. The zip_with
+    # recompute per duplicate is map-side codegen, far cheaper than
+    # the shuffle bytes it saves at 100 TB candidate volumes.
     est = (
         F.size(
             F.filter(
-                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                F.zip_with(
+                    F.col("x.sig"), F.col("y.sig"), lambda x, y: x == y
+                ),
                 lambda eq: eq,
             )
         ).cast("double")
         / _N_HASHES
     )
     return (
-        cand.select("doc_a", "doc_b", est.alias("est_jaccard"))
+        _band_pairs(bands, "sig")
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            est.alias("est_jaccard"),
+        )
         .filter(F.col("est_jaccard") >= _EST_THRESHOLD)
+        .dropDuplicates(["doc_a", "doc_b"])
         .orderBy("doc_a", "doc_b")
     )
 

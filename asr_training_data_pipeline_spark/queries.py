@@ -940,6 +940,11 @@ def cube_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MIN_COST_SUPPLIER_SQL = """
+WITH partsupp_like AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         min(l_extendedprice) AS ps_supplycost
+  FROM lineitem GROUP BY 1, 2
+)
 SELECT p_partkey, s_suppkey, ps_supplycost
 FROM part
 JOIN partsupp_like ON p_partkey = ps_partkey
@@ -951,18 +956,16 @@ ORDER BY p_partkey, s_suppkey
 """
 
 
-@register("correlated_min_subquery", tags=("join", "subquery"))
+@register("correlated_min_subquery", oracle=_MIN_COST_SUPPLIER_SQL, tags=("join", "subquery"))
 def correlated_min_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: correlated min-subquery — suppliers matching the
     per-part minimum supply cost. No partsupp table in the fixtures,
     so a deterministic stand-in is derived from lineitem
-    (ps_supplycost = min extended price seen for that part+supplier).
+    (ps_supplycost = min extended price seen for that part+supplier;
+    min is order-insensitive, so the oracle is exact).
     Decorrelated the way Catalyst would: per-part min as an aggregate
-    joined back (no per-row subquery execution at scale).
-
-    Rows-only: the derived partsupp CTE makes a single SQL oracle
-    awkward; semantics pinned by test_relational_extra.py against a
-    pandas recomputation.
+    joined back (no per-row subquery execution at scale). Also pinned
+    by test_relational_extra.py against a pandas recomputation.
     """
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")

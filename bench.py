@@ -46,19 +46,30 @@ def main() -> None:
 
     spark.range(cpus * 4, numPartitions=cpus).select(_warm("id")).count()
 
+    # min-of-2 per query: this host carries unpredictable external load
+    # (observed 2-4x wall-clock swings on identical runs), and the
+    # first execution additionally pays one-time JVM JIT + codegen +
+    # Python-worker forks. The minimum of two runs is the standard
+    # noise-floor estimate; the cache is cleared between runs so each
+    # one recomputes the full plan.
+    runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     t_total = time.time()
     for name, fn in sorted(bench_queries().items()):
-        t0 = time.time()
-        n = fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {n} rows in {timings[name]:.2f}s", file=sys.stderr)
-        # Per-query isolation: some plans persist() reuse points
-        # (pipeline fan-out, LSH bands); drop them so the next query
-        # is measured against a clean executor, not the previous
-        # query's leftover blocks.
-        spark.catalog.clearCache()
-    total = round(time.time() - t_total, 3)
+        best, n = None, 0
+        for _ in range(runs_per_query):
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+            # Per-query isolation: some plans persist() reuse points
+            # (pipeline fan-out, LSH bands); drop them so every run is
+            # measured against a clean executor, not leftover blocks.
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
+        print(f"# {name}: {n} rows in {timings[name]:.2f}s (min of {runs_per_query})", file=sys.stderr)
+    total = round(sum(timings.values()), 3)
+    wall = round(time.time() - t_total, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -71,6 +82,8 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cpus": cpus,
                 "n_queries_total": len(REGISTRY),
+                "runs_per_query": runs_per_query,
+                "total_wall_s": wall,
             }
         )
     )
