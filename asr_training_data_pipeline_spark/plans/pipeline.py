@@ -219,8 +219,10 @@ def validated_clips(
     """
     from ..sources.asr_scan import validator_consensus_scan
 
-    facts = validator_consensus_scan(spark, clips)
-    v = clips.join(facts, ["pair_id", "group_id"]).filter(
+    # The kernel echoes the clip facts the export needs (n_pieces,
+    # clip_len_ms, piece_spans), so there is no join back to clips —
+    # scan → consensus → boundary math is ONE narrow stage.
+    v = validator_consensus_scan(spark, clips).filter(
         F.col("best_len") >= p.min_valid_words
     )
 
@@ -290,13 +292,14 @@ def full_pipeline(
     """The whole dataflow, lazily: returns the named intermediate
     stages so callers pick what to materialize.
 
-    ``persist`` pins the fan-out subtrees (words, runs, gwords,
-    clips) at MEMORY_AND_DISK: each feeds 2+ downstream branches
-    (clips → kept/rejected/validator; gwords → assembly + consensus),
-    and without a cache Spark re-executes the Python LCS cogroup once
-    per branch. On a cluster the same reuse points are where you'd
-    persist (or checkpoint past the lineage) — the stages above them
-    are pandas-UDF work that does not get cheaper at scale.
+    ``persist`` pins the fan-out subtrees (words, runs, validated) at
+    MEMORY_AND_DISK: each feeds 2+ downstream branches (words → align
+    + group assignment; runs/groups → group join + piece geometry;
+    validated → exported + rejected), and without a cache Spark
+    re-executes the Python LCS cogroup once per branch. On a cluster
+    the same reuse points are where you'd persist (or checkpoint past
+    the lineage) — the stages above them are pandas-UDF work that does
+    not get cheaper at scale.
     """
     from pyspark import StorageLevel
 
@@ -316,8 +319,11 @@ def full_pipeline(
         # downstream reference into a cache read.
         runs.count()
     groups = bridged_groups(runs, p)
-    gwords = pin(group_words(words, groups))
-    clips = pin(assemble_clips(gwords, groups, p))
+    # gwords/clips feed exactly ONE consumer each (clips ← gwords,
+    # validator kernel ← clips), so they are not cached — only the
+    # true fan-out points are (words, runs, validated).
+    gwords = group_words(words, groups)
+    clips = assemble_clips(gwords, groups, p)
     # F3 empty-clip guard (:488-489); with the 1 ms degenerate repair a
     # 1-run clip is always >0, so this is a structural no-op kept for
     # parity with the reference's guard.

@@ -239,7 +239,10 @@ CONSENSUS_SCHEMA = (
     "pair_id long, group_id long, best_len long, "
     "s_raw_ms long, e_raw_ms long, prev_end_ms long, next_start_ms long, "
     "last_text string, last_conf double, span_avg_conf double, "
-    "seg_text string, n_keep long"
+    "seg_text string, n_keep long, "
+    # clip facts echoed through so downstream needs NO join back to
+    # the clips table (one narrow stage instead of a co-shuffle)
+    "n_pieces long, clip_len_ms long, piece_spans array<struct<s:long,e:long>>"
 )
 
 
@@ -285,16 +288,25 @@ def validator_consensus_scan(spark: SparkSession, clips: DataFrame) -> DataFrame
         global _MODEL
         if _MODEL is None:
             _MODEL = factory()
-        cols = [c.strip().split(" ")[0] for c in CONSENSUS_SCHEMA.split(",")]
+        cols = [
+            "pair_id", "group_id", "best_len", "s_raw_ms", "e_raw_ms",
+            "prev_end_ms", "next_start_ms", "last_text", "last_conf",
+            "span_avg_conf", "seg_text", "n_keep",
+            "n_pieces", "clip_len_ms", "piece_spans",
+        ]
         for pdf in batches:
             out = []
-            for pair_id, group_id, text, norms, confs in zip(
+            for pair_id, group_id, text, norms, confs, n_pieces, clip_len, spans in zip(
                 pdf["pair_id"],
                 pdf["group_id"],
                 pdf["clip_text"],
                 pdf["clip_norms"],
                 pdf["clip_confs"],
+                pdf["n_pieces"],
+                pdf["clip_len_ms"],
+                pdf["piece_spans"],
             ):
+                echo = (int(n_pieces), int(clip_len), list(spans))
                 rows = _MODEL(int(pair_id), text)
                 vwords = [
                     r for k, r in enumerate(rows) if k % 11 != 10
@@ -313,6 +325,7 @@ def validator_consensus_scan(spark: SparkSession, clips: DataFrame) -> DataFrame
                     out.append(
                         (int(pair_id), int(group_id), 0,
                          None, None, None, None, None, None, None, None, 0)
+                        + echo
                     )
                     continue
                 j1, j2 = best
@@ -339,9 +352,11 @@ def validator_consensus_scan(spark: SparkSession, clips: DataFrame) -> DataFrame
                         " ".join(w["text"] for w in keep),
                         best_len,
                     )
+                    + echo
                 )
             yield pd.DataFrame(out, columns=cols)
 
     return clips.select(
-        "pair_id", "group_id", "clip_text", "clip_norms", "clip_confs"
+        "pair_id", "group_id", "clip_text", "clip_norms", "clip_confs",
+        "n_pieces", "clip_len_ms", "piece_spans",
     ).mapInPandas(run, CONSENSUS_SCHEMA)
