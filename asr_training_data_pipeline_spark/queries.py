@@ -990,6 +990,101 @@ def correlated_min_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q3_SQL = f"""
+SELECT l_orderkey,
+       {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < timestamp '1997-06-01'
+  AND l_shipdate > timestamp '1997-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@register("q3_shipping_priority", oracle=_Q3_SQL, tags=("join", "agg", "topk"))
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective 3-way join + revenue agg + top-10.
+    The total order (revenue DESC, unique l_orderkey) makes the LIMIT
+    deterministic; revenue routes through exact decimal so the sort
+    key is engine-independent.
+
+    Scale: customer filter prunes before the join; orders⋈lineitem
+    co-shuffles on orderkey; the top-k is a TakeOrdered, no full sort.
+    """
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-06-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-06-01").cast("timestamp")
+    )
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+_Q5_SQL = f"""
+SELECT n_name, {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= timestamp '1996-01-01'
+  AND o_orderdate < timestamp '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+@register("q5_local_supplier_volume", oracle=_Q5_SQL, tags=("join", "agg"))
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table star join with the local-supplier
+    constraint (customer and supplier share a nation) + per-nation
+    revenue.
+
+    Scale: region/nation/supplier broadcast (small dims); the only
+    co-shuffle is orders⋈lineitem on orderkey; the nationkey equality
+    rides the supplier broadcast as an extra join condition instead of
+    forcing another exchange."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
 _CUST_ORDER_DIST_SQL = """
 SELECT n_orders, cast(count(*) AS bigint) AS n_custs
 FROM (SELECT c_custkey, cast(count(o_orderkey) AS bigint) AS n_orders

@@ -213,3 +213,35 @@ def test_full_pipeline_matches_reference_semantics(pipeline_golden):
         assert row.n_keep == exp["n_keep"], where
         assert row.span_avg_conf == pytest.approx(exp["avg_conf"], abs=1e-9), where
         assert row.seg_text == exp["seg_text"], where
+
+
+def test_pipeline_plan_shape(spark, sf_dir):
+    """Pin the scale-critical physical properties of the exported plan:
+
+    - exactly TWO Python boundaries (align ArrowEvalPython + the fused
+      validator MapInPandas) — no accidental extra UDF stages
+    - no join AFTER the assembly aggregation: the consensus kernel
+      echoes clip facts, so scan→consensus→boundary-filter is narrow
+    - the group-assignment and piece-geometry sides are broadcast, not
+      shuffled (words stream past them)
+    - no cartesian/nested-loop joins anywhere
+    """
+    from pyspark.sql import functions as F  # noqa: F401
+
+    # Drop any cached subtrees from earlier tests: the cache manager
+    # substitutes InMemoryTableScan into NEW plans whose fragments
+    # match, which would hide the operators this test pins.
+    spark.catalog.clearCache()
+    stages = full_pipeline(spark, sf_dir, persist=False)
+    plan = stages["exported"]._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    # persist=False duplicates the align subtree (exported + its own
+    # branch); per subtree there is exactly one align eval.
+    assert plan.count("ArrowEvalPython") >= 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # Everything above the MapInPandas kernel must be join-free: the
+    # fused kernel output feeds filters/projections only.
+    above = plan.split("MapInPandas", 1)[0]
+    assert "Join" not in above, f"unexpected join above the kernel:\n{above}"
+    assert "BroadcastHashJoin" in plan  # group-words + geometry joins
