@@ -39,6 +39,17 @@ def get_spark(
     if driver_memory is None:
         driver_memory = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g")
 
+    # Python workers (and the custom daemon module below) import this
+    # package by name. The driver may have found it via cwd/sys.path,
+    # which workers do NOT inherit — only PYTHONPATH propagates. Export
+    # the package root so worker forks resolve it from any driver cwd.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else "")
+        )
+
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
