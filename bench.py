@@ -53,21 +53,31 @@ def main() -> None:
     # noise-floor estimate; the cache is cleared between runs so each
     # one recomputes the full plan.
     runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    max_runs = runs_per_query + 2
     timings: dict[str, float] = {}
     t_total = time.time()
     for name, fn in sorted(bench_queries().items()):
-        best, n = None, 0
-        for _ in range(runs_per_query):
+        samples: list[float] = []
+        n = 0
+        while len(samples) < runs_per_query or (
+            # High spread means an external load burst hit some run;
+            # take up to 2 extra samples for a shot at a quiet window.
+            len(samples) < max_runs
+            and max(samples) > 1.5 * min(samples)
+        ):
             t0 = time.time()
             n = fn(spark, sf_dir).count()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
+            samples.append(time.time() - t0)
             # Per-query isolation: some plans persist() reuse points
             # (pipeline fan-out, LSH bands); drop them so every run is
             # measured against a clean executor, not leftover blocks.
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
-        print(f"# {name}: {n} rows in {timings[name]:.2f}s (min of {runs_per_query})", file=sys.stderr)
+        timings[name] = round(min(samples), 3)
+        print(
+            f"# {name}: {n} rows in {timings[name]:.2f}s "
+            f"(min of {len(samples)}: {[round(s, 2) for s in samples]})",
+            file=sys.stderr,
+        )
     total = round(sum(timings.values()), 3)
     wall = round(time.time() - t_total, 3)
 
