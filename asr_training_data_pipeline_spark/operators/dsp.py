@@ -145,56 +145,82 @@ def boundary_leakage(
 
 
 ACOUSTIC_SCHEMA = (
-    "pair_id long, group_id long, e_ms_final long, quality string, "
-    "retried boolean, dbfs double, mfcc_dist double, flux double, votes bigint"
+    "pair_id long, group_id long, e_ms_final long, verdict string, "
+    "log_quality string, tsv_quality string, "
+    "dbfs double, mfcc_dist double, flux double, votes bigint"
 )
 
 
-def acoustic_gate(clips_sliced: DataFrame, retry_shift_ms: int = 30) -> DataFrame:
-    """F7: per-clip acoustic boundary gate with one retry.
+def acoustic_gate(
+    clips_sliced: DataFrame,
+    min_dur_s: float | None = None,
+    retry_shift_ms: int = 30,
+) -> DataFrame:
+    """F7: per-clip acoustic boundary gate with one retry — the exact
+    decision flow of claude_research_optimal.py:608-656.
 
     Input rows: the ``_clips_with_samples`` shape — envelope PCM plus
-    piece spans and the validated [s_ms, e_ms] window; the kernel
-    assembles the exported piece (fades + seams) exactly as the
-    writers do, then checks its END boundary like the reference does
-    on the faded piece (claude_research_optimal.py:599-620). On a leak
-    vote, retries once at end−30 ms (:630-638); if the retry still
-    leaks → ``acoustic_leakage_unfixable``.
+    piece spans and the validated [s_ms, e_ms] window. Per clip:
+
+    - assemble the base clip, slice the window, apply final fades, and
+      check the last-50 ms boundary of THAT faded piece (:610-613)
+    - the acoustic LOG records ``leakage``/``clean`` from this first
+      check — even when a retry later fixes the clip, the log keeps
+      ``leakage`` (the reference appends before retrying, :616-620)
+    - on a leak: retry at e_ms−30 ONLY if that still satisfies
+      min_dur; the retry slice comes from the UNFADED base clip and is
+      checked at its very end (:630-632, both reference quirks);
+      accepted → verdict ``keep`` with the shortened e_ms and
+      tsv quality ``fixed`` (and the exported piece stays unfaded,
+      :633-636); still leaking → reject ``acoustic_leakage``
+    - retry impossible (min-dur) → reject ``acoustic_leakage_unfixable``
+      (:645-652)
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..plans.pipeline import P
-        from ..sinks.exports import _apply_fades, _assemble_piece
+        from ..sinks.exports import _apply_fades, _assemble_base, _slice_ms
 
+        min_dur_ms = int((P.min_dur_s if min_dur_s is None else min_dur_s) * 1000)
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
                 sr = int(r.frame_rate)
-                pcm = _assemble_piece(
+                s_ms, e_ms = int(r.s_ms), int(r.e_ms)
+                base = _assemble_base(
                     np.asarray(r.samples, dtype=np.float32),
-                    r.rel_spans, int(r.s_ms), int(r.e_ms),
-                    sr, P.fade_ms, P.seam_silence_ms,
+                    r.rel_spans, sr, P.fade_ms, P.seam_silence_ms,
                 )
-                pcm = _apply_fades(pcm, sr, P.fade_ms)
-                end_ms = len(pcm) * 1000 // sr
-                leak, d = boundary_leakage(pcm, sr, end_ms)
-                retried = False
-                if leak and end_ms > retry_shift_ms:
-                    retried = True
-                    leak, d = boundary_leakage(pcm, sr, end_ms - retry_shift_ms)
-                    end_ms = end_ms - retry_shift_ms if not leak else end_ms
-                quality = (
-                    "ok" if not leak
-                    else ("acoustic_leakage_unfixable" if retried else "acoustic_leakage")
-                )
+                piece = _apply_fades(_slice_ms(base, s_ms, e_ms, sr), sr, P.fade_ms)
+                check_pos = max(0, len(piece) * 1000 // sr - 50)
+                leak, d = boundary_leakage(piece, sr, check_pos)
+                log_quality = "leakage" if leak else "clean"
+                verdict, tsv_quality, e_final = "keep", "clean", e_ms
+                if leak:
+                    e_retry = e_ms - retry_shift_ms
+                    if e_retry > s_ms + min_dur_ms:
+                        piece_retry = _slice_ms(base, s_ms, e_retry, sr)
+                        leak2, _d2 = boundary_leakage(
+                            piece_retry, sr, len(piece_retry) * 1000 // sr
+                        )
+                        if not leak2:
+                            verdict, tsv_quality, e_final = "keep", "fixed", e_retry
+                        else:
+                            # the rejection log carries the ORIGINAL
+                            # check's details (:639-644)
+                            verdict = "acoustic_leakage"
+                    else:
+                        verdict = "acoustic_leakage_unfixable"
                 rows.append(
-                    (int(r.pair_id), int(r.group_id), int(end_ms), quality,
-                     retried, d["dbfs"], d["mfcc_dist"], d["flux"], d["votes"])
+                    (int(r.pair_id), int(r.group_id), int(e_final), verdict,
+                     log_quality, tsv_quality,
+                     d["dbfs"], d["mfcc_dist"], d["flux"], d["votes"])
                 )
             yield pd.DataFrame(
                 rows,
-                columns=["pair_id", "group_id", "e_ms_final", "quality",
-                         "retried", "dbfs", "mfcc_dist", "flux", "votes"],
+                columns=["pair_id", "group_id", "e_ms_final", "verdict",
+                         "log_quality", "tsv_quality",
+                         "dbfs", "mfcc_dist", "flux", "votes"],
             )
 
     return clips_sliced.select(

@@ -104,6 +104,7 @@ def _clips_with_samples(clips: DataFrame, audio: DataFrame) -> DataFrame:
             (x["s"] - env_s).alias("s"), (x["e"] - env_s).alias("e")
         ),
     )
+    extra = ["acoustic_quality"] if "acoustic_quality" in clips.columns else []
     return clips.join(a, "pair_id").select(
         "pair_id",
         "group_id",
@@ -113,7 +114,31 @@ def _clips_with_samples(clips: DataFrame, audio: DataFrame) -> DataFrame:
         rel_spans.alias("rel_spans"),
         "s_ms",
         "e_ms",
+        *extra,
     )
+
+
+def _assemble_base(
+    env: np.ndarray, rel_spans, frame_rate: int, fade_ms: int, seam_ms: int
+) -> np.ndarray:
+    """numpy analog of assemble_runs_to_clip
+    (claude_research_optimal.py:308-341): per-piece fades and seam
+    silence between pieces over the envelope slice."""
+    spms = frame_rate // 1000
+    parts: list[np.ndarray] = []
+    last = len(rel_spans) - 1
+    for i, span in enumerate(rel_spans):
+        seg = env[span["s"] * spms : span["e"] * spms]
+        parts.append(_apply_fades(np.asarray(seg, dtype=np.float32), frame_rate, fade_ms))
+        if i != last and seam_ms > 0:
+            parts.append(np.zeros(seam_ms * spms, dtype=np.float32))
+    return np.concatenate(parts) if parts else np.zeros(0, dtype=np.float32)
+
+
+def _slice_ms(base: np.ndarray, s_ms: int, e_ms: int, frame_rate: int) -> np.ndarray:
+    """pydub-style ms slice (clamping, empty on inverted range)."""
+    spms = frame_rate // 1000
+    return base[s_ms * spms : max(s_ms, e_ms) * spms]
 
 
 def _assemble_piece(
@@ -125,20 +150,10 @@ def _assemble_piece(
     fade_ms: int,
     seam_ms: int,
 ) -> np.ndarray:
-    """numpy analog of assemble_runs_to_clip + the final slice
-    (claude_research_optimal.py:308-341, :597): per-piece fades, seam
-    silence between pieces, then the validated [s_ms:e_ms] window of
-    the assembled clip. Slices clamp like pydub's."""
-    spms = frame_rate // 1000
-    parts: list[np.ndarray] = []
-    last = len(rel_spans) - 1
-    for i, span in enumerate(rel_spans):
-        seg = env[span["s"] * spms : span["e"] * spms]
-        parts.append(_apply_fades(np.asarray(seg, dtype=np.float32), frame_rate, fade_ms))
-        if i != last and seam_ms > 0:
-            parts.append(np.zeros(seam_ms * spms, dtype=np.float32))
-    base = np.concatenate(parts) if parts else np.zeros(0, dtype=np.float32)
-    return base[s_ms * spms : e_ms * spms]
+    """Base-clip assembly + the validated [s_ms:e_ms] window
+    (claude_research_optimal.py:308-341, :597)."""
+    base = _assemble_base(env, rel_spans, frame_rate, fade_ms, seam_ms)
+    return _slice_ms(base, s_ms, e_ms, frame_rate)
 
 
 def export_clip_files(
@@ -163,8 +178,11 @@ def export_clip_files(
                     r.rel_spans, int(r.s_ms), int(r.e_ms),
                     int(r.frame_rate), fade_ms, seam_ms,
                 )
-                # final asymmetric fades on the exported piece (:599-606)
-                pcm = _apply_fades(pcm, int(r.frame_rate), fade_ms)
+                # final asymmetric fades on the exported piece
+                # (:599-606) — EXCEPT acoustically 'fixed' clips, whose
+                # accepted retry slice is exported unfaded (:633-636)
+                if getattr(r, "acoustic_quality", "clean") != "fixed":
+                    pcm = _apply_fades(pcm, int(r.frame_rate), fade_ms)
                 base = os.path.join(
                     clip_dir, f"clip_{int(r.pair_id):06d}_{int(r.group_id):04d}"
                 )
@@ -213,7 +231,9 @@ def export_full_corpus(
                 np.asarray(r.samples, dtype=np.float32),
                 r.rel_spans, int(r.s_ms), int(r.e_ms), fr, fade_ms, seam_ms,
             )
-            pieces.append(_apply_fades(piece, fr, fade_ms))
+            if getattr(r, "acoustic_quality", "clean") != "fixed":
+                piece = _apply_fades(piece, fr, fade_ms)
+            pieces.append(piece)
             pieces.append(gap)
         pcm = np.concatenate(pieces) if pieces else np.zeros(0, dtype=np.float32)
         base = os.path.join(out_dir, f"full_{int(key[0]):06d}")
@@ -246,7 +266,14 @@ def write_clips_tsv(clips: DataFrame, out_dir: str) -> None:
         F.col("n_keep").alias("words"),
         F.col("n_pieces").alias("pieces"),
         F.col("span_avg_conf").alias("avg_conf"),
-        F.lit("not_checked").alias("acoustic_quality"),
+        # clean / fixed from the acoustic gate (reference default-on,
+        # claude_research_optimal.py:411, :614-636); "not_checked"
+        # only when the gate was skipped upstream
+        (
+            F.col("acoustic_quality")
+            if "acoustic_quality" in clips.columns
+            else F.lit("not_checked")
+        ).alias("acoustic_quality"),
     )
     (
         out.write.mode("overwrite")
@@ -305,16 +332,72 @@ def export_pipeline_outputs(
     ``pair_filter``: optional Column predicate on pair_id to bound the
     exported subset (tests / smoke runs).
     """
+    from pyspark import StorageLevel
+
+    from ..operators.dsp import acoustic_gate
+
     stages = full_pipeline(spark, sf_dir, p)
     exported = stages["exported"]
-    rejected = stages["rejected"]
+    too_short = stages["rejected"]
     if pair_filter is not None:
         exported = exported.filter(pair_filter)
-        rejected = rejected.filter(pair_filter)
+        too_short = too_short.filter(pair_filter)
 
     audio = fixtures.audio_samples(spark, sf_dir, _FRAME_RATE)
-    sliced = _clips_with_samples(exported, audio)
 
+    # F7 acoustic boundary gate — default-on like the reference
+    # (claude_research_optimal.py:411): one DSP pass per clip; verdicts
+    # feed the acoustic log, the rejection log, the shortened 'fixed'
+    # boundaries, and the keep/reject split consistently.
+    verdicts = acoustic_gate(
+        _clips_with_samples(exported, audio), min_dur_s=p.min_dur_s
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    write_json_records(
+        verdicts.select(
+            "pair_id", "group_id", F.col("log_quality").alias("quality"),
+            "dbfs", "mfcc_dist", "flux", "votes",
+        ),
+        out_dir,
+        "acoustic_validation_json",
+    )
+    keep = verdicts.filter(F.col("verdict") == "keep").select(
+        "pair_id", "group_id", "e_ms_final",
+        F.col("tsv_quality").alias("acoustic_quality"),
+    )
+    final = (
+        exported.join(keep, ["pair_id", "group_id"])
+        .withColumn("e_ms", F.col("e_ms_final"))
+        .drop("e_ms_final")
+        .withColumn(
+            "duration_s",
+            F.greatest(
+                F.least(F.col("e_ms"), F.col("clip_len_ms"))
+                - F.least(F.col("s_ms"), F.col("clip_len_ms")),
+                F.lit(0).cast("long"),
+            ).cast("double")
+            / 1000.0,
+        )
+    )
+    gate_rejects = (
+        verdicts.filter(F.col("verdict") != "keep")
+        .join(
+            exported.select("pair_id", "group_id", "span_avg_conf"),
+            ["pair_id", "group_id"],
+        )
+        .select(
+            "pair_id",
+            "group_id",
+            F.col("verdict").alias("reason"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.col("span_avg_conf").alias("confidence"),
+        )
+    )
+    rejected = too_short.select(
+        "pair_id", "group_id", "reason", "duration_ms",
+        F.lit(None).cast("double").alias("confidence"),
+    ).unionByName(gate_rejects)
+
+    sliced = _clips_with_samples(final, audio)
     manifest = export_clip_files(
         sliced, out_dir, fade_ms=p.fade_ms, seam_ms=p.seam_silence_ms
     ).unionByName(
@@ -324,15 +407,11 @@ def export_pipeline_outputs(
         )
     )
 
-    write_clips_tsv(exported, out_dir)
-    write_json_records(
-        rejected.select("pair_id", "group_id", "reason", "duration_ms"),
-        out_dir,
-        "rejections_json",
-    )
-    write_word_coverage_csv(exported, out_dir)
+    write_clips_tsv(final, out_dir)
+    write_json_records(rejected, out_dir, "rejections_json")
+    write_word_coverage_csv(final, out_dir)
 
-    n_exported = exported.count()
+    n_exported = final.count()
     n_rejected = rejected.count()
     rate = (
         round(100.0 * n_rejected / (n_exported + n_rejected), 2)
@@ -356,7 +435,7 @@ def export_pipeline_outputs(
     )
     # K7: the batch wrapper's tally (batch_processor.py:142-179) — one
     # status row per pair, distributed.
-    details = exported.groupBy("pair_id").agg(
+    details = final.groupBy("pair_id").agg(
         F.count("*").alias("n_clips")
     ).select(
         "pair_id", F.lit("ok").alias("status"), "n_clips"

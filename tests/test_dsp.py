@@ -71,5 +71,15 @@ def test_acoustic_gate_query_runs(spark, sf_dir):
     df = REGISTRY["acoustic_boundary_gate"].fn(spark, sf_dir)
     pdf = df.toPandas()
     assert len(pdf) > 0
-    assert set(pdf["quality"]) <= {"ok", "acoustic_leakage", "acoustic_leakage_unfixable"}
+    assert set(pdf["verdict"]) <= {
+        "keep", "acoustic_leakage", "acoustic_leakage_unfixable"
+    }
+    assert set(pdf["log_quality"]) <= {"clean", "leakage"}
+    assert set(pdf["tsv_quality"]) <= {"clean", "fixed"}
+    # a leaking first check either gets fixed, rejected, or was
+    # unfixable — never silently kept as clean
+    leaked = pdf[pdf["log_quality"] == "leakage"]
+    assert (
+        (leaked["verdict"] != "keep") | (leaked["tsv_quality"] == "fixed")
+    ).all()
     assert (pdf["votes"] >= 0).all()

@@ -30,12 +30,17 @@ def exported_dir(spark, sf_dir, tmp_path_factory):
 
 def test_manifest_matches_exported_clips(spark, sf_dir, exported_dir):
     out, manifest = exported_dir
-    n_clips = (
+    n_validated = (
         full_pipeline(spark, sf_dir)["exported"].filter(_pair_filter()).count()
     )
-    assert n_clips > 0
-    assert (manifest["kind"] == "wav").sum() == n_clips
-    assert (manifest["kind"] == "txt").sum() == n_clips
+    n_wav = (manifest["kind"] == "wav").sum()
+    # the export path additionally runs the acoustic gate (reference
+    # default-on), so written clips ⊆ validated clips
+    assert 0 < n_wav <= n_validated
+    assert (manifest["kind"] == "txt").sum() == n_wav
+    # summary.json's exported count is the post-gate count
+    summary = json.load(open(os.path.join(out, "summary.json")))
+    assert summary["exported"] == n_wav
     n_pairs = manifest[manifest["kind"] == "wav"]["pair_id"].nunique()
     assert (manifest["kind"] == "full_wav").sum() == n_pairs
 
@@ -59,19 +64,21 @@ def test_txt_matches_seg_text(spark, sf_dir, exported_dir):
     # The exported transcript is the VALIDATED span's text
     # (keep_words), not the whole group's (claude_research_optimal.py
     # :658, :664).
-    out, _ = exported_dir
-    clips = (
-        full_pipeline(spark, sf_dir)["exported"]
+    out, manifest = exported_dir
+    texts = {
+        (r.pair_id, r.group_id): r.seg_text
+        for r in full_pipeline(spark, sf_dir)["exported"]
         .filter(_pair_filter())
         .select("pair_id", "group_id", "seg_text")
-        .limit(5)
         .collect()
-    )
-    for r in clips:
+    }
+    written = manifest[manifest["kind"] == "txt"].head(5)
+    assert len(written) > 0
+    for r in written.itertuples(index=False):
         path = os.path.join(
-            out, "clips", f"clip_{r.pair_id:06d}_{r.group_id:04d}.txt"
+            out, "clips", f"clip_{int(r.pair_id):06d}_{int(r.group_id):04d}.txt"
         )
-        assert open(path).read().rstrip("\n") == r.seg_text
+        assert open(path).read().rstrip("\n") == texts[(r.pair_id, r.group_id)]
 
 
 def test_full_corpus_concatenation(exported_dir):
