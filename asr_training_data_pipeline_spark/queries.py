@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from .functions.exact import davg_sql, dsum, dsum_sql
+from .functions.exact import davg, davg_sql, dsum, dsum_sql
 from .functions.text import (
     NORMALIZE_WORD_SQL,
     normalize_word_col,
@@ -1228,4 +1228,198 @@ def skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
         .orderBy("priority")
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, cast(count(*) AS bigint) AS n_orders
+FROM orders
+WHERE o_orderdate >= timestamp '1996-01-01'
+  AND o_orderdate < timestamp '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("q4_order_priority", oracle=_Q4_SQL, tags=("join", "agg"))
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS-driven left-semi join with a non-equi
+    residual (l_shipdate > o_orderdate) feeding a grouped count —
+    the decorrelated form of a correlated EXISTS subquery.
+
+    Scale: the semi join never duplicates orders rows however many
+    lineitems match, and the date filter prunes the orders scan before
+    the shuffle; lineitem ships only (orderkey, shipdate). The count
+    agg is map-side partial over 5 priority values.
+    """
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    lineitem = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        lineitem,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q18_QTY_THRESHOLD = 300
+
+_Q18_SQL = f"""
+SELECT c_name, c_custkey, o_orderkey, epoch_us(o_orderdate) AS order_date_us,
+       o_totalprice, {dsum_sql('l_quantity')} AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING {dsum_sql('l_quantity')} > {_Q18_QTY_THRESHOLD})
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+@register("q18_large_volume", oracle=_Q18_SQL, tags=("join", "agg", "topk"))
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregation used as a semi-join
+    probe list, re-joined for detail rows, deterministic top-100.
+
+    Scale: the heavy lineitem group-by is map-side partial on orderkey
+    (co-partitioned with the later join — one shuffle serves both);
+    the HAVING survivor list is tiny, so AQE turns the semi join into
+    a broadcast. The decimal-routed qty sums keep the threshold
+    comparison and output order-insensitive (see module docstring).
+    The top-k is a totally-ordered (price desc, orderkey) limit —
+    per-partition local top-100 then a single merge.
+    """
+    lineitem = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", "qty"))
+        .filter(F.col("qty") > _Q18_QTY_THRESHOLD)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("big_orderkey"), "left_semi")
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity", "total_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            # o_orderdate is TIMESTAMP_NTZ in the parquet; the session
+            # timezone is pinned UTC so this cast is engine-stable.
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "order_date_us"
+            ),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+_HOUR_US = 3_600_000_000
+
+_MOVING_AVG_SQL = f"""
+SELECT user_id, event_id, ts_us,
+       cast(sum(cast(value AS decimal(27,6))) OVER w AS double)
+         / count(value) OVER w AS avg_1h,
+       cast(count(*) OVER w AS bigint) AS n_1h
+FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN {_HOUR_US} PRECEDING AND CURRENT ROW)
+ORDER BY user_id, ts_us, event_id
+"""
+
+
+@register("moving_avg_range_frame", oracle=_MOVING_AVG_SQL, tags=("window",))
+def moving_avg_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame (SURVEY §2.6 note: the reference uses
+    only row-neighbor frames; the engine exposes value-range frames):
+    per-user trailing-1-hour mean and event count at every event.
+
+    The frame is defined by the ORDER-BY value (epoch micros), not row
+    position, so ties at the same timestamp share one frame — the
+    deterministic set the oracle sees too; the double sum is
+    decimal-routed for order-insensitivity.
+
+    Scale: one shuffle on user_id; the running frame is computed in a
+    single sorted pass per partition (no self-join, no explode).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us").rangeBetween(-_HOUR_US, 0)
+    avg_1h = (
+        F.sum(F.col("value").cast("decimal(27,6)")).over(w).cast("double")
+        / F.count("value").over(w)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        avg_1h.alias("avg_1h"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_1h"),
+    ).orderBy("user_id", "ts_us", "event_id")
+
+
+_NTILE_SQL = """
+SELECT c_mktsegment, quartile,
+       cast(count(*) AS bigint) AS n_custs,
+       round(cast(sum(cast(c_acctbal AS decimal(27,6))) AS double) / count(*), 6)
+         AS avg_bal
+FROM (SELECT c_mktsegment, c_acctbal,
+             ntile(4) OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal, c_custkey) AS quartile
+      FROM customer)
+GROUP BY c_mktsegment, quartile
+ORDER BY c_mktsegment, quartile
+"""
+
+
+@register("ntile_quartiles", oracle=_NTILE_SQL, tags=("window", "agg"))
+def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile bucketing (SURVEY §2.6 note: no ntile in the reference;
+    built-in here): per-market-segment account-balance quartiles with
+    per-bucket counts and decimal-routed means. The ntile window is
+    totally ordered (balance, custkey) so bucket assignment is
+    deterministic in both engines.
+
+    Scale: ntile needs the whole partition sorted — fine per segment
+    (5 segments ≈ 5 sorted partitions; salt the segment key if one
+    segment dominates). A GLOBAL ntile would serialize onto one
+    reducer; at 100 TB use approx_percentile cutpoints instead
+    (approx_stats_orders shows the sketch path).
+    """
+    customer = _t(spark, sf_dir, "customer")
+    wq = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    tiled = customer.select(
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(4).over(wq).cast("bigint").alias("quartile"),
+    )
+    return (
+        tiled.groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_custs"),
+            F.round(davg("c_acctbal"), 6).alias("avg_bal"),
+        )
+        .orderBy("c_mktsegment", "quartile")
     )
