@@ -1423,3 +1423,51 @@ def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment", "quartile")
     )
+
+
+_GROUPING_SETS_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       cast(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS bigint) AS gid,
+       {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+       cast(count(*) AS bigint) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+@register("grouping_sets_revenue", oracle=_GROUPING_SETS_SQL, tags=("agg",))
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (beyond the rollup/cube queries): the
+    (flag, status) detail, per-flag subtotal, and grand total in one
+    pass, disambiguated by an explicit grouping-id — grouped-out NULLs
+    are distinguishable from data NULLs via gid.
+
+    Scale: one shuffle; Spark expands each input row once per grouping
+    set BEFORE the partial aggregate, so the exchange carries partial
+    sums over ≤ 3× the group cardinality (tiny here), not 3× the data.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    gid = (
+        (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+        .cast("bigint")
+        .alias("gid")
+    )
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            gid,
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count("*").cast("bigint").alias("n_rows"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "revenue", "n_rows")
+        .orderBy(
+            "gid",
+            F.asc_nulls_first("l_returnflag"),
+            F.asc_nulls_first("l_linestatus"),
+        )
+    )

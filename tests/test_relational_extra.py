@@ -47,3 +47,38 @@ def test_approx_stats_within_bounds(spark, sf_dir):
         e = exact.loc[r.o_orderstatus]
         assert abs(r.approx_custs - e.n_custs) <= max(5, 0.05 * e.n_custs)
         assert abs(r.approx_median - e["median"]) <= 0.01 * e["median"] + 1
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q4_semi_join_plan_shape(spark, sf_dir):
+    """The EXISTS shape must stay a left-semi join (never duplicating
+    orders rows) with the date filter pushed into the orders scan."""
+    from asr_training_data_pipeline_spark.api import REGISTRY
+
+    plan = _plan(REGISTRY["q4_order_priority"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan  # pushed to parquet
+
+
+def test_q18_partial_agg_plan_shape(spark, sf_dir):
+    """The quantity rollup must partial-aggregate map-side (the
+    exchange carries per-orderkey partials, not raw lineitems)."""
+    from asr_training_data_pipeline_spark.api import REGISTRY
+
+    plan = _plan(REGISTRY["q18_large_volume"].fn(spark, sf_dir))
+    assert "partial_sum" in plan
+    assert "LeftSemi" in plan
+
+
+def test_moving_avg_range_frame_single_pass(spark, sf_dir):
+    """The trailing-window mean must be a Window over one exchange on
+    user_id — no self-join, no extra shuffle."""
+    from asr_training_data_pipeline_spark.api import REGISTRY
+
+    plan = _plan(REGISTRY["moving_avg_range_frame"].fn(spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Window") >= 1
+    assert "specifiedwindowframe(RangeFrame" in plan
