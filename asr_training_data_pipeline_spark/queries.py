@@ -1290,7 +1290,9 @@ LIMIT 100
 """
 
 
-@register("q18_large_volume", oracle=_Q18_SQL, tags=("join", "agg", "topk"))
+@register(
+    "q18_large_volume", oracle=_Q18_SQL, bench=True, tags=("join", "agg", "topk")
+)
 def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: HAVING-filtered aggregation used as a semi-join
     probe list, re-joined for detail rows, deterministic top-100.
@@ -1470,4 +1472,47 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.asc_nulls_first("l_returnflag"),
             F.asc_nulls_first("l_linestatus"),
         )
+    )
+
+
+def _rev_filter_sql(status: str) -> str:
+    return (
+        "cast(sum(cast(o_totalprice AS decimal(27,6)))"
+        f" FILTER (WHERE o_orderstatus = '{status}') AS double)"
+    )
+
+
+_PIVOT_SQL = f"""
+SELECT o_orderpriority,
+       {_rev_filter_sql('F')} AS revenue_f,
+       {_rev_filter_sql('O')} AS revenue_o,
+       {_rev_filter_sql('P')} AS revenue_p
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("pivot_revenue_by_status", oracle=_PIVOT_SQL, tags=("agg", "pivot"))
+def pivot_revenue_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide conditional aggregation): revenue per order
+    priority, one column per order status.
+
+    Scale: the pivot value list is EXPLICIT, so Spark skips the extra
+    distinct-collect job it otherwise runs to discover the columns —
+    at 100 TB that discovery pass is a full scan you don't want. One
+    shuffle, map-side partials per (priority × 3 statuses) cell.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(dsum("o_totalprice"))
+        .select(
+            "o_orderpriority",
+            F.col("F").alias("revenue_f"),
+            F.col("O").alias("revenue_o"),
+            F.col("P").alias("revenue_p"),
+        )
+        .orderBy("o_orderpriority")
     )
