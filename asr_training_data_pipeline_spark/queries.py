@@ -1516,3 +1516,60 @@ def pivot_revenue_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+_CORR_SQL = f"""
+WITH m AS (
+  SELECT l_returnflag,
+         cast(count(*) AS double) AS n,
+         {dsum_sql('l_quantity')} AS sx,
+         {dsum_sql('l_extendedprice')} AS sy,
+         {dsum_sql('l_quantity * l_extendedprice')} AS sxy,
+         {dsum_sql('l_quantity * l_quantity')} AS sxx,
+         {dsum_sql('l_extendedprice * l_extendedprice')} AS syy
+  FROM lineitem
+  GROUP BY l_returnflag)
+SELECT l_returnflag,
+       round((n * sxy - sx * sy)
+         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9)
+         AS corr_qty_price,
+       cast(n AS bigint) AS n_rows
+FROM m
+ORDER BY l_returnflag
+"""
+
+
+@register("corr_qty_price", oracle=_CORR_SQL, tags=("agg", "stats"))
+def corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per group, built from decimal-routed raw
+    moments instead of the builtin ``corr`` — the builtin's running
+    double accumulation is partition-order-dependent, so two runs (or
+    two engines) disagree in the last bits; exact moment sums make the
+    statistic bit-reproducible at any partition count (the final
+    3-row combine is rounded to 9 dp to absorb expression-tree ulp
+    differences between engines, like percentile_prices). Same recipe
+    extends to stddev/covariance/regression slopes.
+
+    Scale: one shuffle, six map-side partial decimal sums riding one
+    aggregate; the closed-form combine happens on 3 group rows.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        dsum(x, "sx"),
+        dsum(y, "sy"),
+        dsum(x * y, "sxy"),
+        dsum(x * x, "sxx"),
+        dsum(y * y, "syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return m.select(
+        "l_returnflag",
+        F.round(corr, 9).alias("corr_qty_price"),
+        n.cast("bigint").alias("n_rows"),
+    ).orderBy("l_returnflag")
