@@ -39,6 +39,13 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Foreign-session contract: every registered query must run on a
+    # SparkSession the caller built (the correctness harness does not use
+    # session.py's factory). events.parquet carries TIMESTAMP(NANOS),
+    # which vanilla Spark refuses to read; nanosAsLong is a runtime-
+    # settable SQL conf, so set it here — idempotent for sessions that
+    # already have it.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # TIMESTAMP(NANOS) parquet arrives as nanosecond longs (see
     # session.py nanosAsLong). Values are micro-aligned in practice,
