@@ -65,11 +65,27 @@ def _decode_pcm_stub(payload: bytes, frame_rate: int) -> np.ndarray:
     return (raw - 128.0) / 128.0
 
 
+# Pluggable decode seam: a real codec (sources.backends.soundfile_decoder)
+# drops in with the same (payload, frame_rate) -> float32 contract.
+_PCM_DECODER = _decode_pcm_stub
+
+
+def set_pcm_decoder(decoder) -> None:
+    """Install a real PCM decoder (e.g. ``backends.soundfile_decoder()``);
+    pass ``None`` to restore the deterministic stub."""
+    global _PCM_DECODER
+    _PCM_DECODER = decoder or _decode_pcm_stub
+
+
 def audio_features(media: DataFrame) -> DataFrame:
     """Decode + feature-extract stage: mapInPandas over binary rows →
     per-clip acoustics (duration, RMS, peak) — the engine shape of
     the reference's DSP helpers (C8-C10). Arrow moves the bytes; the
     decoded array never leaves the worker."""
+    # Capture the decoder at plan time: the closure ships to workers
+    # via cloudpickle, so an installed real decoder rides along
+    # (module globals would re-resolve to the stub on the worker).
+    _decode_pcm = _PCM_DECODER
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -78,7 +94,7 @@ def audio_features(media: DataFrame) -> DataFrame:
                 pdf["media_id"], pdf["payload"], pdf["meta"]
             ):
                 fr = int(meta["frame_rate"])
-                pcm = _decode_pcm_stub(bytes(payload), fr)
+                pcm = _decode_pcm(bytes(payload), fr)
                 rows.append(
                     dict(
                         media_id=int(media_id),
@@ -110,6 +126,7 @@ def frame_sample(media: DataFrame, every_n: int = 1000) -> DataFrame:
     """Frame-sampling stage (the video analog): emit every Nth decoded
     sample as its own row — 1 binary row → M frame rows, the UDTF
     shape used for video frame extraction."""
+    _decode_pcm = _PCM_DECODER  # plan-time capture, as audio_features
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -117,7 +134,7 @@ def frame_sample(media: DataFrame, every_n: int = 1000) -> DataFrame:
             for media_id, payload, meta in zip(
                 pdf["media_id"], pdf["payload"], pdf["meta"]
             ):
-                pcm = _decode_pcm_stub(bytes(payload), int(meta["frame_rate"]))
+                pcm = _decode_pcm(bytes(payload), int(meta["frame_rate"]))
                 for k, i in enumerate(range(0, len(pcm), every_n)):
                     out.append(
                         dict(

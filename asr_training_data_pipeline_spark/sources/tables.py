@@ -41,19 +41,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     # Foreign-session contract: every registered query must run on a
     # SparkSession the caller built (the correctness harness does not use
-    # session.py's factory). events.parquet carries TIMESTAMP(NANOS),
-    # which vanilla Spark refuses to read; nanosAsLong is a runtime-
-    # settable SQL conf, so set it here — idempotent for sessions that
-    # already have it.
+    # session.py's factory). Some testdata generations write events.ts as
+    # TIMESTAMP(NANOS), which vanilla Spark refuses to read; nanosAsLong
+    # is a runtime-settable SQL conf, so set it here — idempotent, and a
+    # no-op for micros-typed data.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # TIMESTAMP(NANOS) parquet arrives as nanosecond longs (see
-    # session.py nanosAsLong). Values are micro-aligned in practice,
-    # so truncating division to micros is lossless here and matches
-    # ANSI engines' nanos→micros cast.
+    # Normalize ts to TimestampType (LTZ) whatever the parquet carried:
+    # - TIMESTAMP(NANOS) + nanosAsLong → nanosecond longs; values are
+    #   micro-aligned in practice, so truncating division to micros is
+    #   lossless and matches ANSI engines' nanos→micros cast.
+    # - TIMESTAMP(MICROS, isAdjustedToUTC=false) → TIMESTAMP_NTZ; cast
+    #   to LTZ (identity under the UTC session contract — session.py
+    #   pins UTC and the harness host runs UTC). LTZ is what the
+    #   ts-consuming operators (unix_micros, RANGE frames, as-of joins)
+    #   expect, and matches DuckDB's naive-as-UTC epoch_us semantics.
     for f in df.schema.fields:
         if f.name == "ts" and isinstance(f.dataType, T.LongType):
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif f.name == "ts" and isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 

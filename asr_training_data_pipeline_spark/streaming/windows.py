@@ -23,16 +23,17 @@ from pyspark.sql import types as T
 from ..functions.exact import dsum, dsum_sql
 from ..registry import register
 
-_EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) arrives as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def _stage_dir(sf_dir: str, table: str) -> str:
@@ -55,12 +56,22 @@ def _stage_dir(sf_dir: str, table: str) -> str:
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _stage_dir(sf_dir, "events")
+    # Streaming sources need an explicit schema, and testdata
+    # generations differ in the physical ts type — TIMESTAMP(NANOS)
+    # (long under nanosAsLong) vs TIMESTAMP(MICROS, ntz). Probe the
+    # footer with a one-off batch read and normalize to TimestampType
+    # the same way sources/tables.py does for batch queries.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_type = spark.read.parquet(d).schema["ts"].dataType
     raw = (
-        spark.readStream.schema(_EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema(ts_type))
         .format("parquet")
-        .load(_stage_dir(sf_dir, "events"))
+        .load(d)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if isinstance(ts_type, T.LongType):
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
 
 
 def _run_to_memory(agg: DataFrame, mode: str = "complete") -> DataFrame:
