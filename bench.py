@@ -46,22 +46,28 @@ def main() -> None:
 
     spark.range(cpus * 4, numPartitions=cpus).select(_warm("id")).count()
 
-    # min-of-2 per query: this host carries unpredictable external load
-    # (observed 2-4x wall-clock swings on identical runs), and the
-    # first execution additionally pays one-time JVM JIT + codegen +
-    # Python-worker forks. The minimum of two runs is the standard
-    # noise-floor estimate; the cache is cleared between runs so each
-    # one recomputes the full plan.
+    # Per query: ONE untimed warm-up execution, then min-of-2 timed
+    # samples. The warm-up pays the per-plan one-time costs (JVM JIT /
+    # whole-stage-codegen class compilation, Python-worker pool growth)
+    # that otherwise land on sample 1 and made it 2-4x slower than the
+    # steady state — which in turn tripped the adaptive resampling on
+    # nearly every query and doubled total bench wall. The minimum of
+    # the warm samples is the standard noise-floor estimate on this
+    # host (unpredictable external load, observed 2-4x swings); the
+    # cache is cleared between ALL runs so each one recomputes the
+    # full plan.
     runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
-    max_runs = runs_per_query + 2
+    max_runs = runs_per_query + 1
     timings: dict[str, float] = {}
     t_total = time.time()
     for name, fn in sorted(bench_queries().items()):
+        fn(spark, sf_dir).count()  # untimed plan warm-up
+        spark.catalog.clearCache()
         samples: list[float] = []
         n = 0
         while len(samples) < runs_per_query or (
             # High spread means an external load burst hit some run;
-            # take up to 2 extra samples for a shot at a quiet window.
+            # take one extra sample for a shot at a quiet window.
             len(samples) < max_runs
             and max(samples) > 1.5 * min(samples)
         ):

@@ -79,3 +79,44 @@ def test_minhash_signature_shape(spark, sf_dir):
     ).toPandas()
     assert all(len(s) == 64 for s in sig.sig)
     assert all(all(0 <= int(x) < (1 << 31) for x in s) for s in sig.sig)
+
+
+def test_batch_segments_kernel_equivalence():
+    """The batch-level reduceat kernels must equal the per-doc
+    reference computation for every layout: empty docs, docs larger
+    than a chunk, and chunk boundaries splitting mid-batch."""
+    import numpy as np
+
+    from asr_training_data_pipeline_spark.operators.dedup import (
+        _MERSENNE,
+        _MINHASH_PARAMS,
+        _N_HASHES,
+        _batch_segments,
+    )
+
+    rng = np.random.default_rng(7)
+    docs = [
+        rng.integers(0, _MERSENNE, size=n, dtype=np.uint64)
+        for n in (0, 3, 17, 0, 64, 5, 0)
+    ]
+    A = np.array([a for a, _ in _MINHASH_PARAMS], dtype=np.uint64)[None, :]
+    B = np.array([b for _, b in _MINHASH_PARAMS], dtype=np.uint64)[None, :]
+
+    def reference(h):
+        if h.size == 0:
+            return np.full(_N_HASHES, _MERSENNE, dtype=np.int64)
+        return ((h[:, None] * A + B) % _MERSENNE).min(axis=0).astype(np.int64)
+
+    expected = np.stack([reference(h) for h in docs])
+
+    for chunk in (1, 7, 16, 10_000):  # forces every split layout
+        sigs = np.full((len(docs), _N_HASHES), _MERSENNE, dtype=np.int64)
+        for doc_idx, flat, seg_starts in _batch_segments(docs, chunk):
+            perms = (flat[:, None] * A + B) % _MERSENNE
+            sigs[doc_idx] = np.minimum.reduceat(perms, seg_starts, axis=0).astype(
+                np.int64
+            )
+        assert (sigs == expected).all(), f"chunk={chunk}"
+
+    # all-empty batch: generator yields nothing, identity rows remain
+    assert list(_batch_segments([np.empty(0, dtype=np.uint64)] * 3, 8)) == []
