@@ -108,21 +108,31 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TOKEN_COUNT_SQL = """
+# GPT-2-style pre-tokenizer alternation, lookahead-free so Java
+# (Spark) and RE2 (DuckDB) agree: contraction suffixes, space-prefixed
+# letter runs, digit runs, punctuation runs, residual whitespace.
+_BPE_PIECES = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+_TOKEN_COUNT_SQL = f"""
 SELECT doc_id,
        cast(len(string_split_regex(text, '\\s+')) AS bigint) AS n_ws_tokens,
        cast(len(regexp_extract_all(text, '[A-Za-z0-9''-]+')) AS bigint) AS n_re_tokens,
        cast(length(text) AS bigint) AS n_chars,
-       cast(ceil(length(text) / 4.0) AS bigint) AS approx_bpe_tokens
+       cast(ceil(length(text) / 4.0) AS bigint) AS approx_bpe_tokens,
+       cast(len(regexp_extract_all(text,
+            '{_BPE_PIECES.replace("'", "''")}')) AS bigint) AS n_bpe_pieces
 FROM documents
 """
 
 
 @register("token_count", oracle=_TOKEN_COUNT_SQL, tags=("text",))
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting three ways: whitespace split, regex word scan
-    (the reference's tokenizer, claude_research_optimal.py:31), and
-    the chars/4 BPE approximation used for LLM budget estimates.
+    """Token counting four ways: whitespace split, regex word scan
+    (the reference's tokenizer, claude_research_optimal.py:31), the
+    chars/4 BPE approximation used for LLM budget estimates, and a
+    GPT-2-style pre-tokenizer piece count (the \"BPE-ish regex\" —
+    an upper bound on real BPE tokens, computed entirely in the scan
+    stage with no vocabulary).
     """
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
@@ -133,6 +143,9 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_re_tokens"),
         F.length("text").cast("bigint").alias("n_chars"),
         F.ceil(F.length("text") / 4.0).cast("bigint").alias("approx_bpe_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_PIECES), 0))
+        .cast("bigint")
+        .alias("n_bpe_pieces"),
     )
 
 

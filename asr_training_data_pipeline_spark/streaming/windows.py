@@ -118,6 +118,42 @@ def streaming_tumbling_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("window_start_us", "event_type")
 
 
+_SLIDING_SQL = f"""
+SELECT epoch_us(ws) AS window_start_us,
+       event_type,
+       count(*) AS n_events,
+       {dsum_sql('value')} AS sum_value
+FROM (
+  SELECT date_trunc('hour', ts) AS ws, event_type, value FROM events
+  UNION ALL
+  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value FROM events
+)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("streaming_sliding_counts", oracle=_SLIDING_SQL, tags=("streaming",))
+def streaming_sliding_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) watermarked windows — 2-hour window, 1-hour
+    slide — over the events stream. Each event lands in exactly two
+    epoch-aligned windows (starts at floor_hour(t) and
+    floor_hour(t)−1h), so the EXACT batch oracle is a UNION ALL of the
+    two shifted hour-truncations grouped together. Completes the
+    tumbling/sliding/session trio from SURVEY §2.10."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = ev.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type").agg(
+        F.count("*").alias("n_events"), dsum("value", "sum_value")
+    )
+    out = _run_to_memory(agg, mode="complete")
+    return out.select(
+        F.unix_micros(F.col("window.start")).alias("window_start_us"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    ).orderBy("window_start_us", "event_type")
+
+
 _SESSION_SQL = f"""
 WITH ordered AS (
   SELECT user_id, epoch_us(ts) AS ts_us, value,
