@@ -205,3 +205,46 @@ def streaming_session_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     ).orderBy("user_id", "session_start_us")
+
+
+_DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+_STREAM_DEDUP_SQL = """
+SELECT DISTINCT sha256(text) AS content_hash
+FROM documents
+ORDER BY content_hash
+"""
+
+
+@register("streaming_dedup_exact", oracle=_STREAM_DEDUP_SQL, tags=("streaming", "dedup"))
+def streaming_dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content-hash dedup ON A STREAM — the streaming form of
+    ``dedup_exact_hash`` and the canonical continuous-ingest op for a
+    training-data pipeline: ``dropDuplicates`` holds the seen-hash set
+    in the state store and emits each content hash exactly once.
+    The emitted hash SET is order-independent, so the EXACT batch
+    oracle is ``SELECT DISTINCT sha256(text)``.
+
+    Scale: state is one 32-byte key per distinct document, hash-
+    partitioned across the cluster (RocksDB state store on a real
+    deployment); with event-time columns a
+    ``withWatermark + dropDuplicatesWithinWatermark`` bounds state for
+    truly unbounded streams."""
+    raw = (
+        spark.readStream.schema(_DOCS_SCHEMA)
+        .format("parquet")
+        .load(_stage_dir(sf_dir, "documents"))
+    )
+    dedup = raw.select(F.sha2("text", 256).alias("content_hash")).dropDuplicates(
+        ["content_hash"]
+    )
+    out = _run_to_memory(dedup, mode="append")
+    return out.orderBy("content_hash")
