@@ -503,3 +503,86 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= _HAMMING_MAX)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------
+# Stop-shingle Jaccard (the hot-shingle mitigation, made concrete)
+# ---------------------------------------------------------------------
+
+_STOP_DF = 32  # drop shingles present in more docs than this
+
+_JACCARD_STOP_SQL = f"""
+WITH {shingles_sql(_SHINGLE_K)},
+dfreq AS (SELECT shingle, count(*) AS dfq FROM sh GROUP BY 1),
+kept AS (SELECT sh.doc_id, sh.shingle
+         FROM sh JOIN dfreq USING (shingle) WHERE dfq <= {_STOP_DF}),
+sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       cast(inter AS double) / (sa.n + sb.n - inter) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE cast(inter AS double) / (sa.n + sb.n - inter) >= {_JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("dedup_ngram_jaccard_stopshingle", oracle=_JACCARD_STOP_SQL, tags=("dedup", "skew"))
+def dedup_ngram_jaccard_stopshingle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_ngram_jaccard`` with the documented hot-shingle
+    mitigation APPLIED, under an exact oracle: shingles whose document
+    frequency exceeds ``_STOP_DF`` are dropped before the inverted-
+    index self-join, and Jaccard is computed over the surviving
+    shingle sets on both sides of the comparison.
+
+    This is the skew control for the inverted-index path at 100 TB:
+    the self-join's cost is Σ(df²) over shingle frequencies, so a
+    single boilerplate shingle shared by 10⁶ docs would otherwise
+    create one 10¹²-pair bucket. Capping df bounds every bucket at
+    _STOP_DF² pairs while barely moving the similarity of true
+    near-dups (their overlap is dominated by selective shingles).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            F.explode(shingles_col(F.split(F.col("text"), " "), _SHINGLE_K)).alias(
+                "shingle"
+            ),
+        )
+    )
+    # document frequency per shingle; one hash shuffle on the shingle,
+    # reused immediately by the self-join on the same key
+    kept = sh.withColumn(
+        "dfq", F.count("*").over(W.partitionBy("shingle"))
+    ).filter(F.col("dfq") <= _STOP_DF)
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = kept.alias("a")
+    b = kept.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("inter").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("inter")
+    )
+    return (
+        shared.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -286,3 +286,84 @@ def stopword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(toks, " ").alias("content_text"),
         F.size(toks).cast("bigint").alias("n_content"),
     ).orderBy("doc_id")
+
+
+_CURATION_SQL = f"""
+WITH base AS (
+  SELECT doc_id, sha256(text) AS content_hash,
+         string_split(lower(text), ' ') AS t
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, content_hash,
+         cast(len(list_filter(t, x -> x IN ({_SW_SQL_LIST}))) AS double)
+           / len(t) AS stop_ratio,
+         0.4 * least(cast(len(t) AS double) / 100, 1.0)
+           + 0.3 * (cast(len(list_distinct(t)) AS double) / len(t))
+           + 0.3 * (cast(len(list_filter(t, x -> x IN ({_SW_SQL_LIST}))) AS double)
+                      / len(t)) AS quality_score,
+         row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+  FROM base
+  WHERE len(t) > 0
+)
+SELECT doc_id, content_hash,
+       CASE WHEN stop_ratio >= 0.05 THEN 'en' ELSE 'unknown' END AS predicted_lang,
+       quality_score,
+       rn = 1 AS is_canonical,
+       (stop_ratio >= 0.05 AND quality_score >= 0.5 AND rn = 1) AS keep
+FROM scored
+ORDER BY doc_id
+"""
+
+
+@register("corpus_curation", oracle=_CURATION_SQL, tags=("text", "dedup", "pipeline"))
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-corpus curation gate as ONE pass: language ID, quality
+    score, exact-dup survivorship (first doc per content hash), and
+    the final keep decision — the composition a training-data
+    pipeline applies to every ingested document.
+
+    Scale: one scan + one hash-partitioned window on the 32-byte
+    content hash; every scoring component is a codegen'd column
+    expression computed before the shuffle, so the exchange carries
+    scalars, never token arrays.
+    """
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.lower(F.col("text")), " ")
+    n = F.size(t)
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    stop_ratio = F.size(F.filter(t, lambda x: F.array_contains(sw, x))).cast(
+        "double"
+    ) / n
+    quality = (
+        0.4 * F.least(n.cast("double") / 100, F.lit(1.0))
+        + 0.3 * (F.size(F.array_distinct(t)).cast("double") / n)
+        + 0.3 * stop_ratio
+    )
+    h = F.sha2("text", 256)
+    scored = docs.filter(n > 0).select(
+        "doc_id",
+        h.alias("content_hash"),
+        stop_ratio.alias("stop_ratio"),
+        quality.alias("quality_score"),
+    )
+    rn = F.row_number().over(W.partitionBy("content_hash").orderBy("doc_id"))
+    lang = F.when(F.col("stop_ratio") >= 0.05, "en").otherwise("unknown")
+    return (
+        scored.withColumn("rn", rn)
+        .select(
+            "doc_id",
+            "content_hash",
+            lang.alias("predicted_lang"),
+            "quality_score",
+            (F.col("rn") == 1).alias("is_canonical"),
+            (
+                (F.col("stop_ratio") >= 0.05)
+                & (F.col("quality_score") >= 0.5)
+                & (F.col("rn") == 1)
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
