@@ -1,0 +1,67 @@
+"""Plan-shape assertions for the hot queries: the physical plan IS
+the 100 TB design, so lock the properties that make it scale —
+column-pruned scans, single Python boundaries, exchange counts —
+against regressions. (Join-strategy shapes for the relational queries
+live in tests/test_relational_extra.py; bucketing in
+tests/test_bucketing.py.)"""
+
+from __future__ import annotations
+
+import re
+
+from asr_training_data_pipeline_spark.api import REGISTRY
+
+
+def _executed_plan(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_word_coverage_scan_prunes_to_text(spark, sf_dir):
+    plan = _executed_plan(spark, sf_dir, "word_coverage")
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, "no parquet scan in plan"
+    for s in schemas:
+        assert s == "text:string", f"scan reads more than the text column: {s}"
+
+
+def test_minhash_signature_computed_once(spark, sf_dir):
+    """The LSH band self-join must reference the PERSISTED band
+    projection on both sides — one ArrowEvalPython (the signature
+    kernel) in the cache-fill subtree, two InMemoryTableScans, and no
+    second Python boundary."""
+    plan = _executed_plan(spark, sf_dir, "dedup_minhash_lsh")
+    assert plan.count("InMemoryTableScan") == 2, plan.count("InMemoryTableScan")
+    # InMemoryRelation prints its (single) fill plan under each scan;
+    # what must NOT exist is an ArrowEvalPython OUTSIDE the cached
+    # subtree — that would mean the signature kernel re-executes.
+    outside = plan.split("InMemoryRelation", 1)[0]
+    assert "ArrowEvalPython" not in outside
+
+
+def test_corpus_curation_single_exchange(spark, sf_dir):
+    """Scoring happens before the one content-hash shuffle; the
+    exchange must carry scalars only (no token arrays)."""
+    plan = _executed_plan(spark, sf_dir, "corpus_curation")
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(exchanges) == 1, exchanges
+    assert "content_hash" in exchanges[0]
+    assert "split" not in exchanges[0]  # token arrays stay pre-shuffle
+
+
+def test_ann_cosine_topk_no_vector_shuffle(spark, sf_dir):
+    """The query set broadcasts; embedding vectors must never ride a
+    hash exchange (only the scored scalars do)."""
+    plan = _executed_plan(spark, sf_dir, "ann_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    for part in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "embedding" not in part and "ve" not in part.split(","), part
+
+
+def test_sessionize_reuses_one_shuffle(spark, sf_dir):
+    """lag → flag → cumulative session id → groupBy: all window and
+    aggregate steps run on ONE user_id hash partitioning."""
+    plan = _executed_plan(spark, sf_dir, "sessionize_events")
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    keyed = [e for e in exchanges if "user_id" in e]
+    assert len(keyed) <= 1, exchanges
