@@ -120,3 +120,50 @@ def test_batch_segments_kernel_equivalence():
 
     # all-empty batch: generator yields nothing, identity rows remain
     assert list(_batch_segments([np.empty(0, dtype=np.uint64)] * 3, 8)) == []
+
+
+def test_batch_segments_property_random_layouts():
+    """Property: for ANY doc-length layout and chunk size, the batched
+    reduceat MinHash kernel equals the per-doc reference."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from asr_training_data_pipeline_spark.operators.dedup import (
+        _MERSENNE,
+        _MINHASH_PARAMS,
+        _N_HASHES,
+        _batch_segments,
+    )
+
+    A = np.array([a for a, _ in _MINHASH_PARAMS], dtype=np.uint64)[None, :]
+    B = np.array([b for _, b in _MINHASH_PARAMS], dtype=np.uint64)[None, :]
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        lens=st.lists(st.integers(min_value=0, max_value=40), min_size=0, max_size=25),
+        chunk=st.integers(min_value=1, max_value=120),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(lens, chunk, seed):
+        rng = np.random.default_rng(seed)
+        docs = [
+            rng.integers(0, _MERSENNE, size=n, dtype=np.uint64) for n in lens
+        ]
+        expected = np.stack(
+            [
+                ((h[:, None] * A + B) % _MERSENNE).min(axis=0).astype(np.int64)
+                if h.size
+                else np.full(_N_HASHES, _MERSENNE, dtype=np.int64)
+                for h in docs
+            ]
+        ) if docs else np.empty((0, _N_HASHES), dtype=np.int64)
+        sigs = np.full((len(docs), _N_HASHES), _MERSENNE, dtype=np.int64)
+        for doc_idx, flat, seg_starts in _batch_segments(docs, chunk):
+            perms = (flat[:, None] * A + B) % _MERSENNE
+            sigs[doc_idx] = np.minimum.reduceat(perms, seg_starts, axis=0).astype(
+                np.int64
+            )
+        assert (sigs == expected).all()
+
+    check()
