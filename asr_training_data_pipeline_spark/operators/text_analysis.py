@@ -367,3 +367,79 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------
+# Winnowing fingerprints (rolling-hash document fingerprinting)
+# ---------------------------------------------------------------------
+
+_WIN_K = 8  # character k-gram length
+_WIN_W = 4  # winnowing window (min over w consecutive gram hashes)
+
+def winnow_fps(docs: DataFrame) -> DataFrame:
+    """(doc_id, fps) — the distinct winnowed fingerprint set per doc;
+    shared by the registered query and the guarantee test."""
+    return (
+        docs.selectExpr("doc_id", "lower(text) AS s")
+        .filter(F.length("s") >= _WIN_K + _WIN_W - 1)
+        .selectExpr(
+            "doc_id",
+            f"transform(sequence(1, length(s) - {_WIN_K - 1}),"
+            f"          i -> md5(substring(s, i, {_WIN_K}))) AS grams",
+        )
+        .selectExpr(
+            "doc_id",
+            f"array_distinct(transform(sequence(1, size(grams) - {_WIN_W - 1}),"
+            f"               j -> array_min(slice(grams, j, {_WIN_W})))) AS fps",
+        )
+    )
+
+
+_WINNOW_SQL = f"""
+WITH s AS (SELECT doc_id, lower(text) AS s FROM documents),
+g AS (
+  SELECT doc_id,
+         [md5(substr(s, i, {_WIN_K})) for i in range(1, length(s) - {_WIN_K - 2})] AS grams
+  FROM s WHERE length(s) >= {_WIN_K + _WIN_W - 1}
+),
+w AS (
+  SELECT doc_id,
+         list_distinct([list_aggregate(grams[j:j + {_WIN_W - 1}], 'min')
+                        for j in range(1, len(grams) - {_WIN_W - 2})]) AS fps
+  FROM g
+)
+SELECT doc_id,
+       cast(len(fps) AS bigint) AS n_fp,
+       list_aggregate(fps, 'min') AS min_fp,
+       list_aggregate(fps, 'max') AS max_fp
+FROM w
+ORDER BY doc_id
+"""
+
+
+@register("doc_winnowing", oracle=_WINNOW_SQL, tags=("text", "dedup"))
+def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    rolling-hash scheme): hash every character k-gram (k=8), keep the
+    minimum hash of each w-window of consecutive gram hashes,
+    de-duplicate. Guarantees any shared substring of length ≥ k+w−1
+    yields a shared fingerprint — the local-similarity complement to
+    the whole-document shingle fingerprints in ``doc_fingerprint``.
+
+    The rolling-hash recurrence is an implementation trick for
+    single-pass CPUs; semantically every gram is hashed independently,
+    which is exactly what the codegen'd higher-order functions do here
+    (and what keeps the DuckDB oracle bit-identical). Everything runs
+    in the scan stage; only (doc_id, count, min, max) leave it.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        winnow_fps(docs)
+        .select(
+            "doc_id",
+            F.size("fps").cast("bigint").alias("n_fp"),
+            F.array_min("fps").alias("min_fp"),
+            F.array_max("fps").alias("max_fp"),
+        )
+        .orderBy("doc_id")
+    )

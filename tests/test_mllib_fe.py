@@ -55,3 +55,24 @@ def test_mllib_tfidf_features_shape(spark, sf_dir):
     # determinism across runs (fixed hashing, no seed dependence)
     pdf2 = REGISTRY["mllib_tfidf_features"].fn(spark, sf_dir).toPandas()
     assert pdf.equals(pdf2)
+
+
+def test_winnowing_guarantee(spark):
+    """Winnowing's defining property: two documents sharing a
+    substring of length >= k+w-1 share at least one fingerprint."""
+    from asr_training_data_pipeline_spark.operators.text_analysis import (
+        _WIN_K,
+        _WIN_W,
+        winnow_fps,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    assert len(shared) >= _WIN_K + _WIN_W - 1
+    docs = spark.createDataFrame(
+        [(1, "PREFIX-AAA " + shared + " SUFFIX-BBB"),
+         (2, "zzz unrelated opening words " + shared),
+         (3, "totally different content with no overlap at all here")],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: set(r["fps"]) for r in winnow_fps(docs).collect()}
+    assert fps[1] & fps[2], "shared substring must produce a shared fingerprint"
