@@ -376,21 +376,21 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WIN_K = 8  # character k-gram length
 _WIN_W = 4  # winnowing window (min over w consecutive gram hashes)
 
-def winnow_fps(docs: DataFrame) -> DataFrame:
+def winnow_fps(docs: DataFrame, k: int = _WIN_K, w: int = _WIN_W) -> DataFrame:
     """(doc_id, fps) — the distinct winnowed fingerprint set per doc;
-    shared by the registered query and the guarantee test."""
+    shared by the registered queries and the guarantee test."""
     return (
         docs.selectExpr("doc_id", "lower(text) AS s")
-        .filter(F.length("s") >= _WIN_K + _WIN_W - 1)
+        .filter(F.length("s") >= k + w - 1)
         .selectExpr(
             "doc_id",
-            f"transform(sequence(1, length(s) - {_WIN_K - 1}),"
-            f"          i -> md5(substring(s, i, {_WIN_K}))) AS grams",
+            f"transform(sequence(1, length(s) - {k - 1}),"
+            f"          i -> md5(substring(s, i, {k}))) AS grams",
         )
         .selectExpr(
             "doc_id",
-            f"array_distinct(transform(sequence(1, size(grams) - {_WIN_W - 1}),"
-            f"               j -> array_min(slice(grams, j, {_WIN_W})))) AS fps",
+            f"array_distinct(transform(sequence(1, size(grams) - {w - 1}),"
+            f"               j -> array_min(slice(grams, j, {w})))) AS fps",
         )
     )
 
@@ -442,4 +442,112 @@ def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_max("fps").alias("max_fp"),
         )
         .orderBy("doc_id")
+    )
+
+
+_WPAIR_K = 16  # longer grams than doc_winnowing: selectivity for the index
+_WPAIR_W = 4
+_WPAIR_DF_CAP = 32  # stop-fingerprint cap (hot boilerplate phrases)
+_WIN_SHARE_MIN = 3  # min shared fingerprints to pair
+
+_WINNOW_PAIRS_SQL = f"""
+WITH s AS (SELECT doc_id, lower(text) AS s FROM documents),
+g AS (
+  SELECT doc_id,
+         [md5(substr(s, i, {_WPAIR_K})) for i in range(1, length(s) - {_WPAIR_K - 2})] AS grams
+  FROM s WHERE length(s) >= {_WPAIR_K + _WPAIR_W - 1}
+),
+w AS (
+  SELECT doc_id,
+         list_distinct([list_aggregate(grams[j:j + {_WPAIR_W - 1}], 'min')
+                        for j in range(1, len(grams) - {_WPAIR_W - 2})]) AS fps
+  FROM g
+),
+fp AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+fpk AS (SELECT doc_id, fp FROM fp WHERE substr(fp, 1, 1) IN ('0','1','2','3')),
+dfq AS (SELECT fp, count(*) AS c FROM fpk GROUP BY 1),
+kept AS (SELECT fpk.doc_id, fpk.fp FROM fpk JOIN dfq USING (fp)
+         WHERE c <= {_WPAIR_DF_CAP}),
+sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= {_WIN_SHARE_MIN}
+)
+SELECT doc_a, doc_b, cast(n_shared AS bigint) AS n_shared,
+       cast(n_shared AS double) / least(sa.n, sb.n) AS containment
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("dedup_winnow_pairs", oracle=_WINNOW_PAIRS_SQL, tags=("dedup", "text"))
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-overlap candidate pairs via shared winnowing
+    fingerprints, scored by CONTAINMENT (shared / smaller fingerprint
+    set) rather than global Jaccard — this catches a short document
+    embedded verbatim inside a long one, which whole-document MinHash
+    similarity dilutes away.
+
+    Scale: same inverted-index shape as the shingle Jaccard join, with
+    the three standard density controls composed: winnowing (~1/w of
+    raw grams), mod-sampling (keep 1/4 of fingerprints by first hex
+    digit), and a stop-fingerprint document-frequency cap (boilerplate
+    phrases shared by > cap docs are dropped — the hot-bucket control,
+    same as dedup_ngram_jaccard_stopshingle). Counts on both sides of
+    the containment ratio use the same filtered stream, so the score
+    stays a consistent estimator.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    # PERSIST the fingerprint ARRAYS before exploding: Generate
+    # re-evaluates an inline generator expression per OUTPUT row, so
+    # exploding the raw nested-transform column re-runs the full
+    # O(doc_len) gram+winnow chain once per fingerprint — measured
+    # 176 s vs 0.3 s at sf0.001 for the explode alone. Persisting the
+    # (doc_id, fps) arrays makes the generator a plain column read,
+    # and the pin is also what the df-cap/sizes/self-join reuse.
+    wf = winnow_fps(
+        docs.repartition(docs.sparkSession.sparkContext.defaultParallelism),
+        k=_WPAIR_K,
+        w=_WPAIR_W,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    fpk = wf.select("doc_id", F.explode("fps").alias("fp")).filter(
+        F.substring("fp", 1, 1).isin("0", "1", "2", "3")
+    )
+    kept = fpk.withColumn(
+        "c", F.count("*").over(W.partitionBy("fp"))
+    ).filter(F.col("c") <= _WPAIR_DF_CAP).select("doc_id", "fp")
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = kept.alias("a")
+    b = kept.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= _WIN_SHARE_MIN)
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        shared.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            (
+                F.col("n_shared").cast("double")
+                / F.least(F.col("sa.n"), F.col("sb.n"))
+            ).alias("containment"),
+        )
+        .orderBy("doc_a", "doc_b")
     )
