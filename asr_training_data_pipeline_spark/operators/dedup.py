@@ -586,3 +586,101 @@ def dedup_ngram_jaccard_stopshingle(spark: SparkSession, sf_dir: str) -> DataFra
         .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------
+# Duplicate clusters: connected components over near-dup pairs
+# ---------------------------------------------------------------------
+
+_CC_SQL = f"""
+WITH RECURSIVE
+{shingles_sql(_SHINGLE_K)},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM shared
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE cast(inter AS double) / (sa.n + sb.n - inter) >= {_JACCARD_THRESHOLD}
+),
+sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS v FROM sym),
+reach(x, y) AS (
+  SELECT v, v FROM nodes
+  UNION
+  SELECT r.x, s.b FROM reach r JOIN sym s ON r.y = s.a
+),
+comp AS (SELECT x AS doc_id, min(y) AS component FROM reach GROUP BY x)
+SELECT doc_id, component,
+       cast(count(*) OVER (PARTITION BY component) AS bigint) AS cluster_size
+FROM comp
+ORDER BY doc_id
+"""
+
+
+@register("dedup_components", oracle=_CC_SQL, tags=("dedup", "iterative"))
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS from near-dup pairs: connected components by
+    iterative min-label propagation — the capstone of the dedup
+    pipeline (pairs only say "these two overlap"; the survivor
+    decision needs the transitive cluster). Component id = smallest
+    doc_id in the cluster, which IS the canonical survivor.
+
+    This is the engine's one deliberately ITERATIVE operator: each
+    round is a distributed join+groupBy (label ← min(label, neighbor
+    labels)) and the loop exits when the label sum stops falling —
+    monotone, so convergence needs ≤ graph-diameter rounds (near-dup
+    graphs are shallow; the cap is a safety net). The driver holds
+    only one scalar per round. At 10⁹-edge scale you would switch to
+    the large-star/small-star contraction (same join primitive,
+    O(log n) rounds); the oracle is DuckDB's recursive-CTE closure.
+    """
+    from pyspark import StorageLevel
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    sym = (
+        pairs.selectExpr("doc_a AS a", "doc_b AS b")
+        .union(pairs.selectExpr("doc_b AS a", "doc_a AS b"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = sym.select(F.col("a").alias("v")).distinct().withColumn(
+        "label", F.col("v")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(25):  # safety cap ≥ any realistic dedup-graph diameter
+        nbr = (
+            sym.join(
+                labels.select(F.col("v").alias("b"), F.col("label").alias("blabel")),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("blabel").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["v"] == nbr["a"], "left")
+            .select(
+                labels["v"],
+                F.least(
+                    labels["label"], F.coalesce(nbr["nmin"], labels["label"])
+                ).alias("label"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:  # min-labels are monotone ⇒ fixpoint
+            break
+        prev_sum = new_sum
+    w = W.partitionBy("label")
+    return labels.select(
+        F.col("v").alias("doc_id"),
+        F.col("label").alias("component"),
+        F.count("*").over(w).cast("bigint").alias("cluster_size"),
+    ).orderBy("doc_id")
