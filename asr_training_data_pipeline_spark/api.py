@@ -40,7 +40,7 @@ _PRIORITY = (
     "ann_cosine_topk",
     "embedding_cosine_pairs",
     "ann_lsh_topk",
-    "ann_ivf_topk",
+    "dedup_components",
     "corpus_curation",
     "lang_id_heuristic",
     "quality_score",

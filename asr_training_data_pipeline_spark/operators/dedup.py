@@ -1,15 +1,21 @@
 """Deduplication operator family (north-star extension, SURVEY §2.12).
 
-Five levels, each the right tool at a different scale/fidelity point:
+Each member is the right tool at a different scale/fidelity point:
 
 - exact key dedup          — hash-groupBy on a derived key
 - exact content-hash dedup — sha256(content) + first-survivor window
 - n-gram Jaccard           — shingle inverted-index join (exact
-                             similarity, candidate-bounded)
+                             similarity, candidate-bounded); plus the
+                             stop-shingle df-capped variant for skew
 - MinHash + LSH banding    — the 100 TB near-dup path: O(n·bands)
                              shuffle instead of O(n²) pairs
 - SimHash                  — 64-bit fingerprints + pigeonhole band
                              join for small hamming radii
+- connected components     — pairs → transitive duplicate clusters →
+                             survivor (iterative min-label propagation)
+
+(Containment-scored winnowing pairs — partial-overlap dedup — live in
+operators.text_analysis next to the winnowing fingerprints.)
 
 Candidate generation, banding, joins, and thresholds are built-in
 DataFrame ops (hash functions, array ops, windows) inside whole-stage
