@@ -551,3 +551,65 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+_PROFILE_SQL = """
+SELECT 'text' AS col,
+       cast(count(*) AS bigint) AS n_rows,
+       cast(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_null,
+       cast(count(DISTINCT text) AS bigint) AS n_distinct,
+       cast(min(length(text)) AS bigint) AS min_len,
+       cast(max(length(text)) AS bigint) AS max_len,
+       round(avg(length(text)), 6) AS avg_len
+FROM documents
+UNION ALL
+SELECT 'lang',
+       cast(count(*) AS bigint),
+       cast(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS bigint),
+       cast(count(DISTINCT lang) AS bigint),
+       cast(min(length(lang)) AS bigint),
+       cast(max(length(lang)) AS bigint),
+       round(avg(length(lang)), 6)
+FROM documents
+UNION ALL
+SELECT 'source',
+       cast(count(*) AS bigint),
+       cast(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS bigint),
+       cast(count(DISTINCT source) AS bigint),
+       cast(min(length(source)) AS bigint),
+       cast(max(length(source)) AS bigint),
+       round(avg(length(source)), 6)
+FROM documents
+ORDER BY col
+"""
+
+
+@register("profile_documents", oracle=_PROFILE_SQL, tags=("text", "stats"))
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profiling (the ANALYZE/data-quality report every
+    ingest pipeline runs before training): per-column row/null/distinct
+    counts and length stats, computed as a single multi-aggregate scan
+    per column family and unioned into a tall report.
+
+    Scale: count(DISTINCT) is the only shuffle-bearing term; Spark
+    plans one partial-agg pass per distinct column (expand) — at
+    100 TB you swap it for approx_count_distinct (see
+    approx_stats_orders) and keep everything else identical.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+
+    def prof(col: str) -> DataFrame:
+        c = F.col(col)
+        return docs.agg(
+            F.lit(col).alias("col"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.when(c.isNull(), 1).otherwise(0)).cast("bigint").alias("n_null"),
+            F.count_distinct(c).cast("bigint").alias("n_distinct"),
+            F.min(F.length(c)).cast("bigint").alias("min_len"),
+            F.max(F.length(c)).cast("bigint").alias("max_len"),
+            F.round(F.avg(F.length(c)), 6).alias("avg_len"),
+        )
+
+    return (
+        prof("text").union(prof("lang")).union(prof("source")).orderBy("col")
+    )
