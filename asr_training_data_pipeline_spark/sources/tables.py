@@ -46,22 +46,51 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # is a runtime-settable SQL conf, so set it here — idempotent, and a
     # no-op for micros-typed data.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # Normalize ts to TimestampType (LTZ) whatever the parquet carried:
-    # - TIMESTAMP(NANOS) + nanosAsLong → nanosecond longs; values are
-    #   micro-aligned in practice, so truncating division to micros is
-    #   lossless and matches ANSI engines' nanos→micros cast.
-    # - TIMESTAMP(MICROS, isAdjustedToUTC=false) → TIMESTAMP_NTZ; cast
-    #   to LTZ (identity under the UTC session contract — session.py
-    #   pins UTC and the harness host runs UTC). LTZ is what the
-    #   ts-consuming operators (unix_micros, RANGE frames, as-of joins)
-    #   expect, and matches DuckDB's naive-as-UTC epoch_us semantics.
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    # Normalize every TIMESTAMP-typed parquet column to TimestampType
+    # (LTZ), whatever physical form this testdata generation used.
+    # The parquet FOOTER is the source of truth (testdata regenerates
+    # between rounds and has already flipped types once — r2 wrote
+    # events.ts as TIMESTAMP(NANOS), r3 as TIMESTAMP(MICROS, ntz)):
+    # - TIMESTAMP(NANOS) + nanosAsLong → nanosecond longs. The Spark
+    #   schema alone can't distinguish that from a true long column,
+    #   so consult the footer; values are micro-aligned in practice,
+    #   making the truncating division to micros lossless (the ANSI
+    #   nanos→micros cast).
+    # - TIMESTAMP(MICROS/MILLIS, isAdjustedToUTC=false) →
+    #   TIMESTAMP_NTZ; cast to LTZ (identity under the UTC session
+    #   contract — session.py pins UTC and the harness host runs UTC).
+    # LTZ is what the time-consuming operators (unix_micros, RANGE
+    # frames, as-of joins) expect, and matches DuckDB's naive-as-UTC
+    # epoch_us semantics.
+    ts_cols = _parquet_timestamp_columns(path)
     for f in df.schema.fields:
-        if f.name == "ts" and isinstance(f.dataType, T.LongType):
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        elif f.name == "ts" and isinstance(f.dataType, T.TimestampNTZType):
-            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+        if f.name not in ts_cols:
+            continue
+        if isinstance(f.dataType, T.LongType):
+            df = df.withColumn(
+                f.name, F.expr(f"timestamp_micros(`{f.name}` div 1000)")
+            )
+        elif isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast(T.TimestampType()))
     return df
+
+
+def _parquet_timestamp_columns(path: str) -> frozenset[str]:
+    """Column names carrying a parquet TIMESTAMP logical type, read
+    from the file footer (metadata only — no data IO). Falls back to
+    the historical {'ts'} convention if pyarrow is unavailable."""
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+
+        schema = pq.ParquetFile(path).schema_arrow
+        return frozenset(
+            f.name for f in schema if pa.types.is_timestamp(f.type)
+        )
+    except Exception:
+        return frozenset({"ts"})
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

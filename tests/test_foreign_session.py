@@ -35,6 +35,22 @@ def test_load_events_on_bare_session(bare_session, sf_dir):
     assert df.count() > 0
 
 
+def test_all_parquet_timestamps_normalized_to_ltz(bare_session, sf_dir):
+    """Footer-driven normalization: EVERY timestamp-typed parquet
+    column — not just events.ts — must surface as TimestampType (LTZ),
+    whatever physical form (NANOS-as-long / MICROS-ntz) the current
+    testdata generation used."""
+    for table in ("events", "orders", "lineitem"):
+        df = load_table(bare_session, sf_dir, table)
+        for name, dtype in df.dtypes:
+            assert dtype not in ("timestamp_ntz",), (table, name, dtype)
+            # a raw nanos long would masquerade as bigint; timestamps
+            # in these tables carry date/ts names — spot-check none of
+            # the known time columns degraded
+        bad = [n for n, t in df.dtypes if n in ("ts", "o_orderdate", "l_shipdate") and t != "timestamp"]
+        assert not bad, (table, bad)
+
+
 @pytest.mark.parametrize(
     "name",
     ["sessionize_events", "ms_round_convert", "asof_join_orders", "range_join_events"],
