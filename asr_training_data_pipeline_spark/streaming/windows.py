@@ -23,16 +23,18 @@ from pyspark.sql import types as T
 from ..functions.exact import dsum, dsum_sql
 from ..registry import register
 
-def _events_schema(ts_type: T.DataType) -> T.StructType:
-    return T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", ts_type),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
+def _probed_stream(spark: SparkSession, d: str) -> DataFrame:
+    """Parquet stream whose schema comes from a one-off batch probe of
+    the same directory (metadata-only): streaming sources require an
+    explicit schema, and hard-coding one breaks whenever the driver
+    regenerates testdata with different physical types (already
+    happened once for events.ts). nanosAsLong is set first so a
+    NANOS-typed generation probes as long instead of failing."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.readStream.schema(spark.read.parquet(d).schema)
+        .format("parquet")
+        .load(d)
     )
 
 
@@ -56,22 +58,15 @@ def _stage_dir(sf_dir: str, table: str) -> str:
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _stage_dir(sf_dir, "events")
-    # Streaming sources need an explicit schema, and testdata
-    # generations differ in the physical ts type — TIMESTAMP(NANOS)
-    # (long under nanosAsLong) vs TIMESTAMP(MICROS, ntz). Probe the
-    # footer with a one-off batch read and normalize to TimestampType
-    # the same way sources/tables.py does for batch queries.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ts_type = spark.read.parquet(d).schema["ts"].dataType
-    raw = (
-        spark.readStream.schema(_events_schema(ts_type))
-        .format("parquet")
-        .load(d)
-    )
+    raw = _probed_stream(spark, _stage_dir(sf_dir, "events"))
+    # Normalize ts to TimestampType like sources/tables.py does for
+    # batch reads (NANOS-as-long → micros division; NTZ → LTZ cast).
+    ts_type = raw.schema["ts"].dataType
     if isinstance(ts_type, T.LongType):
         return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    if isinstance(ts_type, T.TimestampNTZType):
+        return raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return raw
 
 
 def _run_to_memory(agg: DataFrame, mode: str = "complete") -> DataFrame:
@@ -207,16 +202,6 @@ def streaming_session_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "session_start_us")
 
 
-_DOCS_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("text", T.StringType()),
-        T.StructField("lang", T.StringType()),
-        T.StructField("source", T.StringType()),
-        T.StructField("n_chars", T.LongType()),
-    ]
-)
-
 _STREAM_DEDUP_SQL = """
 SELECT DISTINCT sha256(text) AS content_hash
 FROM documents
@@ -238,11 +223,7 @@ def streaming_dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     deployment); with event-time columns a
     ``withWatermark + dropDuplicatesWithinWatermark`` bounds state for
     truly unbounded streams."""
-    raw = (
-        spark.readStream.schema(_DOCS_SCHEMA)
-        .format("parquet")
-        .load(_stage_dir(sf_dir, "documents"))
-    )
+    raw = _probed_stream(spark, _stage_dir(sf_dir, "documents"))
     dedup = raw.select(F.sha2("text", 256).alias("content_hash")).dropDuplicates(
         ["content_hash"]
     )
