@@ -307,7 +307,12 @@ def minhash_signature_col(shingles):
     @F.pandas_udf("array<long>")
     def perm_min(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for hashes_col in it:
-            arrs = [np.asarray(h, dtype=np.uint64) for h in hashes_col]
+            # None (null array, e.g. a doc below the shingle length
+            # floor) folds to the identity signature like the SQL fold
+            arrs = [
+                np.asarray(() if h is None else h, dtype=np.uint64)
+                for h in hashes_col
+            ]
             sigs = np.full((len(arrs), _N_HASHES), _MERSENNE, dtype=np.int64)
             for doc_idx, flat, seg_starts in _batch_segments(arrs, chunk_rows):
                 # h*a+b < 2^62 + 2^31: no uint64 overflow
@@ -446,13 +451,20 @@ def simhash_col(tokens):
 
     bits = np.arange(64, dtype=np.uint64)[None, :]
     masks = np.uint64(1) << np.arange(64, dtype=np.uint64)
-    # 1M tokens × 64 bits × 1 B ≈ 64 MB intermediate per chunk.
-    chunk_rows = 1 << 20
+    # Budget the PEAK temporary, not the final matrix: the bit-shift
+    # broadcast materializes (tokens × 64) uint64 intermediates, so
+    # 128k tokens × 64 × 8 B ≈ 64 MB per chunk.
+    chunk_rows = 1 << 17
 
     @F.pandas_udf("long")
     def sign_pack(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for hashes_col in it:
-            arrs = [np.asarray(h, dtype=np.int64).view(np.uint64) for h in hashes_col]
+            # None (null array, e.g. a doc below the shingle length
+            # floor) folds to the empty identity like the SQL fold
+            arrs = [
+                np.asarray(() if h is None else h, dtype=np.int64).view(np.uint64)
+                for h in hashes_col
+            ]
             out = np.zeros(len(arrs), dtype=np.int64)
             for doc_idx, flat, seg_starts in _batch_segments(arrs, chunk_rows):
                 ones = ((flat[:, None] >> bits) & np.uint64(1)).astype(np.uint8)
@@ -659,6 +671,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", F.col("v")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    converged = False
     for _ in range(25):  # safety cap ≥ any realistic dedup-graph diameter
         nbr = (
             sym.join(
@@ -682,8 +695,20 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:  # min-labels are monotone ⇒ fixpoint
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # partial propagation would silently mislabel clusters; fail
+        # loudly — a graph this deep needs the star-contraction variant
+        raise RuntimeError(
+            "dedup_components: no fixpoint within 25 rounds "
+            "(component diameter > cap); use star-contraction for this graph"
+        )
+    # labels is materialized (every round ran an action against it);
+    # the edge cache has served its purpose. labels itself stays
+    # pinned for the caller's consumption of the returned plan.
+    sym.unpersist()
     w = W.partitionBy("label")
     return labels.select(
         F.col("v").alias("doc_id"),

@@ -33,13 +33,12 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources.tables import load_table
+from .dedup import _SHINGLE_K  # same shingles as dedup_ngram_jaccard
 from .shingles import shingles_col
+from .similarity import _N_QUERIES, _TOPK  # same query set / k as ann_cosine_topk
 
 _HASH_DIM = 1 << 18
-_SHINGLE_K = 5  # match dedup_ngram_jaccard's shingle size
 _JACCARD_THRESHOLD = 0.5
-_TOPK = 5
-_N_QUERIES = 8  # match similarity._N_QUERIES
 
 
 @register("mllib_tfidf_features", tags=("text", "mllib"))

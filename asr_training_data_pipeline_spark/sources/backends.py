@@ -73,8 +73,16 @@ def faster_whisper_backend(
 
     def factory() -> Callable:
         fw = _require(module, "pip install faster-whisper")
-        ct = compute_type or ("float16" if device == "cuda" else "int8")
-        model = fw.WhisperModel(model_name, device=device, compute_type=ct)
+        dev = device
+        if dev == "auto":  # resolve BEFORE picking compute type
+            try:
+                import torch
+
+                dev = "cuda" if torch.cuda.is_available() else "cpu"
+            except ImportError:
+                dev = "cpu"
+        ct = compute_type or ("float16" if dev == "cuda" else "int8")
+        model = fw.WhisperModel(model_name, device=dev, compute_type=ct)
 
         def transcribe(pair_id: int, audio) -> list[dict]:
             import io
@@ -137,7 +145,25 @@ def whisperx_backend(
         align_model = {}
 
         def transcribe(pair_id: int, audio) -> list[dict]:
-            wav = wx.load_audio(audio) if isinstance(audio, str) else audio
+            if isinstance(audio, str):
+                wav = wx.load_audio(audio)
+            elif isinstance(audio, (bytes, bytearray)):
+                # whisperx decodes from a path (ffmpeg); spill the
+                # container bytes to a temp file first — the same
+                # disk handoff the reference validator uses
+                # (claude_research_optimal.py:346-348)
+                import os
+                import tempfile
+
+                fd, tmp = tempfile.mkstemp(suffix=".audio")
+                try:
+                    with os.fdopen(fd, "wb") as f:
+                        f.write(bytes(audio))
+                    wav = wx.load_audio(tmp)
+                finally:
+                    os.unlink(tmp)
+            else:  # already a decoded waveform ndarray
+                wav = audio
             result = model.transcribe(wav, batch_size=batch_size)
             lang = result["language"]
             if lang not in align_model:  # one align model per language (:248)

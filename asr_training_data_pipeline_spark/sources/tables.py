@@ -46,6 +46,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # is a runtime-settable SQL conf, so set it here — idempotent, and a
     # no-op for micros-typed data.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Pin the session timezone: the NTZ→LTZ normalization below and
+    # every downstream unix_micros/date_format must agree with the
+    # DuckDB oracle's naive-as-UTC reading even when the caller's JVM
+    # defaults to a non-UTC zone (runtime-settable, idempotent).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
     # Normalize every TIMESTAMP-typed parquet column to TimestampType

@@ -167,3 +167,36 @@ def test_batch_segments_property_random_layouts():
         assert (sigs == expected).all()
 
     check()
+
+
+def test_minhash_simhash_handle_null_and_short_docs(spark):
+    """shingles_col yields NULL for docs shorter than k tokens; both
+    fingerprint kernels must fold that to their empty identity instead
+    of crashing, and the LSH query path must drop such docs."""
+    from pyspark.sql import functions as F
+
+    from asr_training_data_pipeline_spark.operators.dedup import (
+        _MERSENNE,
+        _SHINGLE_K,
+        minhash_signature_col,
+        simhash_col,
+    )
+    from asr_training_data_pipeline_spark.operators.shingles import shingles_col
+
+    docs = spark.createDataFrame(
+        [(1, "too short"), (2, "a b c d e f g h i j k l m n o p"), (3, "")],
+        "doc_id long, text string",
+    )
+    sig = docs.select(
+        "doc_id",
+        minhash_signature_col(
+            shingles_col(F.split(F.col("text"), " "), _SHINGLE_K)
+        ).alias("sig"),
+        simhash_col(F.array()).alias("fp_empty"),
+    ).toPandas()
+    by_id = {r.doc_id: r for r in sig.itertuples()}
+    # null shingle array -> identity signature, not a crash
+    assert list(by_id[1].sig) == [_MERSENNE] * 64
+    assert list(by_id[3].sig) == [_MERSENNE] * 64
+    assert any(s != _MERSENNE for s in by_id[2].sig)
+    assert (sig.fp_empty == 0).all()
