@@ -116,6 +116,79 @@ def _make_align_soa_udf(min_run: int):
     return align
 
 
+def _explode_runs(df: DataFrame) -> DataFrame:
+    """SoA runs struct → one row per run (shared by both run forms)."""
+    zipped = F.arrays_zip(
+        F.col("r.bi0").alias("bi0"),
+        F.col("r.bi1").alias("bi1"),
+        F.col("r.ai0").alias("ai0"),
+        F.col("r.ai1").alias("ai1"),
+    )
+    keep = [c for c in df.columns if c != "r"]
+    return df.select(*keep, F.explode(zipped).alias("e"))
+
+
+def asr_pair_arrays(asr: DataFrame, asr_order: str = "idx") -> DataFrame:
+    """One row per pair with the idx-ordered word arrays
+    (norms/starts/ends/texts/confs) — the collect the alignment join
+    consumes anyway, exposed so clip assembly can SLICE these arrays
+    per run instead of re-joining and re-collecting the 100×-larger
+    word-row table (plans.pipeline.assemble_clips_arrays). Callers
+    persist this frame once; alignment and assembly both read it."""
+    sorted_rows = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(asr_order),
+                F.col("norm"),
+                F.col("start"),
+                F.col("end"),
+                F.col("text"),
+                F.col("confidence"),
+            )
+        )
+    )
+    return asr.groupBy("pair_id").agg(
+        F.transform(sorted_rows, lambda s: s["norm"]).alias("norms"),
+        F.transform(sorted_rows, lambda s: s["start"]).alias("starts"),
+        F.transform(sorted_rows, lambda s: s["end"]).alias("ends"),
+        F.transform(sorted_rows, lambda s: s["text"]).alias("texts"),
+        F.transform(sorted_rows, lambda s: s["confidence"]).alias("confs"),
+    )
+
+
+def lcs_runs_from_arrays(
+    book: DataFrame,
+    pair_words: DataFrame,
+    min_run: int = 4,
+    book_order: str = "pos",
+) -> DataFrame:
+    """``lcs_equal_runs(with_times=True)`` computed from a
+    pre-collected :func:`asr_pair_arrays` frame: same output schema
+    (pair_id, bi0, bi1, ai0, ai1, run_start, run_end), but the ASR
+    collect happens once in the caller's persisted frame instead of
+    inside this plan — one aggregation serves alignment AND assembly."""
+    align = _make_align_soa_udf(min_run)
+    book_arr = book.groupBy("pair_id").agg(_sorted_tokens(book_order).alias("a_toks"))
+    runs = book_arr.join(
+        pair_words.select(
+            "pair_id",
+            F.col("norms").alias("b_toks"),
+            F.col("starts").alias("b_starts"),
+            F.col("ends").alias("b_ends"),
+        ),
+        "pair_id",
+    ).select("pair_id", "b_starts", "b_ends", align("a_toks", "b_toks").alias("r"))
+    return _explode_runs(runs).select(
+        "pair_id",
+        "e.bi0",
+        "e.bi1",
+        "e.ai0",
+        "e.ai1",
+        F.element_at("b_starts", F.col("e.ai0").cast("int") + 1).alias("run_start"),
+        F.element_at("b_ends", F.col("e.ai1").cast("int")).alias("run_end"),
+    )
+
+
 def lcs_equal_runs(
     book: DataFrame,
     asr: DataFrame,
@@ -142,24 +215,13 @@ def lcs_equal_runs(
     claude_research_optimal.py:255-277.)
     """
     align = _make_align_soa_udf(min_run)
-
-    def explode_runs(df: DataFrame) -> DataFrame:
-        zipped = F.arrays_zip(
-            F.col("r.bi0").alias("bi0"),
-            F.col("r.bi1").alias("bi1"),
-            F.col("r.ai0").alias("ai0"),
-            F.col("r.ai1").alias("ai1"),
-        )
-        keep = [c for c in df.columns if c != "r"]
-        return df.select(*keep, F.explode(zipped).alias("e"))
-
     book_arr = book.groupBy("pair_id").agg(_sorted_tokens(book_order).alias("a_toks"))
     if not with_times:
         asr_arr = asr.groupBy("pair_id").agg(_sorted_tokens(asr_order).alias("b_toks"))
         joined = book_arr.join(asr_arr, "pair_id").select(
             "pair_id", align("a_toks", "b_toks").alias("r")
         )
-        return explode_runs(joined).select(
+        return _explode_runs(joined).select(
             "pair_id", "e.bi0", "e.bi1", "e.ai0", "e.ai1"
         )
     sorted_rows = F.array_sort(
@@ -176,7 +238,7 @@ def lcs_equal_runs(
         "b_ends",
         align("a_toks", "b_toks").alias("r"),
     )
-    return explode_runs(runs).select(
+    return _explode_runs(runs).select(
         "pair_id",
         "e.bi0",
         "e.bi1",

@@ -25,7 +25,11 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.exact import davg
-from ..operators.alignment import lcs_equal_runs
+from ..operators.alignment import (
+    asr_pair_arrays,
+    lcs_equal_runs,
+    lcs_runs_from_arrays,
+)
 from ..registry import register
 from ..sources import fixtures
 from ..sources.asr_scan import asr_scan
@@ -185,6 +189,97 @@ def assemble_clips(gwords: DataFrame, groups: DataFrame, p: PipelineParams = P) 
     )
 
 
+def assemble_clips_arrays(
+    groups: DataFrame, pair_words: DataFrame, p: PipelineParams = P
+) -> DataFrame:
+    """:func:`assemble_clips` computed by SLICING the per-pair word
+    arrays (operators.alignment.asr_pair_arrays) instead of range-
+    joining the word-row table and re-collecting it per group.
+
+    Same output schema and values; the plan drops two heavy stages —
+    the O(|words|) group-assignment join and the O(|words|) re-collect
+    aggregation — leaving one aggregation over runs (~|words|/10 rows)
+    plus a 1:1 join against the (pair-count-sized) array frame. At
+    100 TB that removes the widest shuffle in the clip path; words
+    ride the cluster once, inside the arrays they were first collected
+    into for alignment."""
+    zero = F.lit(0).cast("long")
+    g = groups.groupBy("pair_id", "group_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("ai0"),
+                    F.col("ai1"),
+                    F.rint(F.col("run_start") * 1000).cast("long").alias("s"),
+                    F.rint(F.col("run_end") * 1000).cast("long").alias("e"),
+                )
+            )
+        ).alias("_runs"),
+        F.count("*").cast("bigint").alias("n_pieces"),
+    )
+    j = g.join(pair_words, "pair_id")
+
+    def spans_slice(arr):
+        return F.flatten(
+            F.transform(
+                F.col("_runs"),
+                lambda r: F.slice(
+                    arr, r["ai0"].cast("int") + 1, (r["ai1"] - r["ai0"]).cast("int")
+                ),
+            )
+        )
+
+    clip_confs = spans_slice(F.col("confs"))
+    # davg parity: exact decimal sum / count, cast to double (C7-safe)
+    dec_sum = F.aggregate(
+        clip_confs,
+        F.lit(0).cast("decimal(27,6)"),
+        lambda acc, x: (acc + x.cast("decimal(27,6)")).cast("decimal(27,6)"),
+    )
+    n = F.size(F.col("_runs"))
+    piece_spans = F.transform(
+        F.col("_runs"),
+        lambda x, i: F.struct(
+            F.when(i == 0, F.greatest(x["s"] - p.start_pad_ms, zero))
+            .otherwise(x["s"])
+            .alias("s"),
+            F.when(i == n - 1, x["e"] + p.end_pad_ms).otherwise(x["e"]).alias("e"),
+        ),
+    )
+    piece_spans = F.transform(
+        piece_spans,
+        lambda x: F.struct(
+            x["s"].alias("s"),
+            F.when(x["e"] <= x["s"], x["s"] + 1).otherwise(x["e"]).alias("e"),
+        ),
+    )
+    out = j.select(
+        "pair_id",
+        "group_id",
+        F.element_at("starts", F.col("_runs")[0]["ai0"].cast("int") + 1).alias(
+            "t_start"
+        ),
+        F.element_at("ends", F.element_at("_runs", -1)["ai1"].cast("int")).alias(
+            "t_end"
+        ),
+        F.size(clip_confs).cast("bigint").alias("n_words"),
+        (dec_sum.cast("double") / F.size(clip_confs)).alias("avg_conf"),
+        F.array_join(spans_slice(F.col("texts")), " ").alias("clip_text"),
+        spans_slice(F.col("norms")).alias("clip_norms"),
+        clip_confs.alias("clip_confs"),
+        "n_pieces",
+        piece_spans.alias("piece_spans"),
+    )
+    return out.withColumn(
+        "clip_len_ms",
+        F.aggregate(
+            F.col("piece_spans"), zero, lambda acc, x: acc + (x["e"] - x["s"])
+        )
+        + F.lit(p.seam_silence_ms).cast("long")
+        * (F.size("piece_spans") - 1).cast("long"),
+    )
+
+
 def validated_clips(
     spark: SparkSession, clips: DataFrame, p: PipelineParams = P
 ) -> DataFrame:
@@ -306,24 +401,28 @@ def full_pipeline(
     def pin(df: DataFrame) -> DataFrame:
         return df.persist(StorageLevel.MEMORY_AND_DISK) if persist else df
 
-    words = pin(fixtures.asr_words(spark, sf_dir))
+    words = fixtures.asr_words(spark, sf_dir)
+    # Word ARRAYS are the pinned form: the same per-pair collect feeds
+    # the alignment join and the array-sliced clip assembly, so the
+    # word-row table is aggregated exactly once and never range-joined
+    # (the row form stays exposed for callers, lazily derived).
+    pair_words = pin(asr_pair_arrays(words))
     book = fixtures.book_tokens(spark, sf_dir)
-    runs = pin(lcs_equal_runs(book, words, min_run=p.min_run, with_times=True))
+    runs = pin(lcs_runs_from_arrays(book, pair_words, min_run=p.min_run))
     if persist:
-        # Materialization barrier: populate the words+runs cache BEFORE
-        # the downstream action. Without it, AQE materializes broadcast
-        # subtrees (groups/pieces are broadcast sides) concurrently with
-        # the first cache fill and re-executes the whole Python
-        # alignment subtree — observed as a serial single-task stage
-        # re-running the align UDF. One cheap count() turns every
-        # downstream reference into a cache read.
+        # Materialization barrier: populate the pair_words+runs caches
+        # BEFORE the downstream action. Without it, AQE materializes
+        # broadcast subtrees concurrently with the first cache fill and
+        # re-executes the whole Python alignment subtree — observed as
+        # a serial single-task stage re-running the align UDF. One
+        # cheap count() turns every downstream reference into a cache
+        # read.
         runs.count()
     groups = bridged_groups(runs, p)
-    # gwords/clips feed exactly ONE consumer each (clips ← gwords,
-    # validator kernel ← clips), so they are not cached — only the
-    # true fan-out points are (words, runs, validated).
-    gwords = group_words(words, groups)
-    clips = assemble_clips(gwords, groups, p)
+    # clips feeds exactly ONE consumer (the validator kernel), so it is
+    # not cached — only the true fan-out points are (pair_words, runs,
+    # validated).
+    clips = assemble_clips_arrays(groups, pair_words, p)
     # F3 empty-clip guard (:488-489); with the 1 ms degenerate repair a
     # 1-run clip is always >0, so this is a structural no-op kept for
     # parity with the reference's guard.
@@ -345,7 +444,7 @@ def full_pipeline(
         book=book,
         runs=runs,
         groups=groups,
-        gwords=gwords,
+        gwords=group_words(words, groups),  # row form, lazy (legacy path)
         clips=clips,
         rejected=rejected,
         exported=kept,
