@@ -135,24 +135,49 @@ def asr_pair_arrays(asr: DataFrame, asr_order: str = "idx") -> DataFrame:
     per run instead of re-joining and re-collecting the 100×-larger
     word-row table (plans.pipeline.assemble_clips_arrays). Callers
     persist this frame once; alignment and assembly both read it."""
-    sorted_rows = F.array_sort(
-        F.collect_list(
-            F.struct(
-                F.col(asr_order),
-                F.col("norm"),
-                F.col("start"),
-                F.col("end"),
-                F.col("text"),
-                F.col("confidence"),
+    # ONE sort, then column extraction in a follow-up projection:
+    # lambda-bearing expressions are exempt from Spark's subexpression
+    # elimination, so putting five transform(array_sort(...)) results
+    # in the agg would comparator-sort the word array five times per
+    # pair (verified in the optimized plan). CollapseProject keeps the
+    # staged form because the sorted alias is non-cheap.
+    rows = asr.groupBy("pair_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(asr_order),
+                    F.col("norm"),
+                    F.col("start"),
+                    F.col("end"),
+                    F.col("text"),
+                    F.col("confidence"),
+                )
             )
-        )
+        ).alias("_rows")
     )
-    return asr.groupBy("pair_id").agg(
-        F.transform(sorted_rows, lambda s: s["norm"]).alias("norms"),
-        F.transform(sorted_rows, lambda s: s["start"]).alias("starts"),
-        F.transform(sorted_rows, lambda s: s["end"]).alias("ends"),
-        F.transform(sorted_rows, lambda s: s["text"]).alias("texts"),
-        F.transform(sorted_rows, lambda s: s["confidence"]).alias("confs"),
+    return rows.select(
+        "pair_id",
+        F.transform("_rows", lambda s: s["norm"]).alias("norms"),
+        F.transform("_rows", lambda s: s["start"]).alias("starts"),
+        F.transform("_rows", lambda s: s["end"]).alias("ends"),
+        F.transform("_rows", lambda s: s["text"]).alias("texts"),
+        F.transform("_rows", lambda s: s["confidence"]).alias("confs"),
+    )
+
+
+def _timed_runs(runs: DataFrame) -> DataFrame:
+    """Explode SoA runs carrying (b_starts, b_ends) and resolve each
+    run's first-word start / last-word end by position (1-based
+    element_at over the ordered arrays) — shared by both timed forms
+    so the index arithmetic lives in exactly one place."""
+    return _explode_runs(runs).select(
+        "pair_id",
+        "e.bi0",
+        "e.bi1",
+        "e.ai0",
+        "e.ai1",
+        F.element_at("b_starts", F.col("e.ai0").cast("int") + 1).alias("run_start"),
+        F.element_at("b_ends", F.col("e.ai1").cast("int")).alias("run_end"),
     )
 
 
@@ -178,15 +203,7 @@ def lcs_runs_from_arrays(
         ),
         "pair_id",
     ).select("pair_id", "b_starts", "b_ends", align("a_toks", "b_toks").alias("r"))
-    return _explode_runs(runs).select(
-        "pair_id",
-        "e.bi0",
-        "e.bi1",
-        "e.ai0",
-        "e.ai1",
-        F.element_at("b_starts", F.col("e.ai0").cast("int") + 1).alias("run_start"),
-        F.element_at("b_ends", F.col("e.ai1").cast("int")).alias("run_end"),
-    )
+    return _timed_runs(runs)
 
 
 def lcs_equal_runs(
@@ -238,15 +255,7 @@ def lcs_equal_runs(
         "b_ends",
         align("a_toks", "b_toks").alias("r"),
     )
-    return _explode_runs(runs).select(
-        "pair_id",
-        "e.bi0",
-        "e.bi1",
-        "e.ai0",
-        "e.ai1",
-        F.element_at("b_starts", F.col("e.ai0").cast("int") + 1).alias("run_start"),
-        F.element_at("b_ends", F.col("e.ai1").cast("int")).alias("run_end"),
-    )
+    return _timed_runs(runs)
 
 
 def lcs_pairs_consensus(

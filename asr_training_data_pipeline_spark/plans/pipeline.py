@@ -229,13 +229,6 @@ def assemble_clips_arrays(
             )
         )
 
-    clip_confs = spans_slice(F.col("confs"))
-    # davg parity: exact decimal sum / count, cast to double (C7-safe)
-    dec_sum = F.aggregate(
-        clip_confs,
-        F.lit(0).cast("decimal(27,6)"),
-        lambda acc, x: (acc + x.cast("decimal(27,6)")).cast("decimal(27,6)"),
-    )
     n = F.size(F.col("_runs"))
     piece_spans = F.transform(
         F.col("_runs"),
@@ -253,30 +246,51 @@ def assemble_clips_arrays(
             F.when(x["e"] <= x["s"], x["s"] + 1).otherwise(x["e"]).alias("e"),
         ),
     )
-    out = j.select(
+    # Stage 1 materializes the sliced arrays as ATTRIBUTES: lambda-
+    # bearing expressions are exempt from common-subexpression
+    # elimination (and CollapseProject won't re-inline non-cheap
+    # aliases), so computing them once here stops the fold/size/output
+    # references below from re-running the slice+flatten per use.
+    staged = j.select(
         "pair_id",
         "group_id",
-        F.element_at("starts", F.col("_runs")[0]["ai0"].cast("int") + 1).alias(
-            "t_start"
-        ),
-        F.element_at("ends", F.element_at("_runs", -1)["ai1"].cast("int")).alias(
-            "t_end"
-        ),
-        F.size(clip_confs).cast("bigint").alias("n_words"),
-        (dec_sum.cast("double") / F.size(clip_confs)).alias("avg_conf"),
+        "n_pieces",
+        spans_slice(F.col("starts")).alias("_starts"),
+        spans_slice(F.col("ends")).alias("_ends"),
         F.array_join(spans_slice(F.col("texts")), " ").alias("clip_text"),
         spans_slice(F.col("norms")).alias("clip_norms"),
-        clip_confs.alias("clip_confs"),
-        "n_pieces",
+        spans_slice(F.col("confs")).alias("clip_confs"),
         piece_spans.alias("piece_spans"),
     )
-    return out.withColumn(
-        "clip_len_ms",
-        F.aggregate(
-            F.col("piece_spans"), zero, lambda acc, x: acc + (x["e"] - x["s"])
-        )
-        + F.lit(p.seam_silence_ms).cast("long")
-        * (F.size("piece_spans") - 1).cast("long"),
+    # davg parity incl. nulls: decimal sum over the NON-NULL
+    # confidences / their count (sum()+count(col) both skip nulls)
+    valid_confs = F.filter("clip_confs", lambda x: x.isNotNull())
+    dec_sum = F.aggregate(
+        valid_confs,
+        F.lit(0).cast("decimal(27,6)"),
+        lambda acc, x: (acc + x.cast("decimal(27,6)")).cast("decimal(27,6)"),
+    )
+    return staged.select(
+        "pair_id",
+        "group_id",
+        # min/max over ALL group-word times (parity with the row-form
+        # agg even if a backend emits non-monotone word timestamps)
+        F.array_min("_starts").alias("t_start"),
+        F.array_max("_ends").alias("t_end"),
+        F.size("clip_confs").cast("bigint").alias("n_words"),
+        (dec_sum.cast("double") / F.size(valid_confs)).alias("avg_conf"),
+        "clip_text",
+        "clip_norms",
+        "clip_confs",
+        "n_pieces",
+        "piece_spans",
+        (
+            F.aggregate(
+                F.col("piece_spans"), zero, lambda acc, x: acc + (x["e"] - x["s"])
+            )
+            + F.lit(p.seam_silence_ms).cast("long")
+            * (F.size("piece_spans") - 1).cast("long")
+        ).alias("clip_len_ms"),
     )
 
 
@@ -387,14 +401,14 @@ def full_pipeline(
     """The whole dataflow, lazily: returns the named intermediate
     stages so callers pick what to materialize.
 
-    ``persist`` pins the fan-out subtrees (words, runs, validated) at
-    MEMORY_AND_DISK: each feeds 2+ downstream branches (words → align
-    + group assignment; runs/groups → group join + piece geometry;
-    validated → exported + rejected), and without a cache Spark
-    re-executes the Python LCS cogroup once per branch. On a cluster
-    the same reuse points are where you'd persist (or checkpoint past
-    the lineage) — the stages above them are pandas-UDF work that does
-    not get cheaper at scale.
+    ``persist`` pins the fan-out subtrees (pair_words, runs,
+    validated) at MEMORY_AND_DISK: each feeds 2+ downstream branches
+    (pair_words → alignment + array-sliced clip assembly; runs →
+    bridging window + per-group piece geometry; validated → exported +
+    rejected), and without a cache Spark re-executes the Python LCS
+    alignment once per branch. On a cluster the same reuse points are
+    where you'd persist (or checkpoint past the lineage) — the stages
+    above them are pandas-UDF work that does not get cheaper at scale.
     """
     from pyspark import StorageLevel
 
