@@ -79,12 +79,17 @@ _PRIORITY = (
     "moving_avg_range_frame",
     "asof_join_orders",
     "range_join_events",
-    # one representative per remaining reference operator family
-    "q1_pricing_summary",       # A2 avg-confidence shape
-    "scalar_normalize_tokens",  # C1 normalize_word
-    "num_to_words_sizes",       # C2 num→words
-    "phoneme_case_extension",   # C5 phoneme tail CASE
-    "positional_pairing",       # J5 / F9 pairing + validation
+    # r4 rotation: the four r3-new oracle queries that had never had a
+    # driver CORRECTNESS row, plus the new semantic-dedup capstone.
+    # Retired to the tail (driver-green in BOTH r2 and r3, still
+    # pytest-oracle-covered every run): q1_pricing_summary,
+    # scalar_normalize_tokens, num_to_words_sizes,
+    # phoneme_case_extension, positional_pairing.
+    "doc_winnowing",
+    "dedup_winnow_pairs",
+    "profile_documents",
+    "dedup_ngram_jaccard_stopshingle",
+    "dedup_semantic",
 )
 
 

@@ -642,37 +642,147 @@ ORDER BY doc_id
 """
 
 
-@register("dedup_components", oracle=_CC_SQL, tags=("dedup", "iterative"))
-def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate CLUSTERS from near-dup pairs: connected components by
-    iterative min-label propagation — the capstone of the dedup
-    pipeline (pairs only say "these two overlap"; the survivor
-    decision needs the transitive cluster). Component id = smallest
-    doc_id in the cluster, which IS the canonical survivor.
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star step (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", 2014): for every node u, connect each
+    strictly-larger neighbor v > u to m = min(Γ(u) ∪ {u}). One
+    groupBy + one join per step; preserves connectivity, strictly
+    reduces large-node degree."""
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(
+        F.least(F.col("u"), F.min("v")).alias("m")
+    )
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
 
-    This is the engine's one deliberately ITERATIVE operator: each
-    round is a distributed join+groupBy (label ← min(label, neighbor
-    labels)) and the loop exits when the label sum stops falling —
-    monotone, so convergence needs ≤ graph-diameter rounds (near-dup
-    graphs are shallow; the cap is a safety net). The driver holds
-    only one scalar per round. At 10⁹-edge scale you would switch to
-    the large-star/small-star contraction (same join primitive,
-    O(log n) rounds); the oracle is DuckDB's recursive-CTE closure.
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star step: orient edges high→low; for every node u,
+    connect u and all its smaller neighbors to their minimum."""
+    o = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    mins = o.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        o.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(mins.select(F.col("u"), F.col("m").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _star_contraction_labels(sym: DataFrame, max_rounds: int = 100) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    contraction — the O(log n)-round escalation path for graphs whose
+    diameter exceeds the min-label loop's cap (deep duplicate chains).
+    Same join+groupBy primitives as the main loop, but each round at
+    least halves tree heights instead of shaving one hop.
+
+    Input: symmetric edge list (a, b). Output: (v, label) with label =
+    component minimum — identical semantics to min-label propagation.
+    Convergence = edge-set fixpoint, detected by (count, hash-sum)
+    signature; both steps are deterministic set maps, so an unchanged
+    signature at equal count means the same set with overwhelming
+    probability (xxhash64 collisions aside, which the paper's exact
+    termination proof makes moot in ≤ ~2·log₂(n) rounds).
+    """
+    # Each round derives the next edge set from the previous one TWICE
+    # over (union with swap, join with per-node minima), so carrying
+    # lineage would grow the logical plan ~4× per round — eager
+    # localCheckpoint truncates it to the materialized blocks (which
+    # the ContextCleaner frees once the round's frame is dropped).
+    edges = (
+        sym.where(F.col("a") > F.col("b"))
+        .select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    converged = False
+    for _ in range(max_rounds):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        row = edges.agg(
+            F.count("*").alias("n"),
+            # decimal sum: long would overflow under ANSI with ~2^63 hashes
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        sig = (row["n"], row["h"])
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
+    if not converged:
+        raise RuntimeError(
+            "star contraction: no fixpoint within "
+            f"{max_rounds} rounds (should converge in O(log n))"
+        )
+    # Fixpoint edge set is a union of stars rooted at component minima:
+    # every non-root node carries exactly one (node, root) edge.
+    nodes = sym.select(F.col("a").alias("v")).distinct()
+    labels = nodes.join(
+        edges.select(F.col("u").alias("v"), F.col("v").alias("label")),
+        "v",
+        "left",
+    ).select("v", F.coalesce("label", F.col("v")).alias("label"))
+    return labels.localCheckpoint(eager=True)
+
+
+def connected_components(
+    pairs: DataFrame,
+    col_a: str = "doc_a",
+    col_b: str = "doc_b",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Distributed connected components over an undirected pair list.
+
+    Returns (v, label) with label = smallest vertex id in the
+    component (the canonical survivor for dedup). Two regimes:
+
+    - Min-label propagation: each round one join+groupBy (label ←
+      min(label, neighbor labels)); the loop exits when the label sum
+      stops falling (monotone ⇒ fixpoint). Converges in ≤ diameter
+      rounds — near-dup graphs are shallow, so this is the common path
+      and costs exactly as many shuffles as the graph is deep.
+    - Past ``max_rounds`` it AUTO-ESCALATES to large-star/small-star
+      contraction (O(log n) rounds) instead of failing: a 100 TB corpus
+      with one pathological chain-shaped duplicate cluster must not
+      abort the job.
+
+    The returned frame derives from an eager ``localCheckpoint`` —
+    nothing stays ``persist``-pinned after this call returns (checkpoint
+    blocks are released by the ContextCleaner once the caller drops the
+    frame), so repeated registry invocations don't accrete executor
+    storage. The driver holds only 1-2 scalars per round either way.
     """
     from pyspark import StorageLevel
 
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     sym = (
-        pairs.selectExpr("doc_a AS a", "doc_b AS b")
-        .union(pairs.selectExpr("doc_b AS a", "doc_a AS b"))
+        pairs.selectExpr(f"{col_a} AS a", f"{col_b} AS b")
+        .union(pairs.selectExpr(f"{col_b} AS a", f"{col_a} AS b"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels = sym.select(F.col("a").alias("v")).distinct().withColumn(
-        "label", F.col("v")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # labels references its own previous round twice (the neighbor join
+    # AND the left join), so lineage doubles per round; the eager
+    # localCheckpoint both truncates the plan and replaces the
+    # persist/unpersist bookkeeping (blocks are ContextCleaner-freed
+    # when the previous round's frame is dropped).
+    labels = (
+        sym.select(F.col("a").alias("v"))
+        .distinct()
+        .withColumn("label", F.col("v"))
+        .localCheckpoint(eager=True)
+    )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     converged = False
-    for _ in range(25):  # safety cap ≥ any realistic dedup-graph diameter
+    for _ in range(max_rounds):
         nbr = (
             sym.join(
                 labels.select(F.col("v").alias("b"), F.col("label").alias("blabel")),
@@ -681,7 +791,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("a")
             .agg(F.min("blabel").alias("nmin"))
         )
-        new_labels = (
+        labels = (
             labels.join(nbr, labels["v"] == nbr["a"], "left")
             .select(
                 labels["v"],
@@ -689,29 +799,107 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                     labels["label"], F.coalesce(nbr["nmin"], labels["label"])
                 ).alias("label"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=True)
         )
-        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-        labels.unpersist()
-        labels = new_labels
+        new_sum = labels.agg(F.sum("label")).collect()[0][0]
         if new_sum == prev_sum:  # min-labels are monotone ⇒ fixpoint
             converged = True
             break
         prev_sum = new_sum
-    if not converged:
-        # partial propagation would silently mislabel clusters; fail
-        # loudly — a graph this deep needs the star-contraction variant
-        raise RuntimeError(
-            "dedup_components: no fixpoint within 25 rounds "
-            "(component diameter > cap); use star-contraction for this graph"
-        )
-    # labels is materialized (every round ran an action against it);
-    # the edge cache has served its purpose. labels itself stays
-    # pinned for the caller's consumption of the returned plan.
+    if converged:
+        sym.unpersist()
+        return labels
+    # Diameter exceeds the propagation cap: escalate to the O(log n)
+    # star-contraction variant rather than aborting a long-running job.
+    out = _star_contraction_labels(sym)
     sym.unpersist()
+    return out
+
+
+def cluster_output(labels: DataFrame, id_name: str = "doc_id") -> DataFrame:
+    """Shared (id, component, cluster_size) projection over a
+    connected-components label frame."""
     w = W.partitionBy("label")
     return labels.select(
-        F.col("v").alias("doc_id"),
+        F.col("v").alias(id_name),
         F.col("label").alias("component"),
         F.count("*").over(w).cast("bigint").alias("cluster_size"),
-    ).orderBy("doc_id")
+    ).orderBy(id_name)
+
+
+@register("dedup_components", oracle=_CC_SQL, tags=("dedup", "iterative"))
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS from near-dup pairs: connected components —
+    the capstone of the dedup pipeline (pairs only say "these two
+    overlap"; the survivor decision needs the transitive cluster).
+    Component id = smallest doc_id in the cluster, which IS the
+    canonical survivor. See ``connected_components`` for the two-regime
+    iteration (min-label, auto-escalating to large-star/small-star);
+    the oracle is DuckDB's recursive-CTE closure.
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return cluster_output(connected_components(pairs))
+
+
+# ---------------------------------------------------------------------
+# Semantic (embedding-space) dedup: components over cosine pairs
+# ---------------------------------------------------------------------
+
+_SEMANTIC_SQL = """
+WITH RECURSIVE
+v AS (SELECT vec_id, cast(embedding AS double[]) AS e FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM v a, v b
+  WHERE a.vec_id < b.vec_id
+    AND list_dot_product(a.e, b.e)
+        / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+      >= {thr}
+),
+sym AS (SELECT va AS a, vb AS b FROM pairs
+        UNION SELECT vb, va FROM pairs),
+nodes AS (SELECT DISTINCT a AS v FROM sym),
+reach(x, y) AS (
+  SELECT v, v FROM nodes
+  UNION
+  SELECT r.x, s.b FROM reach r JOIN sym s ON r.y = s.a
+),
+comp AS (SELECT x AS vec_id, min(y) AS component FROM reach GROUP BY x)
+SELECT vec_id, component,
+       cast(count(*) OVER (PARTITION BY component) AS bigint) AS cluster_size
+FROM comp
+ORDER BY vec_id
+"""
+
+
+from .similarity import _PAIRS_THRESHOLD  # shared semantic-dup cut
+
+
+@register(
+    "dedup_semantic",
+    oracle=_SEMANTIC_SQL.format(thr=_PAIRS_THRESHOLD),
+    tags=("dedup", "similarity", "iterative"),
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style SEMANTIC dedup: duplicate clusters in EMBEDDING
+    space — connected components over the cosine-similarity pair graph,
+    exactly as ``dedup_components`` clusters the text-shingle Jaccard
+    graph. Completes the dedup family's third axis (text-exact,
+    text-near, embedding-space): pairs whose wording differs but whose
+    embeddings agree (translations, paraphrases, templated rewrites)
+    collapse to one canonical survivor = the smallest vec_id.
+
+    Scale: pair generation is the declared-calibration brute-force
+    scorer here (exact, oracle-able); the production path feeds the
+    SAME component core from ann_lsh_buckets candidates scored inside
+    buckets only. Clustering inherits connected_components' two-regime
+    iteration (min-label, auto-escalation to large-star/small-star) and
+    leaves nothing persist-pinned. North-star extension — no reference
+    counterpart; oracle = DuckDB recursive-CTE closure over
+    list_dot_product pairs.
+    """
+    from .similarity import embedding_cosine_pairs
+
+    pairs = embedding_cosine_pairs(spark, sf_dir).select("vec_a", "vec_b")
+    labels = connected_components(pairs, col_a="vec_a", col_b="vec_b")
+    return cluster_output(labels, id_name="vec_id")

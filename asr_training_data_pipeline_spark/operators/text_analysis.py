@@ -111,11 +111,17 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # GPT-2-style pre-tokenizer alternation, lookahead-free so Java
 # (Spark) and RE2 (DuckDB) agree: contraction suffixes, space-prefixed
 # letter runs, digit runs, punctuation runs, residual whitespace.
-_BPE_PIECES = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+# Whitespace is an EXPLICIT class, not \s: Java's \s is [ \t\n\x0B\f\r]
+# while RE2's is [\t\n\f\r ] — \x0B in a document would make the piece
+# count diverge between engines if either pattern used the shorthand.
+_BPE_PIECES = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+"
+    r"| ?[^ \t\n\f\rA-Za-z0-9]+|[ \t\n\f\r]+"
+)
 
 _TOKEN_COUNT_SQL = f"""
 SELECT doc_id,
-       cast(len(string_split_regex(text, '\\s+')) AS bigint) AS n_ws_tokens,
+       cast(len(string_split_regex(text, '[ \\t\\n\\f\\r]+')) AS bigint) AS n_ws_tokens,
        cast(len(regexp_extract_all(text, '[A-Za-z0-9''-]+')) AS bigint) AS n_re_tokens,
        cast(length(text) AS bigint) AS n_chars,
        cast(ceil(length(text) / 4.0) AS bigint) AS approx_bpe_tokens,
@@ -137,7 +143,7 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.size(F.split(F.col("text"), r"\s+")).cast("bigint").alias("n_ws_tokens"),
+        F.size(F.split(F.col("text"), r"[ \t\n\f\r]+")).cast("bigint").alias("n_ws_tokens"),
         F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z0-9'-]+"), 0))
         .cast("bigint")
         .alias("n_re_tokens"),

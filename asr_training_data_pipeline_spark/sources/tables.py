@@ -37,6 +37,18 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one star-schema table with normalized timestamp columns.
+
+    SIDE EFFECT (by contract): pins two runtime-settable SQL confs on
+    the caller's session — ``spark.sql.session.timeZone=UTC`` and
+    ``spark.sql.legacy.parquet.nanosAsLong=true``. The UTC pin is load-
+    bearing: every oracle comparison (DuckDB reads naive timestamps as
+    UTC) and every unix_micros/date_format in the registered queries
+    depends on it, and it must hold on foreign sessions the harness
+    builds. Library users in a non-UTC locale who share the session for
+    their own reads will see timestamps rendered in UTC afterwards; use
+    a separate session (or re-set the conf) if that matters.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     # Foreign-session contract: every registered query must run on a
@@ -84,18 +96,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _parquet_timestamp_columns(path: str) -> frozenset[str]:
     """Column names carrying a parquet TIMESTAMP logical type, read
-    from the file footer (metadata only — no data IO). Falls back to
-    the historical {'ts'} convention if pyarrow is unavailable."""
+    from footer metadata only (no data IO). Handles both single-file
+    and directory-style parquet datasets (``pyarrow.dataset`` unifies
+    the two; ``pq.ParquetFile`` alone rejects directories). Falls back
+    to the historical {'ts'} convention — with a visible warning — only
+    if pyarrow itself is unavailable; a footer-read failure on an
+    existing path propagates, because silently mis-typing timestamp
+    columns downstream is worse than failing the read here."""
     try:
-        import pyarrow.parquet as pq
         import pyarrow as pa
+        import pyarrow.dataset as pads
+    except ImportError:  # pragma: no cover - pyarrow is a hard dep of pyspark
+        import warnings
 
-        schema = pq.ParquetFile(path).schema_arrow
-        return frozenset(
-            f.name for f in schema if pa.types.is_timestamp(f.type)
+        warnings.warn(
+            "pyarrow unavailable; assuming only 'ts' is a timestamp column "
+            f"in {path}",
+            RuntimeWarning,
+            stacklevel=2,
         )
-    except Exception:
         return frozenset({"ts"})
+    schema = pads.dataset(path, format="parquet").schema
+    return frozenset(f.name for f in schema if pa.types.is_timestamp(f.type))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -29,7 +29,15 @@ def _probed_stream(spark: SparkSession, d: str) -> DataFrame:
     explicit schema, and hard-coding one breaks whenever the driver
     regenerates testdata with different physical types (already
     happened once for events.ts). nanosAsLong is set first so a
-    NANOS-typed generation probes as long instead of failing."""
+    NANOS-typed generation probes as long instead of failing.
+
+    The session timezone is pinned to UTC (idempotent, runtime-settable)
+    before any NTZ→LTZ cast downstream: on a foreign session whose JVM
+    defaults to a non-UTC zone, the cast would otherwise interpret naive
+    values in local time and shift every unix_micros/window result
+    relative to the naive-as-UTC DuckDB oracle. Mirrors
+    sources/tables.py::load_table."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return (
         spark.readStream.schema(spark.read.parquet(d).schema)

@@ -57,6 +57,10 @@ def main() -> None:
     # cache is cleared between ALL runs so each one recomputes the
     # full plan.
     runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # Noisy-host resampling: cheap queries get up to TWO extra samples
+    # while the spread stays high (r2/r3 showed external load bursts
+    # inflating single samples of ~1 s queries by 1.5-2×; n=4 settles
+    # the min at negligible wall cost), expensive ones get one.
     max_runs = runs_per_query + 1
     timings: dict[str, float] = {}
     t_total = time.time()
@@ -67,8 +71,9 @@ def main() -> None:
         n = 0
         while len(samples) < runs_per_query or (
             # High spread means an external load burst hit some run;
-            # take one extra sample for a shot at a quiet window.
-            len(samples) < max_runs
+            # take extra samples for a shot at a quiet window (two for
+            # cheap queries, one for expensive ones).
+            len(samples) < (max_runs + 1 if min(samples) < 3.0 else max_runs)
             and max(samples) > 1.5 * min(samples)
         ):
             t0 = time.time()

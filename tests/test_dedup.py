@@ -200,3 +200,67 @@ def test_minhash_simhash_handle_null_and_short_docs(spark):
     assert list(by_id[3].sig) == [_MERSENNE] * 64
     assert any(s != _MERSENNE for s in by_id[2].sig)
     assert (sig.fp_empty == 0).all()
+
+
+# ---------------------------------------------------------------------
+# Connected components: min-label main path + star-contraction fallback
+# ---------------------------------------------------------------------
+
+
+def _cc_labels(spark, edges, **kw):
+    from asr_training_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    out = connected_components(pairs, **kw).toPandas()
+    return dict(zip(out.v, out.label))
+
+
+def test_cc_chain_deeper_than_cap_auto_escalates(spark):
+    """A chain of diameter 40 exceeds max_rounds=5 of min-label
+    propagation; the operator must auto-escalate to large-star/
+    small-star contraction and still return exact component minima —
+    NOT raise (a 100 TB job must survive one pathological cluster)."""
+    chain = [(i, i + 1) for i in range(40)]  # 0-1-2-...-40
+    labels = _cc_labels(spark, chain, max_rounds=5)
+    assert labels == {v: 0 for v in range(41)}
+
+
+def test_cc_star_fallback_matches_main_path(spark):
+    """Star contraction and min-label propagation must agree on a
+    multi-component graph (deterministic expected labels)."""
+    import random
+
+    rng = random.Random(7)
+    edges = []
+    base = 0
+    expected = {}
+    for comp in range(6):
+        n = rng.randint(2, 12)
+        vs = list(range(base, base + n))
+        # random spanning tree + a few extra edges
+        for i in range(1, n):
+            edges.append((vs[rng.randrange(i)], vs[i]))
+        for _ in range(rng.randrange(3)):
+            a, b = rng.sample(vs, 2)
+            edges.append((min(a, b), max(a, b)))
+        for v in vs:
+            expected[v] = base
+        base += n + rng.randrange(3)  # gaps so ids aren't contiguous
+    main = _cc_labels(spark, edges, max_rounds=25)
+    fallback = _cc_labels(spark, edges, max_rounds=0)  # force escalation
+    assert main == expected
+    assert fallback == expected
+
+
+def test_cc_leaves_nothing_persisted(spark):
+    """connected_components must not leave persist-pinned frames
+    behind (ADVICE r3): repeated registry invocations would accrete
+    executor storage that only clearCache could free."""
+    spark.catalog.clearCache()
+    chain = [(i, i + 1) for i in range(30)]
+    _cc_labels(spark, chain, max_rounds=5)   # escalation path
+    _cc_labels(spark, chain, max_rounds=50)  # main path
+    jspark = spark._jsparkSession
+    assert jspark.sharedState().cacheManager().isEmpty()

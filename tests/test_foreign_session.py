@@ -59,3 +59,24 @@ def test_events_queries_on_bare_session(bare_session, sf_dir, name):
     bare_session.conf.set(NANOS_CONF, "false")  # load_table must re-set it
     df = api.queries()[name](bare_session, sf_dir)
     assert df.count() >= 0
+
+
+TZ_CONF = "spark.sql.session.timeZone"
+
+
+@pytest.mark.parametrize(
+    "name", ["streaming_tumbling_counts", "sessionize_events"]
+)
+def test_non_utc_session_timezone_still_matches_oracle(spark, sf_dir, name):
+    """A harness JVM defaulting to a non-UTC zone must not skew
+    NTZ→LTZ casts: load_table AND the streaming probe re-pin the
+    session to UTC at runtime, so unix_micros/window results keep
+    agreeing with DuckDB's naive-as-UTC reading (ADVICE r3, medium)."""
+    from asr_training_data_pipeline_spark.testing import compare_to_oracle
+
+    s = spark.newSession()
+    s.conf.set(TZ_CONF, "America/New_York")  # hostile default
+    s.conf.set(NANOS_CONF, "false")
+    compare_to_oracle(s, name, sf_dir)
+    # and the pin is what made it pass
+    assert s.conf.get(TZ_CONF) == "UTC"
