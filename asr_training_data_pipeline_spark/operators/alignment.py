@@ -206,6 +206,24 @@ def lcs_runs_from_arrays(
     return _timed_runs(runs)
 
 
+def lcs_runs_fused(doc_arrays: DataFrame, min_run: int = 4) -> DataFrame:
+    """``lcs_equal_runs(with_times=True)`` over a frame that already
+    carries BOTH sides as per-key arrays — ``(pair_id, book_norms,
+    norms, starts, ends, ...)``, e.g. ``sources.fixtures.
+    doc_word_arrays``. No join, no collect: when the two sequences
+    share provenance (both derive from the same document row), the
+    whole scan → align path is one narrow stage and the word data
+    never crosses an exchange."""
+    align = _make_align_soa_udf(min_run)
+    runs = doc_arrays.select(
+        "pair_id",
+        F.col("starts").alias("b_starts"),
+        F.col("ends").alias("b_ends"),
+        align("book_norms", "norms").alias("r"),
+    )
+    return _timed_runs(runs)
+
+
 def lcs_equal_runs(
     book: DataFrame,
     asr: DataFrame,

@@ -25,11 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.exact import davg
-from ..operators.alignment import (
-    asr_pair_arrays,
-    lcs_equal_runs,
-    lcs_runs_from_arrays,
-)
+from ..operators.alignment import lcs_equal_runs, lcs_runs_fused
 from ..registry import register
 from ..sources import fixtures
 from ..sources.asr_scan import asr_scan
@@ -401,9 +397,9 @@ def full_pipeline(
     """The whole dataflow, lazily: returns the named intermediate
     stages so callers pick what to materialize.
 
-    ``persist`` pins the fan-out subtrees (pair_words, runs,
+    ``persist`` pins the fan-out subtrees (the doc word arrays, runs,
     validated) at MEMORY_AND_DISK: each feeds 2+ downstream branches
-    (pair_words → alignment + array-sliced clip assembly; runs →
+    (arrays → fused alignment + array-sliced clip assembly; runs →
     bridging window + per-group piece geometry; validated → exported +
     rejected), and without a cache Spark re-executes the Python LCS
     alignment once per branch. On a cluster the same reuse points are
@@ -415,14 +411,18 @@ def full_pipeline(
     def pin(df: DataFrame) -> DataFrame:
         return df.persist(StorageLevel.MEMORY_AND_DISK) if persist else df
 
-    words = fixtures.asr_words(spark, sf_dir)
-    # Word ARRAYS are the pinned form: the same per-pair collect feeds
-    # the alignment join and the array-sliced clip assembly, so the
-    # word-row table is aggregated exactly once and never range-joined
-    # (the row form stays exposed for callers, lazily derived).
-    pair_words = pin(asr_pair_arrays(words))
-    book = fixtures.book_tokens(spark, sf_dir)
-    runs = pin(lcs_runs_from_arrays(book, pair_words, min_run=p.min_run))
+    # Word ARRAYS are the pinned form, and BOTH fixture sides ride in
+    # the same frame (they derive from the same document row), so the
+    # whole documents → arrays derivation is narrow — no explode, no
+    # window, no groupBy, no join; word data never crosses an exchange
+    # (sources.fixtures.doc_word_arrays). The one cached frame feeds
+    # the fused alignment AND the array-sliced clip assembly; the word
+    # row form stays exposed for callers, lazily derived.
+    arrays = pin(fixtures.doc_word_arrays(spark, sf_dir))
+    pair_words = arrays.select("pair_id", "norms", "starts", "ends", "texts", "confs")
+    words = fixtures.asr_words_from_arrays(arrays)
+    book = fixtures.book_tokens_from_arrays(arrays)
+    runs = pin(lcs_runs_fused(arrays, min_run=p.min_run))
     if persist:
         # Materialization barrier: populate the pair_words+runs caches
         # BEFORE the downstream action. Without it, AQE materializes

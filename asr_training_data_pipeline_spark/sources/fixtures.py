@@ -12,6 +12,18 @@ Shapes mirror SURVEY.md §1.1:
 - ``book_tokens(pair_id, pos, norm)`` ← the normalized transcript
   (claude_research_optimal.py:434-438), mutated (drops +
   substitutions) so LCS produces nontrivial equal runs.
+
+Derivation strategy: both fixture sides come from the SAME document
+row, so :func:`doc_word_arrays` computes everything NARROW — per-row
+array expressions (split → transform → filter), no explode, no
+window, no groupBy, no join. One repartition of the raw (small)
+document rows provides parallelism where a single local parquet file
+gives one split; at scale the scan splits themselves do. The word
+rows never shuffle: alignment consumes the per-document arrays in
+place, and the row forms (``asr_words``/``book_tokens``) are lazy
+explodes of the same arrays. Parity between this form and the
+explode+window formulation is locked by
+``tests/test_pipeline.py::test_fixture_array_parity``.
 """
 
 from __future__ import annotations
@@ -23,15 +35,172 @@ from ..functions.text import normalize_word_col
 from .tables import load_table
 
 
-def asr_words(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One row per recognized word with synthetic monotone timings.
+def _word_struct_array() -> F.Column:
+    """Per-token ASR facts from a ``_toks`` split-array column:
+    struct(text, norm, start, end, confidence) for EVERY raw token
+    (pre-filter), with start = prefix sum of (dur + gap) over the
+    preceding tokens — float addition in the same sequential order as
+    the window-form ``sum() over (rows unbounded preceding -1)``, so
+    values are bit-identical.
 
     Durations 0.1–0.499 s, inter-word gaps 0.05 s with an 0.8 s pause
     every ~11th word (so gap-sessionization splits), confidence
-    0.4–1.0 (straddles the 0.6/0.75 adaptive-guard thresholds).
-    All driven by xxhash64(pair, token, position) — deterministic
-    across runs, partitionings, and engines.
+    0.4–1.0 (straddles the 0.6/0.75 adaptive-guard thresholds). All
+    driven by xxhash64(pair, token, position) — deterministic across
+    runs, partitionings, and engines. Position is the RAW token index
+    (posexplode parity: IntegerType).
     """
+
+    def h(tok, i):
+        return F.xxhash64(F.col("pair_id"), tok, i)
+
+    def dur(tok, i):
+        return 0.1 + F.pmod(h(tok, i), F.lit(400)).cast("double") / 1000.0
+
+    def gap(tok, i):
+        return F.when(F.pmod(h(tok, i), F.lit(11)) == 0, 0.8).otherwise(0.05)
+
+    steps = F.transform(F.col("_toks"), lambda t, i: dur(t, i) + gap(t, i))
+    # Prefix sums with a leading 0: starts_all[i] (0-based) is the
+    # start time of token i. O(n²) array copies per row, all JVM-side,
+    # n = tokens-per-document (bounded by the document, not the table).
+    starts_all = F.aggregate(
+        steps,
+        F.array(F.lit(0.0)),
+        lambda acc, x: F.concat(acc, F.array(F.element_at(acc, -1) + x)),
+    )
+    # starts_all must be an attribute, not re-evaluated per element:
+    # the caller stages it (see doc_word_arrays) — here we reference
+    # the staged column.
+    return F.transform(
+        F.col("_toks"),
+        lambda t, i: F.struct(
+            t.alias("text"),
+            normalize_word_col(t).alias("norm"),
+            F.get(F.col("_starts_all"), i).alias("start"),
+            (F.get(F.col("_starts_all"), i) + dur(t, i)).alias("end"),
+            (0.4 + F.pmod(h(t, i), F.lit(601)).cast("double") / 1000.0).alias(
+                "confidence"
+            ),
+        ),
+    ), starts_all
+
+
+def _book_norm_array() -> F.Column:
+    """Per-document book token array from ``_toks``: ~1/7 dropped and
+    ~1/13 substituted (reversed) at the RAW position, then normalized
+    and nulls dropped — dense positions fall out of the array order."""
+
+    def hdrop(tok, i):
+        return F.xxhash64(F.col("pair_id"), tok, i, F.lit("bookdrop"))
+
+    def hsub(tok, i):
+        return F.xxhash64(F.col("pair_id"), tok, i, F.lit("booksub"))
+
+    per_tok = F.transform(
+        F.col("_toks"),
+        lambda t, i: F.when(
+            F.pmod(hdrop(t, i), F.lit(7)) != 0,
+            normalize_word_col(
+                F.when(F.pmod(hsub(t, i), F.lit(13)) == 0, F.reverse(t)).otherwise(t)
+            ),
+        ),
+    )
+    return F.filter(per_tok, lambda x: x.isNotNull())
+
+
+def doc_word_arrays(
+    spark: SparkSession, sf_dir: str, parallelism: int | None = None
+) -> DataFrame:
+    """One row per document with BOTH fixture sides as ordered arrays:
+
+    ``(pair_id, texts, norms, starts, ends, confs, book_norms)``
+
+    ASR arrays are post-empty-norm-filter (the reference drops
+    empty-norm words before assigning idx, claude_research_optimal.py
+    :255-277), so array position IS the dense idx. The whole
+    derivation is narrow — word data never crosses an exchange; the
+    only shuffle is a repartition of the raw document rows for local
+    parallelism (a single small parquet file is one scan split;
+    cluster scans get splits from the files themselves).
+    """
+    if parallelism is None:
+        parallelism = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        parallelism, "doc_id"
+    )
+    base = docs.select(
+        F.col("doc_id").alias("pair_id"),
+        F.split(F.col("text"), " ").alias("_toks"),
+    )
+    word_structs, starts_all = _word_struct_array()
+    staged = base.select("pair_id", "_toks", starts_all.alias("_starts_all"))
+    kept = F.filter(word_structs, lambda w: w["norm"].isNotNull())
+    arr = staged.select(
+        "pair_id", kept.alias("_w"), _book_norm_array().alias("book_norms")
+    )
+    return arr.select(
+        "pair_id",
+        F.transform("_w", lambda w: w["text"]).alias("texts"),
+        F.transform("_w", lambda w: w["norm"]).alias("norms"),
+        F.transform("_w", lambda w: w["start"]).alias("starts"),
+        F.transform("_w", lambda w: w["end"]).alias("ends"),
+        F.transform("_w", lambda w: w["confidence"]).alias("confs"),
+        "book_norms",
+    )
+
+
+def asr_words_from_arrays(arr: DataFrame) -> DataFrame:
+    """Row form of a :func:`doc_word_arrays` frame (lazy explode; idx
+    is the array position, i.e. the dense post-filter index)."""
+    z = F.arrays_zip(
+        F.col("texts").alias("text"),
+        F.col("norms").alias("norm"),
+        F.col("starts").alias("start"),
+        F.col("ends").alias("end"),
+        F.col("confs").alias("confidence"),
+    )
+    return arr.select("pair_id", F.posexplode(z).alias("idx", "w")).select(
+        "pair_id",
+        F.col("idx").cast("long").alias("idx"),
+        "w.text",
+        "w.norm",
+        "w.start",
+        "w.end",
+        "w.confidence",
+    )
+
+
+def book_tokens_from_arrays(arr: DataFrame) -> DataFrame:
+    """Row form of ``doc_word_arrays.book_norms`` (pos = array
+    position, dense by construction)."""
+    return arr.select(
+        "pair_id", F.posexplode("book_norms").alias("pos", "norm")
+    ).select("pair_id", F.col("pos").cast("long").alias("pos"), "norm")
+
+
+def asr_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per recognized word with synthetic monotone timings
+    (see :func:`doc_word_arrays` for the derivation)."""
+    return asr_words_from_arrays(doc_word_arrays(spark, sf_dir))
+
+
+def book_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transcript side: dropped/substituted normalized tokens
+    (see :func:`doc_word_arrays`)."""
+    return book_tokens_from_arrays(doc_word_arrays(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------
+# Reference formulations (explode + window). Retained as the parity
+# oracle for the narrow array derivation — the test suite asserts the
+# two forms produce identical rows; production paths use the narrow
+# form above.
+# ---------------------------------------------------------------------
+
+
+def asr_words_windowform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode+window formulation of :func:`asr_words` (parity oracle)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         F.col("doc_id").alias("pair_id"),
@@ -58,20 +227,17 @@ def asr_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("norm", normalize_word_col("text"))
         .filter(F.col("norm").isNotNull())
     )
-    # The reference assigns idx AFTER dropping empty-norm words
-    # (claude_research_optimal.py:255-277), so idx is a dense 0..n-1
-    # position; renumber post-filter to match (timings still advance
-    # over dropped tokens, as there).
     out = out.withColumn(
-        "idx", F.row_number().over(W.partitionBy("pair_id").orderBy("idx")) - 1
+        "idx",
+        (F.row_number().over(W.partitionBy("pair_id").orderBy("idx")) - 1).cast(
+            "long"
+        ),
     )
     return out.select("pair_id", "idx", "text", "norm", "start", "end", "confidence")
 
 
-def book_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The transcript side: same token stream, ~1/7 dropped and ~1/13
-    substituted, then re-numbered — yielding LCS equal runs of varied
-    length around the reference's min_run=4 default."""
+def book_tokens_windowform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode+window formulation of :func:`book_tokens` (parity oracle)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         F.col("doc_id").alias("pair_id"),
@@ -89,7 +255,7 @@ def book_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("pair_id").orderBy("pos0")
     return (
         mutated.filter(F.col("norm").isNotNull())
-        .withColumn("pos", F.row_number().over(w) - 1)
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
         .select("pair_id", "pos", "norm")
     )
 

@@ -245,3 +245,19 @@ def test_pipeline_plan_shape(spark, sf_dir):
     above = plan.split("MapInPandas", 1)[0]
     assert "Join" not in above, f"unexpected join above the kernel:\n{above}"
     assert "BroadcastHashJoin" in plan  # group-words + geometry joins
+
+
+def test_fixture_array_parity(spark, sf_dir):
+    """The narrow per-document array derivation must produce rows
+    IDENTICAL to the explode+window reference formulation — same
+    hashes, same float-summation order, same dense renumbering."""
+    import pandas as pd
+
+    for new_fn, old_fn, keys in (
+        (fixtures.asr_words, fixtures.asr_words_windowform, ["pair_id", "idx"]),
+        (fixtures.book_tokens, fixtures.book_tokens_windowform, ["pair_id", "pos"]),
+    ):
+        new = new_fn(spark, sf_dir).toPandas().sort_values(keys).reset_index(drop=True)
+        old = old_fn(spark, sf_dir).toPandas().sort_values(keys).reset_index(drop=True)
+        assert len(new) == len(old) > 0
+        pd.testing.assert_frame_equal(new, old[new.columns], check_exact=True)
