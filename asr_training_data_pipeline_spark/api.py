@@ -4,7 +4,7 @@ registry (each operator module registers its queries on import)."""
 from __future__ import annotations
 
 from . import queries as core_queries  # noqa: F401  (relational/window/scalar core)
-from .operators import asof, dedup, dsp, mllib_fe, multimodal, similarity, text_analysis  # noqa: F401
+from .operators import asof, curation, dedup, dsp, mllib_fe, multimodal, similarity, text_analysis  # noqa: F401
 from .plans import pipeline  # noqa: F401
 from .registry import REGISTRY, bench_queries, oracles, queries  # noqa: F401
 from .sinks import exports  # noqa: F401
@@ -33,7 +33,6 @@ _PRIORITY = (
     # flagship + north-star: dedup, similarity, text, multimodal
     "word_coverage",
     "dedup_exact",
-    "dedup_exact_hash",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -57,7 +56,6 @@ _PRIORITY = (
     "asr_pipeline_summary",
     "asr_scan_stub",
     "streaming_tumbling_counts",
-    "streaming_sliding_counts",
     "streaming_session_window",
     "streaming_stateful_totals",
     "streaming_dedup_exact",
@@ -73,8 +71,6 @@ _PRIORITY = (
     "sequence_position",
     "longest_span_top1",
     "first_match_confidence",
-    "group_concat_ordered",
-    "timestamp_format",
     "leak_vote_2of3",
     "moving_avg_range_frame",
     "asof_join_orders",
@@ -90,6 +86,17 @@ _PRIORITY = (
     "profile_documents",
     "dedup_ngram_jaccard_stopshingle",
     "dedup_semantic",
+    # r4 additions: the corpus-curation safety/sampling family
+    # (operators/curation.py). Slots funded by retiring dedup_exact_hash
+    # (green r2+r3; dedup_exact still represents the family),
+    # group_concat_ordered + timestamp_format (r3-green scalar shapes;
+    # the scalar family keeps 3 prefix slots), and
+    # streaming_sliding_counts (r3-green; 4 streaming slots remain).
+    # All four stay pytest-oracle-covered every run.
+    "pii_scrub",
+    "repetition_signals",
+    "stratified_sample",
+    "contamination_check",
 )
 
 

@@ -1,0 +1,293 @@
+"""Corpus-curation safety/sampling operators (north star, SURVEY §6):
+PII scrubbing, repetition signals, deterministic stratified sampling,
+and benchmark-contamination checks — the filter/scrub/sample stages a
+large-scale LLM training-data pipeline runs between raw scans and
+training shards.
+
+All pure column expressions (plus one broadcast join) with exact
+DuckDB oracles: both engines evaluate the same regexes on explicit
+character classes (no ``\\s``/``\\d`` shorthands, which Java and RE2
+define differently), the same list arithmetic, and the same md5-based
+portable hash, so value equality is exact.
+
+Scale notes: every operator is one pass over the scan inside
+whole-stage codegen; the contamination check joins exploded corpus
+shingles against the (small, broadcast) benchmark shingle set — the
+corpus side never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import load_table
+from .shingles import shingles_col, shingles_sql
+
+# ---------------------------------------------------------------------
+# PII scrub
+# ---------------------------------------------------------------------
+
+# Explicit-class regexes valid (and identical in meaning) in both Java
+# regex and RE2. The driver's documents are synthetic word-salad with
+# no PII, so the query embeds deterministic PII-shaped strings derived
+# from doc_id first — the scrub logic is exercised on every row, and
+# the redaction counts are non-trivially checkable.
+_RE_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_RE_IP = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+_RE_PHONE = r"[0-9]{3}-[0-9]{4}"
+
+_PII_AUG_SQL = (
+    "text || ' contact user' || doc_id || '@example.com phone 555-' || "
+    "lpad(cast(doc_id % 10000 AS varchar), 4, '0') || ' ip 10.' || "
+    "(doc_id % 256) || '.' || ((doc_id // 7) % 256) || '.' || ((doc_id // 13) % 256)"
+)
+
+_PII_SQL = f"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(aug,
+           '{_RE_EMAIL}', '<EMAIL>', 'g'),
+           '{_RE_IP}', '<IP>', 'g'),
+           '{_RE_PHONE}', '<PHONE>', 'g') AS clean_text,
+       cast(len(regexp_extract_all(aug, '{_RE_EMAIL}')) AS bigint) AS n_emails,
+       cast(len(regexp_extract_all(aug, '{_RE_IP}')) AS bigint) AS n_ips,
+       cast(len(regexp_extract_all(regexp_replace(regexp_replace(aug,
+           '{_RE_EMAIL}', '<EMAIL>', 'g'), '{_RE_IP}', '<IP>', 'g'),
+           '{_RE_PHONE}')) AS bigint) AS n_phones
+FROM (SELECT doc_id, {_PII_AUG_SQL} AS aug FROM documents)
+"""
+
+
+@register("pii_scrub", oracle=_PII_SQL, tags=("text", "safety"))
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction scan: emails → ``<EMAIL>``, IPv4 → ``<IP>``,
+    phone-shaped digit groups → ``<PHONE>``, with per-document match
+    counts. Replacement order matters (emails/IPs contain digit runs a
+    phone pattern could claim) and is identical on both engines:
+    email, then IP, then phone — phones are counted AFTER the earlier
+    redactions for the same reason. One pass, pure codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com phone 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        ((F.col("doc_id") / 7).cast("long") % 256).cast("string"),
+        F.lit("."),
+        ((F.col("doc_id") / 13).cast("long") % 256).cast("string"),
+    )
+    no_email = F.regexp_replace(aug, _RE_EMAIL, "<EMAIL>")
+    no_ip = F.regexp_replace(no_email, _RE_IP, "<IP>")
+    clean = F.regexp_replace(no_ip, _RE_PHONE, "<PHONE>")
+    count = lambda src, pat: F.size(  # noqa: E731
+        F.regexp_extract_all(src, F.lit(pat), 0)
+    ).cast("bigint")
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        count(aug, _RE_EMAIL).alias("n_emails"),
+        count(aug, _RE_IP).alias("n_ips"),
+        count(no_ip, _RE_PHONE).alias("n_phones"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Repetition signals (Gopher-style quality filters)
+# ---------------------------------------------------------------------
+
+_REP_SQL = """
+SELECT doc_id,
+       cast(n AS bigint) AS n_tokens,
+       1.0 - cast(n_uniq AS double) / n AS dup_word_frac,
+       cast(top_word AS double) / n AS top_word_frac,
+       CASE WHEN n > 1 THEN cast(top_bigram AS double) / (n - 1) END AS top_bigram_frac,
+       (1.0 - cast(n_uniq AS double) / n) > 0.7
+         OR (n > 1 AND cast(top_bigram AS double) / (n - 1) > 0.11) AS is_repetitive
+FROM (
+  SELECT doc_id, len(t) AS n, len(list_distinct(t)) AS n_uniq,
+         list_max([len(list_filter(t, y -> y = x)) for x in list_distinct(t)]) AS top_word,
+         CASE WHEN len(t) > 1 THEN
+           list_max([len(list_filter(bg, y -> y = x)) for x in list_distinct(bg)])
+         END AS top_bigram
+  FROM (
+    SELECT doc_id, t, [t[i] || ' ' || t[i+1] for i in range(1, len(t))] AS bg
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  )
+  WHERE len(t) > 0
+)
+"""
+
+
+@register("repetition_signals", oracle=_REP_SQL, tags=("text", "quality"))
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher/MassiveText rule
+    family): duplicate-word fraction, most-frequent-word fraction, and
+    most-frequent-bigram fraction, plus a composite repetitive flag.
+    Frequency maxima are computed as distinct×occurrences list
+    arithmetic — O(n·uniq) per document inside codegen, no shuffle;
+    the document, not the corpus, bounds the cost."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    n = F.size(t)
+
+    def top_freq(arr):
+        return F.array_max(
+            F.transform(
+                F.array_distinct(arr),
+                lambda x: F.size(F.filter(arr, lambda y: y == x)),
+            )
+        )
+
+    bigrams = F.transform(
+        F.slice(t, 1, n - 1), lambda x, i: F.concat_ws(" ", x, F.get(t, i + 1))
+    )
+    n_uniq = F.size(F.array_distinct(t))
+    dup_frac = 1.0 - n_uniq.cast("double") / n
+    top_word_frac = top_freq(t).cast("double") / n
+    top_bigram_frac = F.when(
+        n > 1, top_freq(bigrams).cast("double") / (n - 1)
+    )
+    return docs.filter(n > 0).select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        dup_frac.alias("dup_word_frac"),
+        top_word_frac.alias("top_word_frac"),
+        top_bigram_frac.alias("top_bigram_frac"),
+        # single-token docs have no bigram signal: that leg is FALSE,
+        # not NULL (matching the oracle's n>1 guard)
+        (
+            (dup_frac > 0.7)
+            | F.coalesce(top_bigram_frac > 0.11, F.lit(False))
+        ).alias("is_repetitive"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Deterministic stratified sampling
+# ---------------------------------------------------------------------
+
+# Per-language keep rates (percent): downsample the dominant language,
+# keep the tails — the mixing step of corpus assembly.
+_RATES = {"en": 20, "de": 60, "es": 60, "fr": 60, "zh": 60}
+_DEFAULT_RATE = 50
+
+_RATE_CASE_SQL = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(_RATES.items()))
+    + f" ELSE {_DEFAULT_RATE} END"
+)
+
+_SAMPLE_SQL = f"""
+SELECT doc_id, lang, bucket
+FROM (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('strat' || doc_id), 1, 8))::BIGINT % 100 AS bucket
+  FROM documents
+)
+WHERE bucket < {_RATE_CASE_SQL}
+"""
+
+
+@register("stratified_sample", oracle=_SAMPLE_SQL, tags=("sampling",))
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling: an md5-derived bucket in
+    [0,100) per document, kept when under the stratum's rate — the
+    language-mixing / domain-mixing downsampler. Engine-portable and
+    reproducible (unlike ``rand()``-based sampling, reruns and
+    backfills keep exactly the same rows); one scan, no shuffle, and
+    the keep decision pushes down to the scan as an ordinary filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("strat"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    rate = F.lit(_DEFAULT_RATE)
+    for k, v in sorted(_RATES.items()):
+        rate = F.when(F.col("lang") == k, v).otherwise(rate)
+    return (
+        docs.select("doc_id", "lang", bucket.alias("bucket"))
+        .filter(F.col("bucket") < rate)
+    )
+
+
+# ---------------------------------------------------------------------
+# Benchmark-contamination check
+# ---------------------------------------------------------------------
+
+_CONTAM_K = 3
+_CONTAM_MOD = 97  # doc_id % MOD == 0 → the held-out "benchmark" set
+_CONTAM_THRESH = 0.05
+
+_CONTAM_SQL = f"""
+WITH {shingles_sql(_CONTAM_K)},
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {_CONTAM_MOD} = 0),
+corpus AS (SELECT doc_id, shingle FROM sh WHERE doc_id % {_CONTAM_MOD} <> 0),
+hits AS (
+  SELECT c.doc_id, count(*) AS n_hits
+  FROM corpus c JOIN bench b USING (shingle)
+  GROUP BY c.doc_id
+),
+totals AS (
+  SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY doc_id
+)
+SELECT t.doc_id,
+       cast(t.n_shingles AS bigint) AS n_shingles,
+       cast(coalesce(h.n_hits, 0) AS bigint) AS n_contaminated,
+       cast(coalesce(h.n_hits, 0) AS double) / t.n_shingles AS contaminated_frac,
+       cast(coalesce(h.n_hits, 0) AS double) / t.n_shingles >= {_CONTAM_THRESH}
+         AS is_contaminated
+FROM totals t LEFT JOIN hits h USING (doc_id)
+"""
+
+
+@register("contamination_check", oracle=_CONTAM_SQL, tags=("text", "dedup"))
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: fraction of a document's distinct
+    word {k}-grams that appear anywhere in a held-out benchmark set
+    (here ``doc_id % {mod} == 0`` stands in for the eval suite). The
+    benchmark shingle set is tiny by construction — it broadcasts, so
+    the corpus side is scan → explode → broadcast-probe → re-group on
+    doc_id: ONE shuffle keyed by doc_id, independent of benchmark
+    size. At 100 TB the eval suite is still MBs; the plan is unchanged.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        shingles_col(F.split(F.col("text"), " "), _CONTAM_K).alias("shingles"),
+    ).filter(F.col("shingles").isNotNull())
+    bench = (
+        sh.filter(F.col("doc_id") % _CONTAM_MOD == 0)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") % _CONTAM_MOD != 0).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    # ONE pass: left-probe the broadcast benchmark set, then a single
+    # doc_id aggregation counts total and matched shingles together.
+    marked = corpus.join(
+        F.broadcast(bench.withColumn("_hit", F.lit(1))), "shingle", "left"
+    )
+    agg = marked.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_shingles"),
+        F.count("_hit").cast("bigint").alias("n_contaminated"),
+    )
+    frac = F.col("n_contaminated").cast("double") / F.col("n_shingles")
+    return agg.select(
+        "doc_id",
+        "n_shingles",
+        "n_contaminated",
+        frac.alias("contaminated_frac"),
+        (frac >= _CONTAM_THRESH).alias("is_contaminated"),
+    )
