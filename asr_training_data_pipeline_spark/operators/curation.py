@@ -291,3 +291,69 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         frac.alias("contaminated_frac"),
         (frac >= _CONTAM_THRESH).alias("is_contaminated"),
     )
+
+
+# ---------------------------------------------------------------------
+# Sequence packing (concat-and-chunk sharding)
+# ---------------------------------------------------------------------
+
+_PACK_CHUNK = 128  # tokens per training chunk (small, so shards actually split)
+_PACK_SHARDS = 16  # packing shards per language
+
+_PACK_SQL = f"""
+SELECT doc_id, lang, shard,
+       cast(n AS bigint) AS n_tokens,
+       cast(cum - n AS bigint) AS stream_start,
+       cast((cum - n) // {_PACK_CHUNK} AS bigint) AS first_chunk,
+       cast((cum - 1) // {_PACK_CHUNK} AS bigint) AS last_chunk,
+       cast((cum - 1) // {_PACK_CHUNK} - (cum - n) // {_PACK_CHUNK} + 1 AS bigint)
+         AS chunks_spanned
+FROM (
+  SELECT doc_id, lang, doc_id % {_PACK_SHARDS} AS shard,
+         len(string_split(text, ' ')) AS n,
+         sum(len(string_split(text, ' '))) OVER (
+           PARTITION BY lang, doc_id % {_PACK_SHARDS}
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM documents
+)
+"""
+
+
+@register("pack_sequences", oracle=_PACK_SQL, tags=("sampling", "pipeline"))
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing manifest: documents are laid
+    end-to-end per (language, shard) token stream and cut into
+    fixed-size training chunks; each doc reports its stream offset and
+    the chunk ids it spans — the sharding plan for tokenize-and-pack
+    pretraining data.
+
+    All-integer window arithmetic (exact under any partitioning).
+    Scale: the running sum is per (lang, shard) — shards bound every
+    window partition, so no global ordering exists anywhere; adding
+    shards is how the same plan spreads over 1000 executors."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(F.split(F.col("text"), " ")).cast("long")
+    shard = (F.col("doc_id") % _PACK_SHARDS).alias("shard")
+    w = (
+        W.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    staged = docs.select(
+        "doc_id", "lang", shard, n.alias("n")
+    ).withColumn("cum", F.sum("n").over(w))
+    first_chunk = F.floor((F.col("cum") - F.col("n")) / _PACK_CHUNK)
+    last_chunk = F.floor((F.col("cum") - 1) / _PACK_CHUNK)
+    return staged.select(
+        "doc_id",
+        "lang",
+        "shard",
+        F.col("n").alias("n_tokens"),
+        (F.col("cum") - F.col("n")).alias("stream_start"),
+        first_chunk.cast("bigint").alias("first_chunk"),
+        last_chunk.cast("bigint").alias("last_chunk"),
+        (last_chunk - first_chunk + 1).cast("bigint").alias("chunks_spanned"),
+    )

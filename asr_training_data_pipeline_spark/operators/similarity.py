@@ -313,3 +313,83 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", F.round("score", 6).alias("score"), "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------
+# Cluster centroids + prototype distance (SemDeDup / semantic filter
+# primitive)
+# ---------------------------------------------------------------------
+
+_CENTROID_DIM = 64  # embeddings.embedding dimensionality (TESTDATA.md)
+_CENTROID_SCALE = 1_000_000  # fixed-point quantum for exact sums
+_OUTLIER_COS = -0.05  # below this cosine to own centroid → outlier (~p5 here)
+
+_CENTROID_SQL = f"""
+WITH v AS (SELECT vec_id, label, cast(embedding AS double[]) AS e FROM embeddings),
+q AS (SELECT vec_id, label, e,
+             [cast(floor(x * {_CENTROID_SCALE} + 0.5) AS bigint) for x in e] AS qe
+      FROM v),
+s AS (
+  SELECT label, i, sum(qe[i]) AS sq, count(*) AS n
+  FROM q, unnest(range(1, {_CENTROID_DIM + 1})) AS u(i)
+  GROUP BY label, i
+),
+c AS (
+  SELECT label,
+         list(cast(sq AS double) / (n * {_CENTROID_SCALE}.0) ORDER BY i) AS ce
+  FROM s GROUP BY label
+)
+SELECT q.vec_id, q.label,
+       round(list_dot_product(q.e, c.ce)
+         / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.ce, c.ce))),
+         6) AS centroid_cos,
+       list_dot_product(q.e, c.ce)
+         / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.ce, c.ce)))
+         < {_OUTLIER_COS} AS is_outlier
+FROM q JOIN c USING (label)
+"""
+
+
+@register("embedding_centroids", oracle=_CENTROID_SQL, tags=("similarity", "quality"))
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster centroid and per-vector prototype distance: the
+    SemDeDup/semantic-filtering primitive (keep vectors close to their
+    cluster prototype, flag far-from-centroid outliers).
+
+    Exactness under ANY partitioning: element sums are FIXED-POINT
+    (floor(x·1e6 + 0.5) as bigint) so the aggregation is integer —
+    order-independent, bit-stable across engines and shuffle layouts;
+    the single division back to double is deterministic. The per-label
+    sums are D scalar aggregates with map-side partial aggregation —
+    one exchange of |labels|·D longs, never the vectors; centroids
+    broadcast back. The same shape at 100 TB: the wide data streams,
+    only fixed-width per-cluster sums move.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * _CENTROID_SCALE + 0.5).cast("long"),
+    )
+    q = emb.select("vec_id", "label", "embedding", quant.alias("qe"))
+    sums = q.groupBy("label").agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(F.get("qe", i)).alias(f"s{i}")
+            for i in range(_CENTROID_DIM)
+        ],
+    )
+    centroid = F.array(
+        *[
+            F.col(f"s{i}").cast("double")
+            / (F.col("n") * float(_CENTROID_SCALE))
+            for i in range(_CENTROID_DIM)
+        ]
+    )
+    c = sums.select("label", centroid.alias("ce"))
+    cos = cosine_col(F.col("embedding").cast("array<double>"), F.col("ce"))
+    return q.join(F.broadcast(c), "label").select(
+        "vec_id",
+        "label",
+        F.round(cos, 6).alias("centroid_cos"),
+        (cos < _OUTLIER_COS).alias("is_outlier"),
+    )

@@ -94,3 +94,26 @@ def test_repetition_flags_synthetic_loop(spark, sf_dir):
         out = {r.doc_id: r for r in repetition_signals(spark, "x").collect()}
     assert out[1].is_repetitive
     assert not out[2].is_repetitive
+
+
+def test_pack_sequences_stream_contiguity(spark, sf_dir):
+    """Within each (lang, shard) stream: offsets are contiguous
+    (stream_start == previous doc's stream_start + n_tokens) and chunk
+    spans follow from pure integer arithmetic."""
+    from asr_training_data_pipeline_spark.operators.curation import _PACK_CHUNK
+
+    rows = (
+        REGISTRY["pack_sequences"].fn(spark, sf_dir)
+        .orderBy("lang", "shard", "doc_id")
+        .collect()
+    )
+    assert rows
+    pos = {}
+    for r in rows:
+        key = (r.lang, r.shard)
+        assert r.stream_start == pos.get(key, 0)
+        pos[key] = r.stream_start + r.n_tokens
+        assert r.first_chunk == r.stream_start // _PACK_CHUNK
+        assert r.last_chunk == (r.stream_start + r.n_tokens - 1) // _PACK_CHUNK
+        assert r.chunks_spanned == r.last_chunk - r.first_chunk + 1
+    assert any(r.chunks_spanned > 1 for r in rows)  # chunk cuts do happen

@@ -98,3 +98,35 @@ def test_lsh_topk_runs_and_scores_exact(spark, sf_dir):
 
 def test_ivf_topk_recall(spark, sf_dir):
     _recall_vs_exact(spark, sf_dir, "ann_ivf_topk", 0.4)
+
+
+def test_embedding_centroids_semantics(spark, sf_dir):
+    """Centroid of each label is the fixed-point mean: a vector equal
+    to its own cluster mean scores cos≈1; outliers are a minority and
+    the flag agrees with the threshold."""
+    import numpy as np
+
+    from asr_training_data_pipeline_spark.api import REGISTRY
+    from asr_training_data_pipeline_spark.operators.similarity import (
+        _CENTROID_SCALE,
+        _OUTLIER_COS,
+    )
+    from asr_training_data_pipeline_spark.sources.tables import load_table
+
+    df = REGISTRY["embedding_centroids"].fn(spark, sf_dir).toPandas()
+    assert df.is_outlier.mean() < 0.25
+    # recompute one label's centroid in numpy (fixed-point contract)
+    emb = load_table(spark, sf_dir, "embeddings").toPandas()
+    lbl = int(emb.label.iloc[0])
+    sub = np.stack(emb[emb.label == lbl].embedding.to_numpy())
+    q = np.floor(sub.astype("f8") * _CENTROID_SCALE + 0.5).astype("i8")
+    ce = q.sum(axis=0) / (len(q) * float(_CENTROID_SCALE))
+    e0 = sub[0].astype("f8")
+    cos = float(e0 @ ce / (np.linalg.norm(e0) * np.linalg.norm(ce)))
+    got = float(
+        df[df.vec_id == int(emb[emb.label == lbl].vec_id.iloc[0])].centroid_cos.iloc[0]
+    )
+    assert abs(got - cos) < 1e-6
+    # flag agrees with the UNROUNDED score; rounded column may straddle
+    near = df[(df.centroid_cos - _OUTLIER_COS).abs() > 1e-5]
+    assert (near.is_outlier == (near.centroid_cos < _OUTLIER_COS)).all()
