@@ -357,3 +357,115 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         last_chunk.cast("bigint").alias("last_chunk"),
         (last_chunk - first_chunk + 1).cast("bigint").alias("chunks_spanned"),
     )
+
+
+# ---------------------------------------------------------------------
+# Incremental dedup (new batch vs existing corpus)
+# ---------------------------------------------------------------------
+
+_INC_MOD = 5  # doc_id % MOD == 0 → the incoming batch; rest = corpus
+
+# Key = the same first-8-words prefix dedup_exact groups on (full texts
+# in this corpus are all unique; production would use sha256(text) —
+# the plan is identical, only the key expression changes).
+_INC_SQL = f"""
+WITH h AS (SELECT doc_id,
+                  array_to_string((string_split(text, ' '))[1:8], ' ') AS h
+           FROM documents),
+corpus AS (SELECT DISTINCT h FROM h WHERE doc_id % {_INC_MOD} <> 0),
+incoming AS (SELECT doc_id, h FROM h WHERE doc_id % {_INC_MOD} = 0)
+SELECT i.doc_id,
+       (c.h IS NOT NULL) AS is_corpus_dup,
+       (i.doc_id <> min(i.doc_id) OVER (PARTITION BY i.h)) AS is_batch_dup,
+       (c.h IS NULL AND i.doc_id = min(i.doc_id) OVER (PARTITION BY i.h)) AS keep
+FROM incoming i LEFT JOIN corpus c USING (h)
+"""
+
+
+@register("dedup_incremental", oracle=_INC_SQL, tags=("dedup", "pipeline"))
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: a new batch checked against the
+    existing corpus — the shape every periodically-refreshed training
+    corpus runs (new crawl vs what's already ingested). An incoming
+    doc survives iff its dedup key is absent from the corpus AND it
+    is the first holder of that key within the batch.
+
+    Scale: both sides reduce to (doc_id, key) — the join and the
+    within-batch window shuffle short keys, never document bodies;
+    in production the corpus side is a pre-bucketed hash index, making
+    the probe co-partitioned."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 8))
+    h = docs.select("doc_id", key.alias("h"))
+    corpus = (
+        h.filter(F.col("doc_id") % _INC_MOD != 0).select("h").distinct()
+        .withColumn("_in_corpus", F.lit(True))
+    )
+    incoming = h.filter(F.col("doc_id") % _INC_MOD == 0)
+    from pyspark.sql import Window as W
+
+    first = F.min("doc_id").over(W.partitionBy("h"))
+    joined = incoming.join(corpus, "h", "left")
+    is_corpus = F.coalesce(F.col("_in_corpus"), F.lit(False))
+    is_batch = F.col("doc_id") != first
+    return joined.select(
+        "doc_id",
+        is_corpus.alias("is_corpus_dup"),
+        is_batch.alias("is_batch_dup"),
+        (~is_corpus & ~is_batch).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Domain/language mixture planning
+# ---------------------------------------------------------------------
+
+_MIX_MAX_WEIGHT = 3.0  # upsampling cap (epochs over a small stratum)
+
+_MIX_SQL = f"""
+WITH s AS (
+  SELECT lang, count(*) AS n_docs,
+         sum(len(string_split(text, ' '))) AS n_tokens
+  FROM documents GROUP BY lang
+),
+t AS (SELECT *, sum(n_tokens) OVER () AS total,
+             count(*) OVER () AS n_langs FROM s)
+SELECT lang,
+       cast(n_docs AS bigint) AS n_docs,
+       cast(n_tokens AS bigint) AS n_tokens,
+       cast(n_tokens AS double) / total AS token_share,
+       1.0 / n_langs AS target_share,
+       least((1.0 / n_langs) / (cast(n_tokens AS double) / total),
+             {_MIX_MAX_WEIGHT}) AS sampling_weight
+FROM t
+"""
+
+
+@register("mixture_weights", oracle=_MIX_SQL, tags=("sampling", "agg"))
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture planning: per-language token counts and the sampling
+    weight that moves the realized token share toward a uniform
+    target, capped at {max}× upsampling — the report that feeds
+    stratified_sample's rates. Integer token sums (exact under any
+    partitioning) with one deterministic division at the end; the
+    totals ride an all-strata window over a |langs|-row frame."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).alias("n_tokens"),
+    )
+    w = W.partitionBy()
+    total = F.sum("n_tokens").over(w)
+    n_langs = F.count("*").over(w)
+    share = F.col("n_tokens").cast("double") / total
+    target = 1.0 / n_langs
+    return s.select(
+        "lang",
+        "n_docs",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        share.alias("token_share"),
+        target.alias("target_share"),
+        F.least(target / share, F.lit(_MIX_MAX_WEIGHT)).alias("sampling_weight"),
+    )

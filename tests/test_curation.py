@@ -117,3 +117,33 @@ def test_pack_sequences_stream_contiguity(spark, sf_dir):
         assert r.last_chunk == (r.stream_start + r.n_tokens - 1) // _PACK_CHUNK
         assert r.chunks_spanned == r.last_chunk - r.first_chunk + 1
     assert any(r.chunks_spanned > 1 for r in rows)  # chunk cuts do happen
+
+
+def test_dedup_incremental_semantics(spark, sf_dir):
+    """keep ⟺ not a corpus dup and first holder of the key in-batch;
+    every incoming doc appears exactly once."""
+    from asr_training_data_pipeline_spark.operators.curation import _INC_MOD
+
+    rows = REGISTRY["dedup_incremental"].fn(spark, sf_dir).collect()
+    assert rows and all(r.doc_id % _INC_MOD == 0 for r in rows)
+    assert len({r.doc_id for r in rows}) == len(rows)
+    for r in rows:
+        assert r.keep == ((not r.is_corpus_dup) and (not r.is_batch_dup))
+    assert any(r.is_corpus_dup for r in rows)  # the split straddles dup groups
+
+
+def test_mixture_weights_semantics(spark, sf_dir):
+    """Shares sum to 1; weights are capped; upsampling direction is
+    right (below-target strata get weight > 1)."""
+    from asr_training_data_pipeline_spark.operators.curation import _MIX_MAX_WEIGHT
+
+    rows = REGISTRY["mixture_weights"].fn(spark, sf_dir).collect()
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        assert 0 < r.sampling_weight <= _MIX_MAX_WEIGHT
+        if r.token_share < r.target_share / _MIX_MAX_WEIGHT:
+            assert r.sampling_weight == _MIX_MAX_WEIGHT
+        elif r.token_share < r.target_share:
+            assert r.sampling_weight > 1.0
+        else:
+            assert r.sampling_weight <= 1.0

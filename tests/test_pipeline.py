@@ -261,3 +261,23 @@ def test_fixture_array_parity(spark, sf_dir):
         old = old_fn(spark, sf_dir).toPandas().sort_values(keys).reset_index(drop=True)
         assert len(new) == len(old) > 0
         pd.testing.assert_frame_equal(new, old[new.columns], check_exact=True)
+
+
+def test_narrow_fixture_plan_shape(spark, sf_dir):
+    """documents → aligned runs must stay NARROW: one exchange (the
+    raw-document repartition for local parallelism), no window, no
+    aggregate, no join — word data never shuffles."""
+    from asr_training_data_pipeline_spark.operators.alignment import lcs_runs_fused
+
+    spark.catalog.clearCache()
+    arrays = fixtures.doc_word_arrays(spark, sf_dir)
+    plan = (
+        lcs_runs_fused(arrays, min_run=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "Window" not in plan
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
+    assert "Join" not in plan
