@@ -237,3 +237,65 @@ def streaming_dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_memory(dedup, mode="append")
     return out.orderBy("content_hash")
+
+
+_INTERVAL_JOIN_SQL = """
+SELECT c.event_id AS click_id, e.event_id AS error_id,
+       c.user_id,
+       epoch_us(e.ts) - epoch_us(c.ts) AS lag_us
+FROM events c JOIN events e
+  ON c.user_id = e.user_id
+ AND c.event_type = 'click' AND e.event_type = 'error'
+ AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 6 HOUR
+ORDER BY click_id, error_id
+"""
+
+
+@register(
+    "streaming_interval_join", oracle=_INTERVAL_JOIN_SQL, tags=("streaming", "join")
+)
+def streaming_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each click joined to the same
+    user's error events in the following 6 hours — both sides
+    watermarked so state for out-of-range rows is dropped as event
+    time advances (the funnel/attribution join shape). The bounded
+    run drains the source; results equal the batch range self-join,
+    which is the oracle.
+
+    Scale: state is bounded by watermark × per-user rate; the join
+    keys on user_id so both streams hash-partition once and matching
+    happens executor-local, exactly as it would against Kafka."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    errors = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("error_ts"),
+        )
+        .withWatermark("error_ts", "1 hour")
+    )
+    joined = clicks.join(
+        errors,
+        F.expr(
+            "c_user = e_user AND error_ts >= click_ts "
+            "AND error_ts <= click_ts + interval 6 hours"
+        ),
+    )
+    out = _run_to_memory(joined, mode="append")
+    return out.select(
+        "click_id",
+        "error_id",
+        F.col("c_user").alias("user_id"),
+        (F.unix_micros("error_ts") - F.unix_micros("click_ts")).alias("lag_us"),
+    ).orderBy("click_id", "error_id")
