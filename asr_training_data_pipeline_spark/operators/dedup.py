@@ -903,3 +903,133 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = embedding_cosine_pairs(spark, sf_dir).select("vec_a", "vec_b")
     labels = connected_components(pairs, col_a="vec_a", col_b="vec_b")
     return cluster_output(labels, id_name="vec_id")
+
+
+# ---------------------------------------------------------------------
+# Exact-substring duplication spans (the "dedup training data" shape:
+# repeated k-token windows across documents → per-doc covered fraction)
+# ---------------------------------------------------------------------
+
+_SUB_K = 5  # window length in tokens
+
+_SUBSTRING_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+w AS (
+  SELECT doc_id, i, {" || ' ' || ".join(f"t[i+{j}]" for j in range(5))} AS sh
+  FROM toks, unnest(range(1, greatest(len(t) - {_SUB_K - 2}, 1))) AS u(i)
+  WHERE len(t) >= {_SUB_K}
+),
+dup AS (SELECT sh FROM w GROUP BY sh HAVING count(DISTINCT doc_id) > 1),
+m AS (SELECT doc_id, i FROM w WHERE sh IN (SELECT sh FROM dup)),
+runs AS (
+  SELECT doc_id, i,
+         CASE WHEN i > coalesce(max(i + {_SUB_K}) OVER (
+                PARTITION BY doc_id ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_run
+  FROM m
+),
+g AS (
+  SELECT doc_id, i,
+         sum(new_run) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM runs
+),
+cov AS (
+  SELECT doc_id, sum(n_in_run) AS n_dup_windows,
+         sum(run_len) AS dup_token_count
+  FROM (
+    SELECT doc_id, run_id, count(*) AS n_in_run,
+           max(i + {_SUB_K}) - min(i) AS run_len
+    FROM g GROUP BY doc_id, run_id
+  ) r
+  GROUP BY doc_id
+)
+SELECT t.doc_id,
+       cast(len(t.t) AS bigint) AS n_tokens,
+       cast(coalesce(c.n_dup_windows, 0) AS bigint) AS n_dup_windows,
+       cast(coalesce(c.dup_token_count, 0) AS bigint) AS dup_token_count,
+       cast(coalesce(c.dup_token_count, 0) AS double) / len(t.t) AS dup_frac
+FROM toks t LEFT JOIN cov c USING (doc_id)
+"""
+
+
+@register("dedup_substring_spans", oracle=_SUBSTRING_SQL, tags=("dedup", "text"))
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication report: every {k}-token window that
+    recurs in ≥2 documents marks its token span duplicated; per doc,
+    overlapping marked spans union (the sessionization pattern) into
+    the duplicated-token count and fraction — the per-document signal
+    of corpus-level exact-substring dedup (suffix-array dedup's
+    verdict, computed relationally).
+
+    Scale: windows shuffle once keyed by the shingle to find
+    cross-document recurrences (map-side partial counts), marked spans
+    shuffle once keyed by doc_id for the interval union — both
+    standard exchanges; nothing is collected, nothing is quadratic.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    k = _SUB_K
+    t = F.split(F.col("text"), " ")
+    n = F.size(t)
+    wins = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.struct(
+                i.alias("i"), F.concat_ws(" ", F.slice(t, i, k)).alias("sh")
+            ),
+        ),
+    )
+    w = (
+        docs.select("doc_id", wins.alias("_w"))
+        .filter(F.col("_w").isNotNull())
+        .select("doc_id", F.explode("_w").alias("e"))
+        .select("doc_id", "e.i", "e.sh")
+    )
+    dup = (
+        w.groupBy("sh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("sh")
+    )
+    m = w.join(dup, "sh").select("doc_id", "i")
+    prev_end = F.max(F.col("i") + k).over(
+        W.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = m.withColumn(
+        "new_run",
+        F.when(F.col("i") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0),
+    )
+    g = flagged.withColumn(
+        "run_id",
+        F.sum("new_run").over(
+            W.partitionBy("doc_id")
+            .orderBy("i")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    cov = (
+        g.groupBy("doc_id", "run_id")
+        .agg(
+            F.count("*").alias("n_in_run"),
+            (F.max(F.col("i") + k) - F.min("i")).alias("run_len"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_in_run").cast("bigint").alias("n_dup_windows"),
+            F.sum("run_len").cast("bigint").alias("dup_token_count"),
+        )
+    )
+    base = docs.select("doc_id", n.alias("n_tokens"))
+    return base.join(cov, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.coalesce("n_dup_windows", F.lit(0)).cast("bigint").alias("n_dup_windows"),
+        F.coalesce("dup_token_count", F.lit(0)).cast("bigint").alias("dup_token_count"),
+        (
+            F.coalesce("dup_token_count", F.lit(0)).cast("double") / F.col("n_tokens")
+        ).alias("dup_frac"),
+    )

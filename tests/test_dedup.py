@@ -264,3 +264,29 @@ def test_cc_leaves_nothing_persisted(spark):
     _cc_labels(spark, chain, max_rounds=50)  # main path
     jspark = spark._jsparkSession
     assert jspark.sharedState().cacheManager().isEmpty()
+
+
+def test_substring_spans_planted(spark):
+    """Planted cross-doc repeated substring: the shared 6-token run
+    marks exactly its token span in both docs; the unique doc reports
+    zero. Overlapping windows must union, not double-count."""
+    import unittest.mock as mock
+
+    import asr_training_data_pipeline_spark.operators.dedup as dd
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens → 2 windows of 5
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " one two three four"),
+            (2, "x y " + shared + " p q"),
+            (3, "u v w a b c d e f g"),
+        ],
+        "doc_id long, text string",
+    )
+    with mock.patch.object(dd, "load_table", lambda s, d, n: docs):
+        out = {r.doc_id: r for r in dd.dedup_substring_spans(spark, "x").collect()}
+    # 6 shared tokens = 2 overlapping 5-windows → union = 6 tokens
+    assert out[1].n_dup_windows == 2 and out[1].dup_token_count == 6
+    assert out[2].n_dup_windows == 2 and out[2].dup_token_count == 6
+    assert out[3].n_dup_windows == 0 and out[3].dup_frac == 0.0
+    assert abs(out[1].dup_frac - 6 / 10) < 1e-12
