@@ -964,9 +964,13 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict, computed relationally).
 
     Scale: windows shuffle once keyed by the shingle to find
-    cross-document recurrences (map-side partial counts), marked spans
-    shuffle once keyed by doc_id for the interval union — both
-    standard exchanges; nothing is collected, nothing is quadratic.
+    cross-document recurrences (a collect_set window — no self-join,
+    so the explode subtree runs once), marked spans shuffle once keyed
+    by doc_id for the interval union — both standard exchanges;
+    nothing is collected, nothing is quadratic. A pathologically hot
+    shingle bounds the per-key set at the distinct-doc count; cap with
+    a df filter (as dedup_ngram_jaccard_stopshingle does) if a corpus
+    has one.
     """
     docs = load_table(spark, sf_dir, "documents")
     k = _SUB_K
@@ -987,13 +991,15 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode("_w").alias("e"))
         .select("doc_id", "e.i", "e.sh")
     )
-    dup = (
-        w.groupBy("sh")
-        .agg(F.count_distinct("doc_id").alias("nd"))
+    # Cross-doc recurrence via a window over the shingle key: ONE pass,
+    # one exchange on sh — no self-join, so the explode subtree is not
+    # recomputed for a second scan.
+    nd = F.size(F.collect_set("doc_id").over(W.partitionBy("sh")))
+    m = (
+        w.withColumn("nd", nd)
         .filter(F.col("nd") > 1)
-        .select("sh")
+        .select("doc_id", "i")
     )
-    m = w.join(dup, "sh").select("doc_id", "i")
     prev_end = F.max(F.col("i") + k).over(
         W.partitionBy("doc_id")
         .orderBy("i")
