@@ -393,6 +393,7 @@ def full_pipeline(
     sf_dir: str,
     p: PipelineParams = P,
     persist: bool = True,
+    barrier: bool = False,
 ) -> dict[str, DataFrame]:
     """The whole dataflow, lazily: returns the named intermediate
     stages so callers pick what to materialize.
@@ -423,14 +424,15 @@ def full_pipeline(
     words = fixtures.asr_words_from_arrays(arrays)
     book = fixtures.book_tokens_from_arrays(arrays)
     runs = pin(lcs_runs_fused(arrays, min_run=p.min_run))
-    if persist:
-        # Materialization barrier: populate the pair_words+runs caches
-        # BEFORE the downstream action. Without it, AQE materializes
-        # broadcast subtrees concurrently with the first cache fill and
-        # re-executes the whole Python alignment subtree — observed as
-        # a serial single-task stage re-running the align UDF. One
-        # cheap count() turns every downstream reference into a cache
-        # read.
+    if persist and barrier:
+        # Optional materialization barrier: populate the arrays+runs
+        # caches BEFORE the downstream action so AQE's concurrent
+        # broadcast-subtree materialization can only ever read caches.
+        # With the narrow fixture derivation the worst case without it
+        # is one duplicated cheap narrow stage (measured faster overall
+        # locally — the extra job costs more than the race), so the
+        # default is off; flip it on when the upstream of `runs` is
+        # expensive (e.g. a real ASR scan feeding the arrays).
         runs.count()
     groups = bridged_groups(runs, p)
     # clips feeds exactly ONE consumer (the validator kernel), so it is
