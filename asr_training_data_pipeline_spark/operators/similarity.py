@@ -145,7 +145,55 @@ _PLANES = [
 ]
 
 
-@register("ann_lsh_buckets", tags=("similarity", "lsh"))
+
+def _plane_sql(plane: list[float]) -> str:
+    """DuckDB double[] literal with full-precision (round-trippable)
+    float reprs — the oracle evaluates the SAME planes bit-for-bit."""
+    return "[" + ", ".join(repr(x) for x in plane) + "]"
+
+
+_BUCKET_SQL_EXPR = " + ".join(
+    f"(CASE WHEN list_dot_product(e, {_plane_sql(p)}) > 0 THEN {1 << i} ELSE 0 END)"
+    for i, p in enumerate(_PLANES)
+)
+
+_LSH_BUCKETS_SQL = f"""
+WITH v AS (SELECT vec_id, cast(embedding AS double[]) AS e FROM embeddings),
+b AS (SELECT vec_id, cast({_BUCKET_SQL_EXPR} AS bigint) AS bucket FROM v)
+SELECT bucket, cast(count(*) AS bigint) AS n_vectors,
+       min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id
+FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+_LSH_TOPK_SQL = f"""
+WITH v AS (SELECT vec_id, cast(embedding AS double[]) AS e FROM embeddings),
+b AS (SELECT vec_id, cast({_BUCKET_SQL_EXPR} AS bigint) AS bucket, e FROM v),
+q AS (SELECT vec_id AS query_id, e AS qe, bucket AS qbucket
+      FROM b WHERE vec_id < {_N_QUERIES}),
+probes AS (
+  SELECT query_id, qe, p AS bucket
+  FROM q, unnest([qbucket, {", ".join(f"xor(qbucket, {1 << i})" for i in range(_N_PLANES))}]) AS u(p)
+),
+cand AS (
+  SELECT query_id, qe, vec_id AS neighbor_id, e AS ve
+  FROM probes JOIN b USING (bucket)
+  WHERE vec_id <> query_id
+),
+s AS (SELECT query_id, neighbor_id,
+             list_dot_product(qe, ve)
+               / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ve, ve))) AS score
+      FROM cand),
+r AS (SELECT query_id, neighbor_id, score,
+             cast(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, neighbor_id) AS bigint) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, round(score, 6) AS score, rank
+FROM r WHERE rank <= {_TOPK}
+ORDER BY query_id, rank
+"""
+
+
+@register("ann_lsh_buckets", oracle=_LSH_BUCKETS_SQL, tags=("similarity", "lsh"))
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucketing: each vector's bucket is the
     12-bit sign pattern of projections onto fixed Gaussian planes.
@@ -154,8 +202,9 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one pass, no shuffle except the final per-bucket count;
     bucket keys are ints. Cosine-similar vectors collide with prob
-    (1 − θ/π)^12. Rows-only check; recall pinned in
-    tests/test_similarity.py against exact top-k.
+    (1 − θ/π)^12. Exact oracle: the same plane constants are embedded
+    in the SQL as full-precision literals; recall additionally pinned
+    in tests/test_similarity.py against exact top-k.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     buckets = emb.select("vec_id", lsh_bucket_col(F.col("embedding")).alias("bucket"))
@@ -202,7 +251,7 @@ def lsh_bucket_col(e: Column) -> Column:
 _N_PROBE_BITS = 1  # multi-probe: also scan buckets at hamming distance ≤ 1
 
 
-@register("ann_lsh_topk", tags=("similarity", "lsh"))
+@register("ann_lsh_topk", oracle=_LSH_TOPK_SQL, tags=("similarity", "lsh"))
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-probed approximate top-k: hash both sides to 12-bit sign
     buckets, multi-probe each query's bucket plus all hamming-1
@@ -210,8 +259,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: candidate volume is n·(bits+1)/2^bits of the brute-force
     pairs (here 13/4096 ≈ 0.3%); the join key is an int. Recall vs
-    the exact top-k is pinned in tests/test_similarity.py. Rows-only
-    check (bucket membership is hash-specific).
+    the exact top-k is pinned in tests/test_similarity.py; the DuckDB
+    oracle replays bucket assignment, multi-probe, and rerank exactly
+    (plane constants embedded as full-precision literals).
     """
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select(
@@ -252,7 +302,44 @@ _N_CENTROIDS = 16
 _N_PROBE_CENTROIDS = 4
 
 
-@register("ann_ivf_topk", tags=("similarity",))
+_IVF_TOPK_SQL = f"""
+WITH v0 AS (SELECT vec_id, cast(embedding AS double[]) AS e FROM embeddings),
+params AS (SELECT greatest(count(*) // {_N_CENTROIDS}, 1) AS step FROM v0),
+c AS (SELECT vec_id // step AS centroid_id, e AS ce
+      FROM v0, params
+      WHERE vec_id % step = 0 AND vec_id // step < {_N_CENTROIDS}),
+scored_c AS (
+  SELECT v0.vec_id, v0.e, c.centroid_id,
+         list_dot_product(v0.e, c.ce)
+           / (sqrt(list_dot_product(v0.e, v0.e)) * sqrt(list_dot_product(c.ce, c.ce))) AS csim
+  FROM v0, c
+),
+ranked AS (
+  SELECT vec_id, e, centroid_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id) AS crank
+  FROM scored_c
+),
+v AS (SELECT vec_id AS neighbor_id, e AS ve, centroid_id FROM ranked WHERE crank = 1),
+q AS (SELECT vec_id AS query_id, e AS qe, centroid_id FROM ranked
+      WHERE crank <= {_N_PROBE_CENTROIDS} AND vec_id < {_N_QUERIES}),
+s AS (
+  SELECT DISTINCT query_id, neighbor_id,
+         list_dot_product(qe, ve)
+           / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ve, ve))) AS score
+  FROM v JOIN q USING (centroid_id)
+  WHERE neighbor_id <> query_id
+),
+r AS (SELECT query_id, neighbor_id, score,
+             cast(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, neighbor_id) AS bigint) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, round(score, 6) AS score, rank
+FROM r WHERE rank <= {_TOPK}
+ORDER BY query_id, rank
+"""
+
+
+@register("ann_ivf_topk", oracle=_IVF_TOPK_SQL, tags=("similarity",))
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat approximate top-k: centroids = a deterministic sample
     of the vectors themselves (vec_id % (n/16) == 0 → 16 seeds);
@@ -263,7 +350,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: assignment is one broadcast pass (n·C flops, no shuffle of
     vectors); probe reads ~C_probe/C of the corpus. On a real corpus
     the centroids come from KMeans (MLlib) trained on a sample — the
-    probe/assign plan is identical. Rows-only; recall pinned in tests.
+    probe/assign plan is identical. Exact oracle: DuckDB replays
+    seed-sampling, assignment, probe, and rerank; recall additionally
+    pinned in tests.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()
