@@ -99,6 +99,13 @@ _PRIORITY = (
     "contamination_check",
 )
 
+# Rotation queue for the NEXT prefix refresh (oracle-backed, registered
+# past the driver's 50-slot window this round): pack_sequences,
+# embedding_centroids, dedup_incremental, mixture_weights,
+# streaming_interval_join, dedup_substring_spans, plus the long-waiting
+# sink_export_manifest (rows-only). Fund slots by retiring whichever
+# prefix members CORRECTNESS_r04 confirms green a second time.
+
 
 def _reorder_registry() -> None:
     missing = [n for n in _PRIORITY if n not in REGISTRY]

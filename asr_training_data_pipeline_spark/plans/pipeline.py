@@ -518,17 +518,32 @@ def asr_pipeline_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4/A5 summary aggregates (claude_research_optimal.py:684-694):
     exported/rejected counts, rejection rate, run/group totals."""
     stages = full_pipeline(spark, sf_dir)
-    n_runs = stages["runs"].count()
-    n_groups = stages["groups"].select("pair_id", "group_id").distinct().count()
-    n_exported = stages["exported"].count()
-    n_rejected = stages["rejected"].count()
+    # Three driver-side scalars instead of five: runs+groups fold into
+    # one aggregation over the (persisted) runs frame, and the
+    # exported/rejected split is one conditional aggregation over the
+    # (persisted) validated frame rather than two filtered counts.
+    rg = stages["groups"].agg(
+        F.count("*").alias("n_runs"),
+        F.count_distinct("pair_id", "group_id").alias("n_groups"),
+    ).first()
+    split = (
+        stages["exported"].select(F.lit(True).alias("kept"))
+        .unionAll(stages["rejected"].select(F.lit(False).alias("kept")))
+        .groupBy()
+        .agg(
+            F.count_if(F.col("kept")).alias("n_exported"),
+            F.count_if(~F.col("kept")).alias("n_rejected"),
+        )
+        .first()
+    )
+    n_exported, n_rejected = split["n_exported"], split["n_rejected"]
     rate = (
         round(100.0 * n_rejected / (n_exported + n_rejected), 2)
         if (n_exported + n_rejected)
         else 0.0
     )
     return spark.createDataFrame(
-        [(n_exported, n_rejected, rate, n_runs, n_groups)],
+        [(n_exported, n_rejected, rate, rg["n_runs"], rg["n_groups"])],
         "exported long, rejected long, rejection_rate_pct double, "
         "equal_runs long, bridged_groups long",
     )
