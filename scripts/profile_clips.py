@@ -30,25 +30,19 @@ def main() -> None:
     spark = get_spark(app_name="profile_clips")
     from pyspark import StorageLevel
 
-    from asr_training_data_pipeline_spark.operators.alignment import (
-        asr_pair_arrays,
-        lcs_runs_from_arrays,
-    )
+    from asr_training_data_pipeline_spark.operators.alignment import lcs_runs_fused
     from asr_training_data_pipeline_spark.plans import pipeline as pl
     from asr_training_data_pipeline_spark.sources import fixtures
 
     p = pl.P
 
-    words = fixtures.asr_words(spark, sf_dir)
-    t("fixture asr_words (count only)", lambda: words.count())
+    arrays = fixtures.doc_word_arrays(spark, sf_dir).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    t("doc_word_arrays cache fill", lambda: arrays.count())
+    pair_words = arrays.select("pair_id", "norms", "starts", "ends", "texts", "confs")
 
-    pair_words = asr_pair_arrays(words).persist(StorageLevel.MEMORY_AND_DISK)
-    t("pair_words cache fill", lambda: pair_words.count())
-
-    book = fixtures.book_tokens(spark, sf_dir)
-    t("fixture book_tokens (count only)", lambda: book.count())
-
-    runs = lcs_runs_from_arrays(book, pair_words, min_run=p.min_run).persist(
+    runs = lcs_runs_fused(arrays, min_run=p.min_run).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     t("runs cache fill (LCS align)", lambda: runs.count())

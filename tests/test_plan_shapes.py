@@ -65,3 +65,22 @@ def test_sessionize_reuses_one_shuffle(spark, sf_dir):
     exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     keyed = [e for e in exchanges if "user_id" in e]
     assert len(keyed) <= 1, exchanges
+
+
+def test_scan_only_curation_plans(spark, sf_dir):
+    """pii_scrub / repetition_signals / stratified_sample are pure
+    scan-side transforms: zero exchanges, pruned ReadSchema."""
+    from asr_training_data_pipeline_spark.api import REGISTRY
+
+    spark.catalog.clearCache()
+    for name, cols in (
+        ("pii_scrub", "doc_id:bigint,text:string"),
+        ("repetition_signals", "doc_id:bigint,text:string"),
+        ("stratified_sample", "doc_id:bigint,lang:string"),
+    ):
+        plan = (
+            REGISTRY[name].fn(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange") == 0, name
+        assert f"struct<{cols}>" in plan, name  # column pruning reached the scan
