@@ -482,3 +482,132 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cos, 6).alias("centroid_cos"),
         (cos < _OUTLIER_COS).alias("is_outlier"),
     )
+
+
+# ---------------------------------------------------------------------
+# Exact-oracle distributed KMeans (Lloyd's, fixed-point updates)
+# ---------------------------------------------------------------------
+
+_KM_K = 8
+_KM_ITERS = 3
+
+
+def _km_sql() -> str:
+    """DuckDB oracle replaying the SAME deterministic KMeans: seeds =
+    vec_id < K, squared-L2 via the three-dot identity (each dot a
+    sequential fold — bit-identical to the Spark zip_with fold),
+    fixed-point centroid means, ties to the lower centroid id,
+    unrolled for the fixed iteration count."""
+    k, iters, scale = _KM_K, _KM_ITERS, _CENTROID_SCALE
+    d2 = (
+        "list_dot_product(v.e, v.e) - 2 * list_dot_product(v.e, c{i}.ce)"
+        " + list_dot_product(c{i}.ce, c{i}.ce)"
+    )
+    parts = [
+        "WITH v AS (SELECT vec_id, cast(embedding AS double[]) AS e,"
+        f" [cast(floor(x * {scale} + 0.5) AS bigint) for x in cast(embedding AS double[])] AS qe"
+        " FROM embeddings),",
+        f"c0 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {k})",
+    ]
+    for it in range(1, iters + 1):
+        p = it - 1
+        parts.append(f""",
+a{it} AS (
+  SELECT vec_id, e, qe, cid, d2 FROM (
+    SELECT v.vec_id, v.e, v.qe, c{p}.cid,
+           {d2.format(i=p)} AS d2,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {d2.format(i=p)}, c{p}.cid) AS rn
+    FROM v, c{p}
+  ) WHERE rn = 1
+),
+s{it} AS (
+  SELECT cid, list(cast(sq AS double) / (n * {scale}.0) ORDER BY i) AS ce
+  FROM (SELECT cid, i, sum(qe[i]) AS sq, count(*) AS n
+        FROM a{it}, unnest(range(1, {_CENTROID_DIM + 1})) AS u(i)
+        GROUP BY cid, i)
+  GROUP BY cid
+),
+c{it} AS (SELECT c{p}.cid, coalesce(s{it}.ce, c{p}.ce) AS ce
+          FROM c{p} LEFT JOIN s{it} USING (cid))""")
+    parts.append(f"""
+SELECT vec_id, cast(cid AS bigint) AS cluster, round(d2, 6) AS dist2
+FROM (
+  SELECT v.vec_id, c{iters}.cid,
+         {d2.format(i=iters)} AS d2,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY {d2.format(i=iters)}, c{iters}.cid) AS rn
+  FROM v, c{iters}
+) WHERE rn = 1
+ORDER BY vec_id""")
+    return "".join(parts)
+
+
+@register("kmeans_embeddings", oracle=_km_sql(), tags=("similarity", "iterative"))
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's KMeans over the embeddings, EXACTLY
+    verifiable: deterministic seeds (vec_id < K), squared-L2 by the
+    three-dot identity (sequential folds), and fixed-point (bigint)
+    centroid means make every iteration bit-reproducible under any
+    partitioning — so the DuckDB oracle replays all {iters} iterations
+    and hash-matches. Empty clusters keep their previous centroid.
+
+    Scale: per iteration the vectors stream once against K broadcast
+    centroids (n·K·d flops, no vector shuffle) and the update
+    aggregates K·d bigints; the driver holds only the K×d centroid
+    model (collected per round, like every parameter-server/MLlib
+    iteration). The final assignment is one more broadcast pass.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * _CENTROID_SCALE + 0.5).cast("long"),
+    )
+    v = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        quant.alias("qe"),
+    )
+    cents = [
+        (int(r.vec_id), list(r.e))
+        for r in v.filter(F.col("vec_id") < _KM_K).select("vec_id", "e").collect()
+    ]
+
+    def assign(cdf):
+        d2 = (
+            dot_col(F.col("e"), F.col("e"))
+            - 2 * dot_col(F.col("e"), F.col("ce"))
+            + dot_col(F.col("ce"), F.col("ce"))
+        )
+        w = W.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cid"))
+        return (
+            v.crossJoin(F.broadcast(cdf))
+            .withColumn("d2", d2)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+
+    spark_ = emb.sparkSession
+    for _ in range(_KM_ITERS):
+        cdf = spark_.createDataFrame(cents, "cid long, ce array<double>")
+        a = assign(cdf)
+        sums = a.groupBy("cid").agg(
+            F.count("*").alias("n"),
+            *[F.sum(F.get("qe", i)).alias(f"s{i}") for i in range(_CENTROID_DIM)],
+        )
+        new = {
+            int(r.cid): [
+                r[f"s{i}"] / (r.n * float(_CENTROID_SCALE))
+                for i in range(_CENTROID_DIM)
+            ]
+            for r in sums.collect()
+        }
+        cents = [(cid, new.get(cid, ce)) for cid, ce in cents]
+    final = assign(
+        spark_.createDataFrame(cents, "cid long, ce array<double>")
+    )
+    return final.select(
+        "vec_id",
+        F.col("cid").cast("bigint").alias("cluster"),
+        F.round("d2", 6).alias("dist2"),
+    ).orderBy("vec_id")

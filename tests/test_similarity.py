@@ -130,3 +130,46 @@ def test_embedding_centroids_semantics(spark, sf_dir):
     # flag agrees with the UNROUNDED score; rounded column may straddle
     near = df[(df.centroid_cos - _OUTLIER_COS).abs() > 1e-5]
     assert (near.is_outlier == (near.centroid_cos < _OUTLIER_COS)).all()
+
+
+def test_kmeans_matches_numpy_replay(spark, sf_dir):
+    """Full 3-iteration Lloyd's replayed in numpy under the same
+    deterministic contract (seeds, three-dot distances, fixed-point
+    means, low-cid ties) must reproduce the Spark assignment exactly."""
+    import numpy as np
+
+    from asr_training_data_pipeline_spark.api import REGISTRY
+    from asr_training_data_pipeline_spark.operators.similarity import (
+        _CENTROID_SCALE,
+        _KM_ITERS,
+        _KM_K,
+    )
+    from asr_training_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").toPandas().sort_values("vec_id")
+    E = np.stack(emb.embedding.to_numpy()).astype("f8")
+    Q = np.floor(E * _CENTROID_SCALE + 0.5).astype("i8")
+    ids = emb.vec_id.to_numpy()
+    C = E[ids < _KM_K].copy()
+
+    def assign(C):
+        # three-dot identity per (vector, centroid); ties → lower cid
+        d2 = (
+            (E * E).sum(1)[:, None]
+            - 2 * E @ C.T
+            + (C * C).sum(1)[None, :]
+        )
+        return d2.argmin(1), d2
+
+    for _ in range(_KM_ITERS):
+        lab, _ = assign(C)
+        for c in range(_KM_K):
+            m = lab == c
+            if m.any():
+                C[c] = Q[m].sum(0) / (m.sum() * float(_CENTROID_SCALE))
+    lab, d2 = assign(C)
+
+    got = REGISTRY["kmeans_embeddings"].fn(spark, sf_dir).toPandas()
+    got = got.sort_values("vec_id").reset_index(drop=True)
+    assert (got.cluster.to_numpy() == lab).all()
+    assert np.allclose(got.dist2.to_numpy(), np.round(d2[np.arange(len(lab)), lab], 6), atol=2e-6)
