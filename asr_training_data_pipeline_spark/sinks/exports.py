@@ -468,3 +468,31 @@ def sink_export_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, out_dir, pair_filter=F.col("pair_id") % 50 == 0
     )
     return manifest.orderBy("pair_id", "group_id", "kind")
+
+
+def write_training_shards(spark, sf_dir: str, out_dir: str) -> None:
+    """Training-shard writer: the pack_sequences manifest joined back
+    to the documents, written as parquet PARTITIONED BY (lang, shard) —
+    the on-disk layout a tokenize-and-pack trainer consumes shard by
+    shard. Partition directories mean a per-(lang, shard) reader scans
+    only its own files (partition pruning, no file listing of the
+    rest); within a shard, rows are sorted by stream offset so the
+    concat order is the file order.
+
+    Scale: the join is co-keyed on doc_id; sortWithinPartitions avoids
+    any global sort. Adding shards (curation._PACK_SHARDS) is the
+    scale-out knob — 1000 executors want ≥1000 (lang, shard) cells.
+    """
+    from ..operators.curation import pack_sequences
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    manifest = pack_sequences(spark, sf_dir)
+    (
+        manifest.join(docs, "doc_id")
+        .repartition("lang", "shard")
+        .sortWithinPartitions("stream_start")
+        .write.mode("overwrite")
+        .partitionBy("lang", "shard")
+        .parquet(f"{out_dir}/training_shards")
+    )

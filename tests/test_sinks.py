@@ -127,3 +127,41 @@ def test_summary_and_coverage(spark, sf_dir, exported_dir):
     )
     assert cov.columns == ["word", "count"]
     assert cov.count() > 0
+
+
+def test_training_shards_partitioned_and_pruned(spark, sf_dir, tmp_path):
+    """Shards land as lang=/shard= partition dirs; a one-shard read
+    prunes to that partition (PartitionFilters in the scan, not a
+    post-filter over everything); in-file order is the stream order."""
+    import os
+
+    from asr_training_data_pipeline_spark.sinks.exports import (
+        write_training_shards,
+    )
+
+    out = str(tmp_path)
+    write_training_shards(spark, sf_dir, out)
+    root = f"{out}/training_shards"
+    langs = [d for d in os.listdir(root) if d.startswith("lang=")]
+    assert len(langs) >= 2
+    assert any(d.startswith("shard=") for d in os.listdir(f"{root}/{langs[0]}"))
+
+    df = spark.read.parquet(root)
+    one = df.filter("lang = 'en' and shard = 0")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "lang" in plan.split("PartitionFilters", 1)[1][:200]
+    rows = one.orderBy("stream_start").collect()
+    assert rows and [r.doc_id for r in rows] == [
+        r.doc_id for r in sorted(rows, key=lambda r: r.stream_start)
+    ]
+    # round trip: every doc of that stratum present exactly once
+    from asr_training_data_pipeline_spark.operators.curation import pack_sequences
+
+    expect = {
+        r.doc_id
+        for r in pack_sequences(spark, sf_dir)
+        .filter("lang = 'en' and shard = 0")
+        .collect()
+    }
+    assert {r.doc_id for r in rows} == expect
