@@ -1573,3 +1573,94 @@ def corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(corr, 9).alias("corr_qty_price"),
         n.cast("bigint").alias("n_rows"),
     ).orderBy("l_returnflag")
+
+
+# --- funnel / path analysis (events) ---------------------------------
+
+_FUNNEL_SQL = """
+WITH tv AS (
+  SELECT user_id, min(ts) FILTER (event_type = 'view') AS tv
+  FROM events GROUP BY user_id
+),
+tc AS (
+  SELECT e.user_id, min(e.ts) AS tc
+  FROM events e JOIN tv USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= tv.tv
+    AND e.ts <= tv.tv + INTERVAL 24 HOUR
+  GROUP BY e.user_id
+),
+tp AS (
+  SELECT e.user_id, min(e.ts) AS tp
+  FROM events e JOIN tc USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= tc.tc
+    AND e.ts <= tc.tc + INTERVAL 24 HOUR
+  GROUP BY e.user_id
+)
+SELECT tv.user_id,
+       epoch_us(tv.tv) AS view_us,
+       epoch_us(tc.tc) AS click_us,
+       epoch_us(tp.tp) AS purchase_us,
+       cast(CASE WHEN tp.tp IS NOT NULL THEN 3
+                 WHEN tc.tc IS NOT NULL THEN 2
+                 WHEN tv.tv IS NOT NULL THEN 1
+                 ELSE 0 END AS bigint) AS stage
+FROM tv LEFT JOIN tc USING (user_id) LEFT JOIN tp USING (user_id)
+ORDER BY user_id
+"""
+
+
+@register("funnel_stages", oracle=_FUNNEL_SQL, tags=("events", "window"))
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: per user, the first view, the first
+    click within 24 h of that view, and the first purchase within
+    24 h of that click — the furthest stage reached in order inside
+    per-stage conversion windows. Each stage is a
+    conditional min over the user's events chained through three
+    same-partition window projections, so the whole funnel costs ONE
+    exchange on user_id (the oracle states it as three grouped joins;
+    values agree — all integer-microsecond mins).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    tv = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    s1 = ev.select("user_id", "event_type", "ts", tv.alias("tv"))
+    tc = F.min(
+        F.when(
+            (F.col("event_type") == "click")
+            & (F.col("ts") >= F.col("tv"))
+            & (F.col("ts") <= F.col("tv") + F.expr("interval 24 hours")),
+            F.col("ts"),
+        )
+    ).over(w)
+    s2 = s1.select("*", tc.alias("tc"))
+    tp = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") >= F.col("tc"))
+            & (F.col("ts") <= F.col("tc") + F.expr("interval 24 hours")),
+            F.col("ts"),
+        )
+    ).over(w)
+    s3 = s2.select("*", tp.alias("tp"))
+    out = (
+        s3.groupBy("user_id")
+        .agg(
+            F.first("tv").alias("tv"),
+            F.first("tc").alias("tc"),
+            F.first("tp").alias("tp"),
+        )
+        .filter(F.col("tv").isNotNull())
+    )
+    stage = (
+        F.when(F.col("tp").isNotNull(), 3)
+        .when(F.col("tc").isNotNull(), 2)
+        .otherwise(1)
+        .cast("bigint")
+    )
+    return out.select(
+        "user_id",
+        F.unix_micros("tv").alias("view_us"),
+        F.unix_micros("tc").alias("click_us"),
+        F.unix_micros("tp").alias("purchase_us"),
+        stage.alias("stage"),
+    ).orderBy("user_id")
