@@ -120,3 +120,47 @@ def _reorder_registry() -> None:
 _reorder_registry()
 
 __all__ = ["REGISTRY", "bench_queries", "oracles", "queries"]
+
+
+def create_views(spark, sf_dir: str) -> None:
+    """Register every star-schema table as a temp view (normalized
+    timestamps, UTC pin) so users can ``spark.sql`` against the same
+    relations the registry queries and the DuckDB oracle see."""
+    from .sources.tables import TABLES, load_table
+
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def register_sql_functions(spark) -> None:
+    """Expose the scalar layer to SQL users: ``normalize_word(x)``,
+    ``tokenize_text(x)``, ``ws_tokens(x)`` and ``num_to_words(x)``
+    become callable from ``spark.sql`` strings. The Column helpers are
+    mirrored as SQL UDFs (CREATE TEMPORARY FUNCTION ... RETURN) over
+    the same Catalyst built-ins — full codegen, no Python; equivalence
+    with the DataFrame layer is locked by tests/test_functions.py.
+    Only ``num_to_words`` is a Python UDF, by the same design as the
+    column layer (digits branch, C2)."""
+    from .functions.text import num_to_words
+
+    spark.udf.register(
+        "num_to_words",
+        lambda s: num_to_words(int(s)) if s is not None and str(s).isdigit() else None,
+        "string",
+    )
+    bodies = (
+        (
+            "normalize_word",
+            "STRING",
+            "nullif(translate(regexp_replace(lower(x),"
+            " '[^a-z0-9\\'\\-]', ''), '\\'-', ''), '')",
+        ),
+        ("tokenize_text", "ARRAY<STRING>",
+         "regexp_extract_all(x, \"[A-Za-z0-9'-]+\", 0)"),
+        ("ws_tokens", "ARRAY<STRING>", "split(lower(x), '\\\\s+')"),
+    )
+    for name, rtype, body in bodies:
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}(x STRING) "
+            f"RETURNS {rtype} RETURN {body}"
+        )

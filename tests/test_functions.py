@@ -31,3 +31,41 @@ GOLDEN = {
 @pytest.mark.parametrize("n,words", sorted(GOLDEN.items()))
 def test_num_to_words_golden(n, words):
     assert num_to_words(n) == words
+
+
+def test_sql_function_surface_matches_column_layer(spark):
+    """register_sql_functions exposes the scalar layer to spark.sql;
+    the SQL UDF bodies must agree with the Column helpers on every
+    probe string (same Catalyst expressions, locked here)."""
+    from pyspark.sql import functions as F
+
+    from asr_training_data_pipeline_spark.api import register_sql_functions
+    from asr_training_data_pipeline_spark.functions.text import (
+        normalize_word_col,
+        tokenize_col,
+        whitespace_tokens_col,
+    )
+
+    register_sql_functions(spark)
+    probes = [
+        "Hello, World!", "Don't-stop", "  ", "", "a-b c", "42", "naïve",
+        "MIXED case\tTAB", "x'y-z", "1,000", None,
+    ]
+    df = spark.createDataFrame([(p,) for p in probes], "x string")
+    both = df.select(
+        normalize_word_col("x").alias("c_norm"),
+        F.expr("normalize_word(x)").alias("s_norm"),
+        tokenize_col("x").alias("c_tok"),
+        F.expr("tokenize_text(x)").alias("s_tok"),
+        whitespace_tokens_col("x").alias("c_ws"),
+        F.expr("ws_tokens(x)").alias("s_ws"),
+    ).collect()
+    for r in both:
+        assert r.c_norm == r.s_norm
+        assert r.c_tok == r.s_tok
+        assert r.c_ws == r.s_ws
+    got = spark.sql("SELECT num_to_words('742') AS w").first().w
+    from asr_training_data_pipeline_spark.functions.text import num_to_words
+
+    assert got == num_to_words(742)
+    assert spark.sql("SELECT num_to_words('x') AS w").first().w is None
