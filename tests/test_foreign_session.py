@@ -53,7 +53,19 @@ def test_all_parquet_timestamps_normalized_to_ltz(bare_session, sf_dir):
 
 @pytest.mark.parametrize(
     "name",
-    ["sessionize_events", "ms_round_convert", "asof_join_orders", "range_join_events"],
+    [
+        "sessionize_events",
+        "ms_round_convert",
+        "asof_join_orders",
+        "range_join_events",
+        # r4 families: curation / packing / clustering / funnel /
+        # stream-stream join — none may depend on session.py's confs
+        "pii_scrub",
+        "pack_sequences",
+        "kmeans_embeddings",
+        "funnel_stages",
+        "streaming_interval_join",
+    ],
 )
 def test_events_queries_on_bare_session(bare_session, sf_dir, name):
     bare_session.conf.set(NANOS_CONF, "false")  # load_table must re-set it
