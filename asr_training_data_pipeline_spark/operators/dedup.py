@@ -1039,3 +1039,44 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("dup_token_count", F.lit(0)).cast("double") / F.col("n_tokens")
         ).alias("dup_frac"),
     )
+
+
+# ---------------------------------------------------------------------
+# LSH banding calibration report
+# ---------------------------------------------------------------------
+
+_CAL_SQL = f"""
+SELECT cast(i AS bigint) AS grid_i,
+       round(i / 20.0, 9) AS jaccard,
+       round(1.0 - pow(1.0 - pow(i / 20.0, {_ROWS_PER_BAND}), {_N_BANDS}), 9)
+         AS p_candidate,
+       cast({_N_BANDS} AS bigint) AS bands,
+       cast({_ROWS_PER_BAND} AS bigint) AS rows_per_band,
+       round(pow(1.0 / {_N_BANDS}, 1.0 / {_ROWS_PER_BAND}), 9) AS s_curve_threshold
+FROM unnest(range(1, 20)) AS u(i)
+ORDER BY grid_i
+"""
+
+
+@register("minhash_calibration", oracle=_CAL_SQL, tags=("dedup", "lsh", "stats"))
+def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic S-curve for the configured MinHash banding: the
+    probability that a pair with true Jaccard j becomes an LSH
+    candidate, P = 1 − (1 − j^r)^b, over a j grid, plus the curve's
+    threshold (1/b)^(1/r) — the operator report an engineer reads
+    before trusting dedup_minhash_lsh's recall at a new corpus.
+    Driver-side constant math (19 rows); rounded to 9 dp so the two
+    engines' pow() implementations cannot differ in the hash."""
+    rows = spark.range(1, 20).select(F.col("id").alias("grid_i"))
+    j = F.col("grid_i") / 20.0
+    p = 1.0 - F.pow(1.0 - F.pow(j, _ROWS_PER_BAND), _N_BANDS)
+    return rows.select(
+        "grid_i",
+        F.round(j, 9).alias("jaccard"),
+        F.round(p, 9).alias("p_candidate"),
+        F.lit(_N_BANDS).cast("bigint").alias("bands"),
+        F.lit(_ROWS_PER_BAND).cast("bigint").alias("rows_per_band"),
+        F.round(
+            F.pow(F.lit(1.0 / _N_BANDS), 1.0 / _ROWS_PER_BAND), 9
+        ).alias("s_curve_threshold"),
+    ).orderBy("grid_i")
