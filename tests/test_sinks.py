@@ -165,3 +165,28 @@ def test_training_shards_partitioned_and_pruned(spark, sf_dir, tmp_path):
         .collect()
     }
     assert {r.doc_id for r in rows} == expect
+
+
+def test_compact_parquet_small_files(spark, tmp_path):
+    """Many tiny appended part-files compact into the expected count;
+    values round-trip exactly; the swap leaves no leftover dirs."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from asr_training_data_pipeline_spark.sinks.maintenance import compact_parquet
+
+    path = str(tmp_path / "ds")
+    for k in range(10):  # 10 appends × 4 partitions = many small files
+        spark.range(k * 100, (k + 1) * 100).select(
+            F.col("id"), (F.col("id") * 3).alias("v")
+        ).repartition(4).write.mode("append").parquet(path)
+
+    before = spark.read.parquet(path).orderBy("id").collect()
+    stats = compact_parquet(spark, path, target_rows=250)
+    assert stats["rows"] == 1000
+    assert stats["files_before"] >= 40
+    assert stats["files_after"] == 4  # ceil(1000 / 250)
+    after = spark.read.parquet(path).orderBy("id").collect()
+    assert after == before
+    assert not [d for d in os.listdir(tmp_path) if "__" in d]  # no leftovers
