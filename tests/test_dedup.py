@@ -290,3 +290,61 @@ def test_substring_spans_planted(spark):
     assert out[2].n_dup_windows == 2 and out[2].dup_token_count == 6
     assert out[3].n_dup_windows == 0 and out[3].dup_frac == 0.0
     assert abs(out[1].dup_frac - 6 / 10) < 1e-12
+
+
+def test_connected_components_property_random_graphs(spark):
+    """Hypothesis: on random edge lists, both regimes (min-label and
+    forced star-contraction escalation) must agree with a plain
+    union-find — labels are each component's smallest vertex."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from asr_training_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    def union_find(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical: smallest vertex per component
+        return {v: find(v) for v in parent}
+
+    edges_strategy = st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=25,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(edges=edges_strategy)
+    def check(edges):
+        expect = union_find(edges)
+        # resolve to true minimum (path compression may be partial)
+        def resolve(m, v):
+            while m[v] != v:
+                v = m[v]
+            return v
+
+        expect = {v: resolve(expect, v) for v in expect}
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        for max_rounds in (25, 1):  # 1 forces the star-contraction path
+            got = {
+                r.v: r.label
+                for r in connected_components(df, max_rounds=max_rounds).collect()
+            }
+            assert got == expect, (max_rounds, sorted(edges))
+
+    check()
