@@ -145,7 +145,11 @@ def register_sql_functions(spark) -> None:
 
     spark.udf.register(
         "num_to_words",
-        lambda s: num_to_words(int(s)) if s is not None and str(s).isdigit() else None,
+        # isdigit() alone accepts superscript/subscript digits that
+        # int() rejects; require ascii so the UDF nulls, never throws
+        lambda s: num_to_words(int(s))
+        if s is not None and str(s).isascii() and str(s).isdigit()
+        else None,
         "string",
     )
     bodies = (

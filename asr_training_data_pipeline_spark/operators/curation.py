@@ -77,9 +77,11 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(" ip 10."),
         (F.col("doc_id") % 256).cast("string"),
         F.lit("."),
-        ((F.col("doc_id") / 7).cast("long") % 256).cast("string"),
+        # integer `div`, not double /: exact past 2^53 and matching
+        # DuckDB's `//` for the non-negative ids these tables use
+        (F.expr("doc_id div 7") % 256).cast("string"),
         F.lit("."),
-        ((F.col("doc_id") / 13).cast("long") % 256).cast("string"),
+        (F.expr("doc_id div 13") % 256).cast("string"),
     )
     no_email = F.regexp_replace(aug, _RE_EMAIL, "<EMAIL>")
     no_ip = F.regexp_replace(no_email, _RE_IP, "<IP>")

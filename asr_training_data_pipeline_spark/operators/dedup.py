@@ -811,9 +811,12 @@ def connected_components(
         return labels
     # Diameter exceeds the propagation cap: escalate to the O(log n)
     # star-contraction variant rather than aborting a long-running job.
-    out = _star_contraction_labels(sym)
-    sym.unpersist()
-    return out
+    # finally: the edge cache must not stay pinned if escalation itself
+    # raises (its own no-fixpoint guard).
+    try:
+        return _star_contraction_labels(sym)
+    finally:
+        sym.unpersist()
 
 
 def cluster_output(labels: DataFrame, id_name: str = "doc_id") -> DataFrame:
@@ -915,7 +918,7 @@ _SUB_K = 5  # window length in tokens
 _SUBSTRING_SQL = f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 w AS (
-  SELECT doc_id, i, {" || ' ' || ".join(f"t[i+{j}]" for j in range(5))} AS sh
+  SELECT doc_id, i, {" || ' ' || ".join(f"t[i+{j}]" for j in range(_SUB_K))} AS sh
   FROM toks, unnest(range(1, greatest(len(t) - {_SUB_K - 2}, 1))) AS u(i)
   WHERE len(t) >= {_SUB_K}
 ),

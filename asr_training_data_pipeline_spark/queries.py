@@ -1642,19 +1642,18 @@ def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).over(w)
     s3 = s2.select("*", tp.alias("tp"))
-    out = (
-        s3.groupBy("user_id")
-        .agg(
-            F.first("tv").alias("tv"),
-            F.first("tc").alias("tc"),
-            F.first("tp").alias("tp"),
-        )
-        .filter(F.col("tv").isNotNull())
+    # Users with NO view event stay in the output as stage 0 (the
+    # oracle's ELSE branch) — no tv filter.
+    out = s3.groupBy("user_id").agg(
+        F.first("tv").alias("tv"),
+        F.first("tc").alias("tc"),
+        F.first("tp").alias("tp"),
     )
     stage = (
         F.when(F.col("tp").isNotNull(), 3)
         .when(F.col("tc").isNotNull(), 2)
-        .otherwise(1)
+        .when(F.col("tv").isNotNull(), 1)
+        .otherwise(0)
         .cast("bigint")
     )
     return out.select(

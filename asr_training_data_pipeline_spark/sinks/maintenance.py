@@ -4,9 +4,16 @@ At 100 TB the silent killer is not one big job but millions of tiny
 parquet part-files accreted by incremental appends — every downstream
 scan pays a task per file and the driver pays listing time.
 ``compact_parquet`` rewrites a parquet dataset into ≈``target_rows``
-rows per file, atomically: the new layout lands in a side directory
-and is swapped in with two renames, so a concurrent reader sees either
-the old layout or the new one, never a half-written mix.
+rows per file. The new layout lands fully-written in a side directory
+and is swapped in with two renames — a reader can never observe a
+half-written MIX of layouts, but the swap itself is NOT atomic: a
+read issued inside the brief two-rename window fails with
+path-not-found, and an in-flight scan that listed the old files can
+lose them to the final cleanup. Run it in a maintenance window, or at
+production scale use a table format whose metadata swap is atomic
+(Iceberg/Delta) with this same rewrite underneath. If the process
+dies between the renames, the data is intact at ``<path>__old_<hex>``
+— rename it back to recover.
 
 Row-count–based sizing is deliberate: it needs no sampling pass
 (Spark's written-file byte sizes are only known after the write), and
@@ -30,7 +37,8 @@ def compact_parquet(
 ) -> dict:
     """Rewrite the parquet dataset at ``path`` into
     ``ceil(n / target_rows)`` files. Returns a stats dict
-    (rows, files_before, files_after).
+    (rows, files_before, files_after). NOT safe under concurrent
+    readers — see the module docstring for the swap-window contract.
 
     The repartition is round-robin (no key), so the rewrite is one
     balanced shuffle; callers who want clustering compose with

@@ -82,3 +82,27 @@ def test_moving_avg_range_frame_single_pass(spark, sf_dir):
     assert "Join" not in plan
     assert plan.count("Window") >= 1
     assert "specifiedwindowframe(RangeFrame" in plan
+
+
+def test_funnel_stage_zero_user_not_dropped(spark):
+    """A user with events but no 'view' must appear as stage 0 (the
+    oracle's ELSE branch) — regression for the dropped-row divergence."""
+    import datetime
+    import unittest.mock as mock
+
+    import asr_training_data_pipeline_spark.queries as qq
+
+    ev = spark.createDataFrame(
+        [
+            (1, datetime.datetime(2024, 1, 1, 0, 0), "view"),
+            (1, datetime.datetime(2024, 1, 1, 1, 0), "click"),
+            (2, datetime.datetime(2024, 1, 1, 0, 0), "click"),
+            (2, datetime.datetime(2024, 1, 1, 2, 0), "purchase"),
+        ],
+        "user_id long, ts timestamp, event_type string",
+    )
+    with mock.patch.object(qq, "load_table", lambda s, d, n: ev):
+        rows = {r.user_id: r for r in qq.funnel_stages(spark, "x").collect()}
+    assert rows[1].stage == 2 and rows[1].purchase_us is None
+    assert rows[2].stage == 0
+    assert rows[2].view_us is None and rows[2].click_us is None
