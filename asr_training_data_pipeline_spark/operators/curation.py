@@ -471,3 +471,51 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         target.alias("target_share"),
         F.least(target / share, F.lit(_MIX_MAX_WEIGHT)).alias("sampling_weight"),
     )
+
+
+# ---------------------------------------------------------------------
+# Adaptive (quantile-driven) length filter
+# ---------------------------------------------------------------------
+
+_LEN_LO_Q = 0.05
+_LEN_HI_Q = 0.95
+
+_LEN_FILTER_SQL = f"""
+WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+q AS (SELECT round(quantile_cont(n, {_LEN_LO_Q}), 6) AS lo,
+             round(quantile_cont(n, {_LEN_HI_Q}), 6) AS hi
+      FROM t)
+SELECT doc_id, cast(n AS bigint) AS n_tokens, lo, hi,
+       n >= lo AND n <= hi AS keep
+FROM t, q
+"""
+
+
+@register("length_filter_adaptive", oracle=_LEN_FILTER_SQL, tags=("text", "quality"))
+def length_filter_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven length gate: cut the corpus' own p5/p95 token-count
+    tails rather than fixed thresholds — the adaptive variant of the
+    Gopher length rule, re-derived per corpus so it survives domain
+    shifts. Exact interpolated percentiles (both engines sort +
+    linearly interpolate identically; thresholds rounded to 6 dp so an
+    integer count never straddles an ulp), broadcast back over the
+    scan as two scalars.
+
+    Scale: exact global percentile sorts once; at 100 TB swap in
+    approx_percentile (mergeable sketch) with the same plan shape —
+    the keep-flag join is a 1-row broadcast either way."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n")
+    )
+    q = t.agg(
+        F.round(F.expr(f"percentile(n, {_LEN_LO_Q})"), 6).alias("lo"),
+        F.round(F.expr(f"percentile(n, {_LEN_HI_Q})"), 6).alias("hi"),
+    )
+    return t.crossJoin(F.broadcast(q)).select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        "lo",
+        "hi",
+        ((F.col("n") >= F.col("lo")) & (F.col("n") <= F.col("hi"))).alias("keep"),
+    )
