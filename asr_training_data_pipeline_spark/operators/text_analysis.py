@@ -619,3 +619,76 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         prof("text").union(prof("lang")).union(prof("source")).orderBy("col")
     )
+
+
+# ---------------------------------------------------------------------
+# Vocabulary coverage (tokenizer-prep statistics)
+# ---------------------------------------------------------------------
+
+_VOCAB_COVERAGE_TARGET = 0.95
+
+_VOCAB_SQL = f"""
+WITH w AS (
+  SELECT u.tok AS word, count(*) AS n
+  FROM (SELECT string_split(text, ' ') AS t FROM documents), unnest(t) AS u(tok)
+  GROUP BY u.tok
+),
+r AS (
+  SELECT word, n,
+         cast(row_number() OVER (ORDER BY n DESC, word) AS bigint) AS rank,
+         sum(n) OVER (ORDER BY n DESC, word
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(n) OVER () AS total
+  FROM w
+)
+SELECT word, cast(n AS bigint) AS n, rank,
+       round(cast(cum AS double) / total, 9) AS cum_coverage,
+       cast(cum AS double) / total <= {_VOCAB_COVERAGE_TARGET} OR rank = 1
+         AS in_vocab
+FROM r
+ORDER BY rank
+"""
+
+
+@register("vocab_coverage", oracle=_VOCAB_SQL, tags=("text", "stats"))
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics for tokenizer preparation: word
+    frequencies ranked, cumulative token coverage, and the vocabulary
+    cut that covers {target} of the token stream (always at least the
+    top word). Deterministic total order (count desc, word asc), so
+    ranks and the cut are engine-stable; integer counts make the
+    cumulative exact.
+
+    Scale: one word-count shuffle with map-side partials; the ranking
+    is a single total-order window over |vocab| rows — vocabulary, not
+    corpus, sized (a 100 TB crawl has ~10^7 distinct words, trivially
+    one partition). Coverage rounded to 9 dp for cross-engine hashing.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    w = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    order = W.orderBy(F.desc("n"), F.asc("word"))
+    total = W.partitionBy()
+    cum = F.sum("n").over(order.rowsBetween(W.unboundedPreceding, W.currentRow))
+    ranked = w.select(
+        "word",
+        "n",
+        F.row_number().over(order).cast("bigint").alias("rank"),
+        cum.alias("cum"),
+        F.sum("n").over(total).alias("total"),
+    )
+    coverage = F.col("cum").cast("double") / F.col("total")
+    return ranked.select(
+        "word",
+        "n",
+        "rank",
+        F.round(coverage, 9).alias("cum_coverage"),
+        ((coverage <= _VOCAB_COVERAGE_TARGET) | (F.col("rank") == 1)).alias(
+            "in_vocab"
+        ),
+    ).orderBy("rank")
