@@ -519,3 +519,92 @@ def length_filter_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hi",
         ((F.col("n") >= F.col("lo")) & (F.col("n") <= F.col("hi"))).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------
+# Multi-signal curation (text × embedding fusion)
+# ---------------------------------------------------------------------
+
+_MM_OUTLIER_COS = -0.05  # mirror of similarity._OUTLIER_COS
+_MM_SCALE = 1_000_000
+
+_MM_CURATION_SQL = f"""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+txt AS (
+  SELECT doc_id, lang,
+         cast(len(list_distinct(tk)) AS double) / len(tk) AS uniq_ratio,
+         len(tk) AS n_tokens
+  FROM t WHERE len(tk) > 0
+),
+v AS (SELECT vec_id, label, cast(embedding AS double[]) AS e,
+             [cast(floor(x * {_MM_SCALE} + 0.5) AS bigint)
+              for x in cast(embedding AS double[])] AS qe
+      FROM embeddings),
+s AS (SELECT label, i, sum(qe[i]) AS sq, count(*) AS n
+      FROM v, unnest(range(1, 65)) AS u(i) GROUP BY label, i),
+c AS (SELECT label, list(cast(sq AS double) / (n * {_MM_SCALE}.0) ORDER BY i) AS ce
+      FROM s GROUP BY label),
+emb AS (
+  SELECT v.vec_id AS doc_id,
+         list_dot_product(v.e, c.ce)
+           / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.ce, c.ce)))
+           AS centroid_cos
+  FROM v JOIN c USING (label)
+)
+SELECT txt.doc_id, txt.lang,
+       cast(txt.n_tokens AS bigint) AS n_tokens,
+       txt.uniq_ratio,
+       round(emb.centroid_cos, 6) AS centroid_cos,
+       (txt.uniq_ratio >= 0.3
+        AND emb.centroid_cos >= {_MM_OUTLIER_COS}) AS keep
+FROM txt JOIN emb USING (doc_id)
+ORDER BY txt.doc_id
+"""
+
+
+@register(
+    "corpus_curation_multimodal",
+    oracle=_MM_CURATION_SQL,
+    tags=("text", "similarity", "pipeline"),
+)
+def corpus_curation_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation fused across modalities: a document survives only if
+    BOTH its text signal (lexical diversity) and its embedding signal
+    (not a far-from-prototype outlier in its cluster) pass — the
+    text × vector composition a production corpus gate runs when
+    embeddings exist for every document.
+
+    Scale: the text side is a zero-exchange scan; the embedding side
+    reuses the fixed-point centroid aggregation (|labels|·dim longs on
+    the wire); the fusion join keys doc_id=vec_id — co-partitioned in
+    a real layout, one exchange here.
+    """
+    from .similarity import centroid_cos_frame
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    n = F.size(t)
+    txt = docs.filter(n > 0).select(
+        "doc_id",
+        "lang",
+        n.cast("bigint").alias("n_tokens"),
+        (F.size(F.array_distinct(t)).cast("double") / n).alias("uniq_ratio"),
+    )
+    emb = centroid_cos_frame(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), "centroid_cos_raw"
+    )
+    keep = (F.col("uniq_ratio") >= 0.3) & (
+        F.col("centroid_cos_raw") >= _MM_OUTLIER_COS
+    )
+    return (
+        txt.join(emb, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "uniq_ratio",
+            F.round("centroid_cos_raw", 6).alias("centroid_cos"),
+            keep.alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

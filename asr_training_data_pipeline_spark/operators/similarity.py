@@ -454,6 +454,20 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back. The same shape at 100 TB: the wide data streams,
     only fixed-width per-cluster sums move.
     """
+    f = centroid_cos_frame(spark, sf_dir)
+    return f.select(
+        "vec_id",
+        "label",
+        F.round("centroid_cos_raw", 6).alias("centroid_cos"),
+        (F.col("centroid_cos_raw") < _OUTLIER_COS).alias("is_outlier"),
+    )
+
+
+def centroid_cos_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, centroid_cos_raw): every vector's UNROUNDED
+    cosine to its label's fixed-point centroid — the reusable core of
+    embedding_centroids, also consumed by the multi-signal curation
+    composite (operators.curation.corpus_curation_multimodal)."""
     emb = load_table(spark, sf_dir, "embeddings")
     quant = F.transform(
         "embedding",
@@ -477,10 +491,7 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = sums.select("label", centroid.alias("ce"))
     cos = cosine_col(F.col("embedding").cast("array<double>"), F.col("ce"))
     return q.join(F.broadcast(c), "label").select(
-        "vec_id",
-        "label",
-        F.round(cos, 6).alias("centroid_cos"),
-        (cos < _OUTLIER_COS).alias("is_outlier"),
+        "vec_id", "label", cos.alias("centroid_cos_raw")
     )
 
 
