@@ -1083,3 +1083,50 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pow(F.lit(1.0 / _N_BANDS), 1.0 / _ROWS_PER_BAND), 9
         ).alias("s_curve_threshold"),
     ).orderBy("grid_i")
+
+
+# ---------------------------------------------------------------------
+# Duplicate-cluster size distribution (dedup impact report)
+# ---------------------------------------------------------------------
+
+_CLUSTER_STATS_SQL = f"""
+WITH clusters AS ({_CC_SQL.replace("ORDER BY doc_id", "")})
+SELECT cast(cluster_size AS bigint) AS cluster_size,
+       cast(count(DISTINCT component) AS bigint) AS n_clusters,
+       cast(count(*) AS bigint) AS docs_total,
+       cast(count(*) - count(DISTINCT component) AS bigint) AS docs_removable
+FROM clusters
+GROUP BY cluster_size
+ORDER BY cluster_size
+"""
+
+
+@register("dedup_cluster_stats", oracle=_CLUSTER_STATS_SQL, tags=("dedup", "stats"))
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup impact report: the duplicate-cluster size histogram —
+    how many clusters of each size exist, how many documents they
+    hold, and how many a keep-one-survivor policy deletes. The number
+    an engineer checks before committing a dedup run (a single giant
+    cluster usually means a boilerplate shingle, not true dups).
+
+    Scale: one count aggregation over the components labels (already
+    |duplicated docs|-sized, tiny relative to the corpus)."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    labels = cluster_output(connected_components(pairs))
+    return (
+        labels.groupBy("cluster_size")
+        .agg(
+            F.count_distinct("component").cast("bigint").alias("n_clusters"),
+            F.count("*").cast("bigint").alias("docs_total"),
+            (F.count("*") - F.count_distinct("component"))
+            .cast("bigint")
+            .alias("docs_removable"),
+        )
+        .select(
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            "n_clusters",
+            "docs_total",
+            "docs_removable",
+        )
+        .orderBy("cluster_size")
+    )

@@ -1663,3 +1663,78 @@ def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("tp").alias("purchase_us"),
         stage.alias("stage"),
     ).orderBy("user_id")
+
+
+# --- cohort retention (events) ---------------------------------------
+
+_COHORT_SQL = """
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         date_diff('week', f.cohort_week, date_trunc('week', e.ts)) AS week_no
+  FROM events e JOIN firsts f USING (user_id)
+),
+sizes AS (SELECT cohort_week, count(*) AS cohort_size FROM firsts GROUP BY cohort_week)
+SELECT epoch_us(a.cohort_week) AS cohort_week_us,
+       cast(a.week_no AS bigint) AS week_no,
+       cast(count(*) AS bigint) AS active_users,
+       cast(s.cohort_size AS bigint) AS cohort_size,
+       round(cast(count(*) AS double) / s.cohort_size, 9) AS retention
+FROM activity a JOIN sizes s USING (cohort_week)
+GROUP BY a.cohort_week, a.week_no, s.cohort_size
+ORDER BY cohort_week_us, week_no
+"""
+
+
+@register("cohort_retention", oracle=_COHORT_SQL, tags=("events", "agg"))
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week, and
+    for each subsequent week the fraction of the cohort still active —
+    the classic triangle matrix. All-integer counts with one
+    deterministic division (rounded 9 dp); week arithmetic via
+    date_trunc on both engines.
+
+    Scale: two aggregations keyed by user_id then (cohort, week) —
+    the first-seen frame is users-sized and broadcastable; nothing
+    touches raw event payloads after the initial projection."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.floor(
+                    (
+                        F.unix_micros(F.date_trunc("week", F.col("ts")))
+                        - F.unix_micros(F.col("cohort_week"))
+                    )
+                    / F.lit(7 * 24 * 3600 * 1_000_000)
+                )
+            ).alias("week_no"),
+        )
+        .distinct()
+    )
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count("*").cast("bigint").alias("cohort_size")
+    )
+    out = (
+        activity.groupBy("cohort_week", "week_no")
+        .agg(F.count("*").cast("bigint").alias("active_users"))
+        .join(F.broadcast(sizes), "cohort_week")
+    )
+    return out.select(
+        F.unix_micros("cohort_week").alias("cohort_week_us"),
+        F.col("week_no").cast("bigint").alias("week_no"),
+        "active_users",
+        "cohort_size",
+        F.round(
+            F.col("active_users").cast("double") / F.col("cohort_size"), 9
+        ).alias("retention"),
+    ).orderBy("cohort_week_us", "week_no")
