@@ -102,9 +102,12 @@ _PRIORITY = (
 # Rotation queue for the NEXT prefix refresh (oracle-backed, registered
 # past the driver's 50-slot window this round): pack_sequences,
 # embedding_centroids, dedup_incremental, mixture_weights,
-# streaming_interval_join, dedup_substring_spans, plus the long-waiting
-# sink_export_manifest (rows-only). Fund slots by retiring whichever
-# prefix members CORRECTNESS_r04 confirms green a second time.
+# streaming_interval_join, dedup_substring_spans, kmeans_embeddings,
+# corpus_curation_multimodal, funnel_stages, length_filter_adaptive,
+# vocab_coverage, dedup_cluster_stats, cohort_retention,
+# minhash_calibration, plus the long-waiting sink_export_manifest
+# (rows-only). Fund slots by retiring whichever prefix members
+# CORRECTNESS_r04 confirms green a second time.
 
 
 def _reorder_registry() -> None:
