@@ -692,3 +692,52 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "in_vocab"
         ),
     ).orderBy("rank")
+
+
+_LANG_CONFUSION_SQL = f"""
+WITH p AS (
+  SELECT lang,
+         CASE WHEN cast(len(list_filter(t, x -> x IN ({_SW_SQL_LIST}))) AS double)
+                   / len(t) >= 0.05
+              THEN 'en' ELSE 'unknown' END AS predicted_lang
+  FROM (SELECT lang, string_split(lower(text), ' ') AS t FROM documents)
+  WHERE len(t) > 0
+)
+SELECT lang, predicted_lang,
+       cast(count(*) AS bigint) AS n,
+       round(cast(count(*) AS double)
+             / sum(count(*)) OVER (PARTITION BY lang), 9) AS frac_of_lang
+FROM p
+GROUP BY lang, predicted_lang
+ORDER BY lang, predicted_lang
+"""
+
+
+@register("lang_id_confusion", oracle=_LANG_CONFUSION_SQL, tags=("text", "stats"))
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword-ratio language ID against the
+    corpus' ground-truth labels — the evaluation report that justifies
+    (or indicts) a cheap classifier before it gates a corpus. Integer
+    counts, one rounded division per cell."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.lower(F.col("text")), " ")
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    ratio = F.size(F.filter(t, lambda x: F.array_contains(sw, x))).cast(
+        "double"
+    ) / F.size(t)
+    p = docs.filter(F.size(t) > 0).select(
+        "lang",
+        F.when(ratio >= 0.05, "en").otherwise("unknown").alias("predicted_lang"),
+    )
+    from pyspark.sql import Window as W
+
+    cell = p.groupBy("lang", "predicted_lang").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    total = F.sum("n").over(W.partitionBy("lang"))
+    return cell.select(
+        "lang",
+        "predicted_lang",
+        "n",
+        F.round(F.col("n").cast("double") / total, 9).alias("frac_of_lang"),
+    ).orderBy("lang", "predicted_lang")

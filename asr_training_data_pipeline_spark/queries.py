@@ -1738,3 +1738,65 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("active_users").cast("double") / F.col("cohort_size"), 9
         ).alias("retention"),
     ).orderBy("cohort_week_us", "week_no")
+
+
+# --- event-rate anomaly detection (monitoring) ------------------------
+
+_ANOMALY_SQL = """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type, count(*) AS cnt, sum(n) AS s1, sum(n * n) AS s2
+  FROM h GROUP BY event_type
+)
+SELECT h.event_type, epoch_us(h.hr) AS hour_us, cast(h.n AS bigint) AS n,
+       round(cast(s1 AS double) / cnt, 9) AS mean_n,
+       round(CASE WHEN (cast(s2 AS double) / cnt
+                        - (cast(s1 AS double) / cnt) * (cast(s1 AS double) / cnt)) > 0
+             THEN (h.n - cast(s1 AS double) / cnt)
+                  / sqrt(cast(s2 AS double) / cnt
+                         - (cast(s1 AS double) / cnt) * (cast(s1 AS double) / cnt))
+             END, 9) AS z,
+       coalesce(abs((h.n - cast(s1 AS double) / cnt)
+                / sqrt(cast(s2 AS double) / cnt
+                       - (cast(s1 AS double) / cnt) * (cast(s1 AS double) / cnt)))
+                >= 3.0, false) AS is_anomaly
+FROM h JOIN m USING (event_type)
+ORDER BY event_type, hour_us
+"""
+
+
+@register("event_rate_anomalies", oracle=_ANOMALY_SQL, tags=("events", "stats"))
+def event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-monitoring anomaly scan: hourly event counts per type
+    z-scored against that type's own rate distribution, |z| ≥ 3
+    flagged. Every moment is an INTEGER sum (counts and squared
+    counts), so mean/std/z are bit-reproducible under any partitioning
+    — the engine-wide exact-moments recipe (corr_qty_price) with no
+    decimal routing needed.
+
+    Scale: two aggregations (hour buckets, then per-type moments —
+    |types| rows broadcast back); the raw events are touched once."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count("*").alias("n"))
+    m = h.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    j = h.join(F.broadcast(m), "event_type")
+    mean = F.col("s1").cast("double") / F.col("cnt")
+    var = F.col("s2").cast("double") / F.col("cnt") - mean * mean
+    z = F.when(var > 0, (F.col("n") - mean) / F.sqrt(var))
+    return j.select(
+        "event_type",
+        F.unix_micros("hr").alias("hour_us"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(mean, 9).alias("mean_n"),
+        F.round(z, 9).alias("z"),
+        F.coalesce(F.abs(z) >= 3.0, F.lit(False)).alias("is_anomaly"),
+    ).orderBy("event_type", "hour_us")
