@@ -244,3 +244,90 @@ def acoustic_boundary_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     audio = fixtures.audio_samples(spark, sf_dir)
     sliced = _clips_with_samples(sub, audio)
     return acoustic_gate(sliced).orderBy("pair_id", "group_id")
+
+
+# ---------------------------------------------------------------------
+# Energy-threshold VAD (voice-activity detection)
+# ---------------------------------------------------------------------
+
+_VAD_FRAME_MS = 20
+_VAD_DB_BELOW_PEAK = 20.0  # active = frame RMS within 20 dB of peak RMS
+_VAD_MAX_GAP_FRAMES = 3  # bridge silences ≤ 60 ms
+
+
+def vad_segments(pcm: np.ndarray, sr: int) -> list[tuple[int, int]]:
+    """Active-speech segments of a mono PCM array as (start_ms,
+    end_ms) pairs: frame-level RMS thresholded relative to the clip's
+    peak frame, short gaps bridged — the classic energy VAD used to
+    trim silence before transcription. Pure numpy, deterministic."""
+    frame = max(1, sr * _VAD_FRAME_MS // 1000)
+    n = len(pcm) // frame
+    if n == 0:
+        return []
+    x = pcm[: n * frame].astype(np.float64).reshape(n, frame)
+    rms = np.sqrt((x * x).mean(axis=1))
+    peak = rms.max()
+    if peak <= 0:
+        return []
+    thresh = peak * (10.0 ** (-_VAD_DB_BELOW_PEAK / 20.0))
+    active = rms >= thresh
+    segs: list[list[int]] = []
+    for i, a in enumerate(active):
+        if not a:
+            continue
+        if segs and i - segs[-1][1] <= _VAD_MAX_GAP_FRAMES:
+            segs[-1][1] = i
+        else:
+            segs.append([i, i])
+    return [
+        (s * _VAD_FRAME_MS, (e + 1) * _VAD_FRAME_MS) for s, e in segs
+    ]
+
+
+@register("vad_speech_segments", tags=("dsp", "udf"))
+def vad_speech_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pair VAD summary over the synthetic waveforms: number of
+    active segments, total speech ms, and speech fraction — the
+    silence-trimming stage that bounds ASR compute before
+    transcription. One pandas-UDF pass per pair; rows-only (the
+    waveform kernel is implementation-specific), decision semantics
+    pinned by tests/test_dsp.py on constructed signals."""
+    from ..sources import fixtures
+
+    audio = fixtures.audio_samples(spark, sf_dir).filter(
+        F.col("pair_id") % 20 == 0
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out = []
+        for pdf in batches:
+            for pair_id, fr, samples in zip(
+                pdf["pair_id"], pdf["frame_rate"], pdf["samples"]
+            ):
+                pcm = np.asarray(samples, dtype=np.float64)
+                segs = vad_segments(pcm, int(fr))
+                speech_ms = sum(e - s for s, e in segs)
+                total_ms = int(len(pcm) * 1000 / int(fr))
+                out.append(
+                    (
+                        int(pair_id),
+                        len(segs),
+                        speech_ms,
+                        total_ms,
+                        round(speech_ms / total_ms, 6) if total_ms else 0.0,
+                    )
+                )
+        yield pd.DataFrame(
+            out,
+            columns=["pair_id", "n_segments", "speech_ms", "total_ms", "speech_frac"],
+        )
+
+    return (
+        audio.select("pair_id", "frame_rate", "samples")
+        .mapInPandas(
+            run,
+            "pair_id long, n_segments long, speech_ms long, "
+            "total_ms long, speech_frac double",
+        )
+        .orderBy("pair_id")
+    )

@@ -83,3 +83,34 @@ def test_acoustic_gate_query_runs(spark, sf_dir):
         (leaked["verdict"] != "keep") | (leaked["tsv_quality"] == "fixed")
     ).all()
     assert (pdf["votes"] >= 0).all()
+
+
+def test_vad_constructed_signal():
+    """Known waveform: two loud bursts separated by real silence →
+    exactly two segments at the right times; a short dip must bridge."""
+    import numpy as np
+
+    from asr_training_data_pipeline_spark.operators.dsp import vad_segments
+
+    sr = 16000
+    f = sr * 20 // 1000  # one VAD frame
+    loud = np.ones(f)
+    quiet = np.zeros(f)
+    # burst(5 frames) silence(10) burst(5)
+    pcm = np.concatenate([*([loud] * 5), *([quiet] * 10), *([loud] * 5)])
+    segs = vad_segments(pcm, sr)
+    assert segs == [(0, 100), (300, 400)]
+    # a 2-frame dip (≤ max gap 3) bridges into ONE segment
+    pcm2 = np.concatenate([*([loud] * 5), *([quiet] * 2), *([loud] * 5)])
+    assert vad_segments(pcm2, sr) == [(0, 240)]
+    assert vad_segments(np.zeros(sr), sr) == []
+
+
+def test_vad_query_runs(spark, sf_dir):
+    from asr_training_data_pipeline_spark.api import REGISTRY
+
+    rows = REGISTRY["vad_speech_segments"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.speech_frac <= 1 and r.speech_ms <= r.total_ms
+        assert (r.n_segments == 0) == (r.speech_ms == 0)
