@@ -496,3 +496,33 @@ def write_training_shards(spark, sf_dir: str, out_dir: str) -> None:
         .partitionBy("lang", "shard")
         .parquet(f"{out_dir}/training_shards")
     )
+
+
+@register("sink_training_shards", tags=("sink",))
+def sink_training_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K9 end-to-end: writes the partitioned training shards to a
+    fixed scratch dir (overwritten per run), reads them BACK, and
+    returns per-(lang, shard) stats — rows, token totals, stream
+    extent — so the check covers the write path, the partition layout,
+    and the round-trip. Rows-only (file layout is environmental);
+    partition pruning and ordering pinned by tests/test_sinks.py."""
+    import shutil
+    import tempfile
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join(tempfile.gettempdir(), f"shards_{sf_tag}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_training_shards(spark, sf_dir, out_dir)
+    back = spark.read.parquet(f"{out_dir}/training_shards")
+    return (
+        back.groupBy("lang", "shard")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.max(F.col("stream_start") + F.col("n_tokens"))
+            .cast("bigint")
+            .alias("stream_end"),
+            F.max("last_chunk").cast("bigint").alias("max_chunk"),
+        )
+        .orderBy("lang", "shard")
+    )
