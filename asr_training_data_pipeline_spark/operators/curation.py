@@ -608,3 +608,73 @@ def corpus_curation_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------
+# Fused single-scan curation signal vector
+# ---------------------------------------------------------------------
+
+_FUSED_SQL = f"""
+SELECT doc_id, lang,
+       cast(len(t) AS bigint) AS n_tokens,
+       cast(len(list_distinct(t)) AS double) / len(t) AS uniq_ratio,
+       cast(len(list_filter(lt, x -> x IN ({{sw}}))) AS double) / len(t)
+         AS stop_ratio,
+       0.4 * least(cast(len(t) AS double) / 100, 1.0)
+         + 0.3 * (cast(len(list_distinct(lt)) AS double) / len(t))
+         + 0.3 * (cast(len(list_filter(lt, x -> x IN ({{sw}}))) AS double) / len(t))
+         AS quality_score,
+       1.0 - cast(len(list_distinct(t)) AS double) / len(t) AS dup_word_frac,
+       cast(length(text) AS bigint) AS n_chars,
+       cast(ceil(length(text) / 4.0) AS bigint) AS approx_bpe_tokens
+FROM (SELECT doc_id, lang, text,
+             string_split(text, ' ') AS t,
+             string_split(lower(text), ' ') AS lt
+      FROM documents)
+WHERE len(t) > 0
+"""
+
+
+def _fused_sql() -> str:
+    from .text_analysis import _SW_SQL_LIST
+
+    return _FUSED_SQL.format(sw=_SW_SQL_LIST)
+
+
+@register("curation_signals_fused", oracle=_fused_sql(), tags=("text", "quality", "pipeline"))
+def curation_signals_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every per-document curation signal in ONE scan: token counts,
+    lexical diversity, stopword ratio, the composite quality score,
+    duplicate-word fraction, character and approximate-BPE budgets —
+    the fused feature vector a production gate computes once per
+    ingest instead of re-scanning per rule. All signals are codegen'd
+    column expressions over the same split arrays; the plan is a
+    zero-exchange projection, so adding a signal costs compute, never
+    another pass over 100 TB."""
+    from .text_analysis import _STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    lt = F.split(F.lower(F.col("text")), " ")
+    n = F.size(t)
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_stop = F.size(F.filter(lt, lambda x: F.array_contains(sw, x)))
+    uniq = F.size(F.array_distinct(t)).cast("double") / n
+    uniq_l = F.size(F.array_distinct(lt)).cast("double") / n
+    stop_ratio = n_stop.cast("double") / n
+    quality = (
+        0.4 * F.least(n.cast("double") / 100, F.lit(1.0))
+        + 0.3 * uniq_l
+        + 0.3 * stop_ratio
+    )
+    return docs.filter(n > 0).select(
+        "doc_id",
+        "lang",
+        n.cast("bigint").alias("n_tokens"),
+        uniq.alias("uniq_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        quality.alias("quality_score"),
+        (1.0 - uniq).alias("dup_word_frac"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("approx_bpe_tokens"),
+    )
