@@ -1130,3 +1130,92 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+# ---------------------------------------------------------------------
+# Canonical-survivor selection (the keep/drop manifest)
+# ---------------------------------------------------------------------
+
+_CANON_SQL = f"""
+WITH clusters AS ({_CC_SQL.replace("ORDER BY doc_id", "")}),
+ranked AS (
+  SELECT d.doc_id,
+         coalesce(c.component, d.doc_id) AS component,
+         coalesce(c.cluster_size, 1) AS cluster_size,
+         cast(substr(d.source, 4) AS BIGINT) AS src_rank,
+         d.n_chars,
+         first_value(d.doc_id) OVER (
+           PARTITION BY coalesce(c.component, d.doc_id)
+           ORDER BY cast(substr(d.source, 4) AS BIGINT) ASC,
+                    d.n_chars DESC, d.doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+         ) AS canonical_doc
+  FROM documents d LEFT JOIN clusters c USING (doc_id)
+)
+SELECT doc_id,
+       cast(component AS BIGINT) AS component,
+       cast(cluster_size AS BIGINT) AS cluster_size,
+       src_rank,
+       cast(n_chars AS BIGINT) AS n_chars,
+       canonical_doc,
+       doc_id = canonical_doc AS is_canonical
+FROM ranked
+ORDER BY doc_id
+"""
+
+
+@register("dedup_canonical", oracle=_CANON_SQL, tags=("dedup", "pipeline"))
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep/drop manifest: the SURVIVOR decision that turns duplicate
+    clusters into an actionable corpus edit. ``dedup_components`` says
+    which documents are interchangeable; this picks WHICH one to keep —
+    by source trust (the numeric rank in ``source``, lower = more
+    trusted), then longer text, then smallest doc_id — the policy a
+    production dedup applies so boilerplate from a low-trust mirror
+    never displaces the original. Every document gets a row; singletons
+    are their own canonical.
+
+    Scale: the survivor window runs ONLY over the clustered subset
+    (|duplicated docs|, tiny relative to the corpus — here 47 of 500),
+    so the corpus never shuffles by component; the manifest then joins
+    back to the full scan keyed by doc_id, broadcast when small. The
+    corpus-wide plan is scan → one broadcast-probe — adding the keep
+    decision to 100 TB costs no new exchange of the 100 TB.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("cast(substring(source, 4) AS BIGINT)").alias("src_rank"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    labels = cluster_output(connected_components(pairs))
+    # Survivor policy evaluated on the SMALL clustered frame only.
+    clustered = labels.join(docs, "doc_id")
+    w = (
+        W.partitionBy("component")
+        .orderBy(
+            F.col("src_rank").asc(), F.col("n_chars").desc(), F.col("doc_id").asc()
+        )
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    manifest = clustered.select(
+        "doc_id",
+        "component",
+        "cluster_size",
+        F.first("doc_id").over(w).alias("canonical_doc"),
+    )
+    return (
+        docs.join(F.broadcast(manifest), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("component"),
+            F.coalesce("cluster_size", F.lit(1)).cast("bigint").alias("cluster_size"),
+            "src_rank",
+            "n_chars",
+            F.coalesce("canonical_doc", "doc_id").alias("canonical_doc"),
+            (
+                F.col("doc_id") == F.coalesce("canonical_doc", "doc_id")
+            ).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )

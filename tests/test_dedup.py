@@ -348,3 +348,27 @@ def test_connected_components_property_random_graphs(spark):
             assert got == expect, (max_rounds, sorted(edges))
 
     check()
+
+def test_canonical_survivor_policy(spark, sf_dir):
+    """The keep/drop manifest must (a) cover every document exactly
+    once, (b) pick per cluster exactly the policy argmin — lowest
+    src_rank, then longest text, then smallest doc_id — and (c) make
+    every singleton its own canonical."""
+    m = REGISTRY["dedup_canonical"].fn(spark, sf_dir).toPandas()
+    n_docs = REGISTRY["dedup_canonical"].fn(spark, sf_dir).count()
+    assert len(m) == n_docs == m.doc_id.nunique()
+
+    multi = m[m.cluster_size > 1]
+    assert not multi.empty, "fixture should contain duplicate clusters"
+    for comp, grp in multi.groupby("component"):
+        expect = grp.sort_values(
+            ["src_rank", "n_chars", "doc_id"], ascending=[True, False, True]
+        ).doc_id.iloc[0]
+        assert (grp.canonical_doc == expect).all()
+        assert set(grp[grp.is_canonical].doc_id) == {expect}
+
+    singles = m[m.cluster_size == 1]
+    assert (singles.canonical_doc == singles.doc_id).all()
+    assert singles.is_canonical.all()
+    # exactly one survivor per cluster
+    assert m.is_canonical.sum() == m.component.nunique()
