@@ -622,3 +622,93 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cid").cast("bigint").alias("cluster"),
         F.round("d2", 6).alias("dist2"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------
+# Scalar-quantized (int8) ANN: the memory-compression path
+# ---------------------------------------------------------------------
+
+_SQ8_SQL = f"""
+WITH v0 AS (SELECT vec_id, cast(embedding AS double[]) AS e FROM embeddings),
+q8 AS (
+  SELECT vec_id,
+         [cast(floor(x * s + 0.5) AS bigint) for x in e] AS qv
+  FROM (
+    SELECT vec_id, e,
+           CASE WHEN mx > 0 THEN 127.0 / mx ELSE 1.0 END AS s
+    FROM (SELECT vec_id, e,
+                 list_max(list_transform(e, x -> abs(x))) AS mx
+          FROM v0)
+  )
+),
+q AS (SELECT vec_id AS query_id, qv AS qq FROM q8 WHERE vec_id < {_N_QUERIES}),
+s AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         list_dot_product(qq, qv)
+           / (sqrt(list_dot_product(qq, qq)) * sqrt(list_dot_product(qv, qv)))
+           AS score
+  FROM q, q8 WHERE vec_id <> query_id
+),
+r AS (
+  SELECT query_id, neighbor_id, score,
+         cast(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id) AS bigint) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, round(score, 6) AS score, rank
+FROM r WHERE rank <= {_TOPK}
+ORDER BY query_id, rank
+"""
+
+
+def sq8_quantize_col(e: Column) -> Column:
+    """Per-vector symmetric int8 quantization: scale = 127/max|x|
+    (1.0 for the all-zero vector), elements rounded half-up. Returned
+    as array<long> — the VALUES are int8-range; cosine needs no
+    dequantization because the per-vector scale cancels."""
+    ed = F.transform(e, lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(ed, F.abs))
+    scale = F.when(mx > 0, F.lit(127.0) / mx).otherwise(F.lit(1.0))
+    return F.transform(ed, lambda x: F.floor(x * scale + 0.5).cast("long"))
+
+
+@register("ann_sq8_topk", oracle=_SQ8_SQL, tags=("similarity", "quantization"))
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k over SCALAR-QUANTIZED (int8) vectors — the compression
+    path of large-scale vector search: per-vector symmetric
+    quantization to [-127, 127] cuts the resident index 4× (and the
+    scan IO with it), and cosine over the quantized vectors needs no
+    dequantization since the per-vector scale cancels in the ratio.
+    The plan is ann_cosine_topk's exactly (broadcast query set, no
+    vector shuffle); only the element type changes.
+
+    Every product |q_a·q_b| ≤ 127²·d < 2^21 — the integer dot is EXACT
+    in double no matter the fold order, so the DuckDB oracle (same
+    quantization arithmetic) matches bit-for-bit, not just to rounding.
+    Ranking fidelity vs the float top-k is pinned in
+    tests/test_similarity.py.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q8 = emb.select("vec_id", sq8_quantize_col(F.col("embedding")).alias("qv"))
+    q = F.broadcast(
+        q8.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("qv").alias("qq")
+        )
+    )
+    v = q8.select(F.col("vec_id").alias("neighbor_id"), "qv")
+    scored = (
+        v.crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_col(F.col("qq"), F.col("qv")).alias("score"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _TOPK)
+        .select("query_id", "neighbor_id", F.round("score", 6).alias("score"), "rank")
+        .orderBy("query_id", "rank")
+    )

@@ -173,3 +173,30 @@ def test_kmeans_matches_numpy_replay(spark, sf_dir):
     got = got.sort_values("vec_id").reset_index(drop=True)
     assert (got.cluster.to_numpy() == lab).all()
     assert np.allclose(got.dist2.to_numpy(), np.round(d2[np.arange(len(lab)), lab], 6), atol=2e-6)
+
+
+def test_sq8_quantization_fidelity(spark, sf_dir):
+    """int8 scalar quantization must (a) keep every quantized value in
+    [-127, 127], (b) keep high recall vs the exact float top-k, and
+    (c) perturb the cosine scores by at most ~1/127 per vector pair."""
+    from asr_training_data_pipeline_spark.operators.similarity import (
+        sq8_quantize_col,
+    )
+
+    emb = REGISTRY["ann_cosine_topk"].fn(spark, sf_dir).sparkSession.read.parquet(
+        f"{sf_dir}/embeddings.parquet"
+    )
+    rng = emb.select(
+        F.array_max(sq8_quantize_col(F.col("embedding"))).alias("hi"),
+        F.array_min(sq8_quantize_col(F.col("embedding"))).alias("lo"),
+    ).toPandas()
+    assert rng.hi.max() <= 127 and rng.lo.min() >= -127
+
+    _recall_vs_exact(spark, sf_dir, "ann_sq8_topk", 0.8)
+
+    exact = REGISTRY["ann_cosine_topk"].fn(spark, sf_dir).toPandas()
+    sq8 = REGISTRY["ann_sq8_topk"].fn(spark, sf_dir).toPandas()
+    merged = exact.merge(sq8, on=["query_id", "neighbor_id"], suffixes=("_f", "_q"))
+    assert not merged.empty
+    err = (merged.score_f - merged.score_q).abs()
+    assert err.max() < 0.02, f"sq8 cosine off by {err.max()}"
