@@ -678,3 +678,76 @@ def curation_signals_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("bigint").alias("n_chars"),
         F.ceil(F.length("text") / 4.0).cast("bigint").alias("approx_bpe_tokens"),
     )
+
+
+# ---------------------------------------------------------------------
+# Exact-k per-stratum sampling (bottom-k by hash, KMV-style)
+# ---------------------------------------------------------------------
+
+_BK_K = 20       # sample size per language
+_BK_MARGIN = 8.0  # pre-filter keeps ~margin*k rows per stratum
+
+_BOTTOMK_SQL = f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('tok' || doc_id), 1, 8))::BIGINT AS bucket
+  FROM documents
+),
+n AS (SELECT lang, count(*) AS n_docs FROM h GROUP BY lang),
+pre AS (
+  SELECT h.doc_id, h.lang, h.bucket
+  FROM h JOIN n USING (lang)
+  WHERE cast(bucket AS double) / 4294967296.0
+        < least(1.0, {_BK_MARGIN} * {_BK_K} / n_docs)
+)
+SELECT doc_id, lang, bucket,
+       cast(row_number() OVER (PARTITION BY lang
+                               ORDER BY bucket, doc_id) AS bigint) AS sample_rank
+FROM pre
+QUALIFY sample_rank <= {_BK_K}
+ORDER BY lang, sample_rank
+"""
+
+
+@register("bottomk_sample_per_lang", oracle=_BOTTOMK_SQL, tags=("sampling",))
+def bottomk_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-k per-stratum sample: the k documents with the smallest
+    md5-derived hash per language (bottom-k / KMV sampling) — the
+    reproducible "give me exactly 10k docs per language for tokenizer
+    training" primitive. Unlike stratified_sample (a keep-RATE), this
+    guarantees the sample SIZE, and reruns/backfills select identical
+    rows.
+
+    Scale: the naive plan windows the whole corpus by lang — a skewed
+    full shuffle. Instead a margin pre-filter (hash fraction <
+    {margin}·k/n per stratum, n from a tiny broadcast count) drops
+    ~99.99% of a large corpus BEFORE the exact bottom-k window, which
+    then sorts ~{margin}·k rows per stratum. The binomial tail
+    P(survivors < k) is negligible for any n (and when n ≤ {margin}·k
+    the filter keeps everything, so small strata are exact by
+    construction); tests assert every stratum fills its k."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("tok"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+    )
+    h = docs.select("doc_id", "lang", bucket.alias("bucket"))
+    n = h.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    frac = F.least(F.lit(1.0), _BK_MARGIN * _BK_K / F.col("n_docs"))
+    pre = h.join(F.broadcast(n), "lang").filter(
+        F.col("bucket").cast("double") / 4294967296.0 < frac
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("lang").orderBy("bucket", "doc_id")
+    return (
+        pre.withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("sample_rank") <= _BK_K)
+        .select("doc_id", "lang", "bucket", "sample_rank")
+        .orderBy("lang", "sample_rank")
+    )

@@ -147,3 +147,22 @@ def test_mixture_weights_semantics(spark, sf_dir):
             assert r.sampling_weight > 1.0
         else:
             assert r.sampling_weight <= 1.0
+
+
+def test_bottomk_sample_exact_k_and_deterministic(spark, sf_dir):
+    """Every stratum with ≥k docs must yield exactly k rows (the margin
+    pre-filter must not truncate), smaller strata yield all their docs,
+    ranks are the hash order, and reruns pick identical rows."""
+    from asr_training_data_pipeline_spark.operators.curation import _BK_K
+
+    s1 = REGISTRY["bottomk_sample_per_lang"].fn(spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_per_lang = {r.lang: r.n for r in docs.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    for lang, grp in s1.groupby("lang"):
+        assert len(grp) == min(_BK_K, n_per_lang[lang]), lang
+        ordered = grp.sort_values("sample_rank")
+        assert ordered.bucket.is_monotonic_increasing
+        assert list(ordered.sample_rank) == list(range(1, len(grp) + 1))
+    s2 = REGISTRY["bottomk_sample_per_lang"].fn(spark, sf_dir).toPandas()
+    assert s1.equals(s2)
