@@ -84,3 +84,39 @@ def test_scan_only_curation_plans(spark, sf_dir):
         )
         assert plan.count("Exchange") == 0, name
         assert f"struct<{cols}>" in plan, name  # column pruning reached the scan
+
+
+def test_sq8_topk_no_vector_shuffle(spark, sf_dir):
+    """Quantized search keeps ann_cosine_topk's shape: queries
+    broadcast, and neither the raw embeddings nor the quantized
+    vectors ever ride a hash exchange."""
+    plan = _executed_plan(spark, sf_dir, "ann_sq8_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    for part in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "embedding" not in part and "qv" not in part.split(","), part
+
+
+def test_canonical_manifest_broadcasts_back(spark, sf_dir):
+    """The survivor manifest (clustered docs only) must broadcast-join
+    back to the corpus scan: the OUTERMOST join — the corpus-level one
+    — is a doc_id broadcast left-outer. (A component-keyed exchange is
+    fine BELOW it: that's the survivor window over the tiny clustered
+    frame, never the corpus.)"""
+    plan = _executed_plan(spark, sf_dir, "dedup_canonical")
+    m = re.search(r"(BroadcastHashJoin|SortMergeJoin)[^\n]*", plan)
+    assert m, "no join in plan"
+    top_join = m.group(0)
+    assert top_join.startswith("BroadcastHashJoin"), top_join
+    assert "doc_id" in top_join and "LeftOuter" in top_join, top_join
+
+
+def test_bottomk_prefilter_precedes_window(spark, sf_dir):
+    """The margin pre-filter must run scan-side (before the lang
+    exchange feeding the window), and the stratum counts must arrive
+    by broadcast."""
+    plan = _executed_plan(spark, sf_dir, "bottomk_sample_per_lang")
+    assert "BroadcastHashJoin" in plan
+    # the filter on the hash fraction appears below the window's
+    # lang-keyed exchange: no Window node before the first Exchange
+    head = plan.split("Exchange hashpartitioning", 1)[0]
+    assert "Window" in head  # window is the exchange CONSUMER (printed above it)
