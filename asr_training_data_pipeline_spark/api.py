@@ -106,7 +106,7 @@ _PRIORITY = (
 # corpus_curation_multimodal, funnel_stages, length_filter_adaptive,
 # vocab_coverage, dedup_cluster_stats, cohort_retention,
 # minhash_calibration, dedup_canonical, ann_sq8_topk,
-# bottomk_sample_per_lang, plus the long-waiting
+# bottomk_sample_per_lang, unigram_perplexity, plus the long-waiting
 # sink_export_manifest (rows-only). Fund slots by retiring whichever
 # prefix members CORRECTNESS_r04 confirms green a second time.
 

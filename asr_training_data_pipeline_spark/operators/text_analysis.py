@@ -741,3 +741,89 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / total, 9).alias("frac_of_lang"),
     ).orderBy("lang", "predicted_lang")
+
+
+# ---------------------------------------------------------------------
+# Unigram-LM perplexity filter (CCNet-style quality scoring)
+# ---------------------------------------------------------------------
+
+_LM_SCALE = 1_000_000       # micro-nat fixed point for -ln p(w)
+_LM_THRESH_U = 7_000_000    # flag docs with mean -ln p > 7.0 nats (ppl > ~1097)
+
+_LM_PPL_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+  FROM documents WHERE len(string_split(text, ' ')) > 0
+),
+freq AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+tot AS (SELECT sum(cnt) AS total FROM freq),
+lp AS (
+  SELECT w,
+         cast(floor(-ln(cast(cnt AS double) / total) * {_LM_SCALE} + 0.5)
+              AS bigint) AS lp_u
+  FROM freq, tot
+),
+s AS (
+  SELECT t.doc_id, count(*) AS n, sum(lp.lp_u) AS sum_u
+  FROM toks t JOIN lp USING (w)
+  GROUP BY t.doc_id
+)
+SELECT doc_id,
+       cast(n AS bigint) AS n_tokens,
+       round(cast(sum_u AS double) / (n * {_LM_SCALE}.0), 6) AS avg_neglogp,
+       round(exp(cast(sum_u AS double) / (n * {_LM_SCALE}.0)), 4) AS perplexity,
+       sum_u > n * {_LM_THRESH_U} AS is_low_quality
+FROM s
+ORDER BY doc_id
+"""
+
+
+@register("unigram_perplexity", oracle=_LM_PPL_SQL, tags=("text", "quality"))
+def unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality filter, CCNet-style: train a unigram LM
+    on the corpus itself (word → count/total), score every document by
+    its mean negative log-probability, and flag the high-perplexity
+    tail — the "does this even look like language from this corpus?"
+    gate that catches gibberish, wrong-language spillover, and
+    boilerplate that length/ratio rules miss.
+
+    Exactness: per-WORD -ln p is quantized once to integer micro-nats
+    (floor(x·1e6 + 0.5)), so the per-document reduction is a bigint
+    sum — order-independent under any partitioning — and the keep flag
+    compares on the integer scale (sum_u > n·thresh_u), immune to
+    float-boundary drift. Only the two display columns divide back to
+    double.
+
+    Scale: train = one word-keyed count aggregation (map-side combined)
+    + a 1-row total broadcast; score = re-explode, join the frequency
+    table keyed by word (hot words are no hazard — the join fans OUT
+    nothing; a 100 TB corpus's vocab is GBs and can broadcast), then
+    one doc_id aggregation. No data-dependent iteration, three
+    exchanges total."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.size(F.split(F.col("text"), " ")) > 0)
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"),
+        )
+    )
+    freq = toks.groupBy("w").agg(F.count("*").alias("cnt"))
+    tot = freq.agg(F.sum("cnt").alias("total"))
+    lp_u = F.floor(
+        -F.log(F.col("cnt").cast("double") / F.col("total")) * _LM_SCALE + 0.5
+    ).cast("bigint")
+    lp = freq.crossJoin(F.broadcast(tot)).select("w", lp_u.alias("lp_u"))
+    s = (
+        toks.join(lp, "w")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"), F.sum("lp_u").alias("sum_u"))
+    )
+    avg = F.col("sum_u").cast("double") / (F.col("n") * float(_LM_SCALE))
+    return s.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.round(avg, 6).alias("avg_neglogp"),
+        F.round(F.exp(avg), 4).alias("perplexity"),
+        (F.col("sum_u") > F.col("n") * _LM_THRESH_U).alias("is_low_quality"),
+    ).orderBy("doc_id")

@@ -166,3 +166,22 @@ def test_bottomk_sample_exact_k_and_deterministic(spark, sf_dir):
         assert list(ordered.sample_rank) == list(range(1, len(grp) + 1))
     s2 = REGISTRY["bottomk_sample_per_lang"].fn(spark, sf_dir).toPandas()
     assert s1.equals(s2)
+
+
+def test_unigram_perplexity_consistency(spark, sf_dir):
+    """Scores must be positive, perplexity must equal exp(score), the
+    low-quality flag must agree with the 7-nat threshold, and every
+    non-empty document must be scored exactly once."""
+    import math
+
+    p = REGISTRY["unigram_perplexity"].fn(spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_nonempty = docs.filter(F.size(F.split("text", " ")) > 0).count()
+    assert len(p) == n_nonempty == p.doc_id.nunique()
+    assert (p.avg_neglogp > 0).all()
+    for r in p.itertuples():
+        assert math.isclose(r.perplexity, math.exp(r.avg_neglogp), rel_tol=1e-3)
+        # flag decided on the exact integer scale; the rounded double
+        # only disagrees within rounding distance of the cut
+        if abs(r.avg_neglogp - 7.0) > 1e-5:
+            assert r.is_low_quality == (r.avg_neglogp > 7.0)
