@@ -4,7 +4,7 @@ registry (each operator module registers its queries on import)."""
 from __future__ import annotations
 
 from . import queries as core_queries  # noqa: F401  (relational/window/scalar core)
-from .operators import asof, curation, dedup, dsp, mllib_fe, multimodal, similarity, text_analysis  # noqa: F401
+from .operators import asof, curation, dedup, dsp, layout, mllib_fe, multimodal, similarity, text_analysis  # noqa: F401
 from .plans import pipeline  # noqa: F401
 from .registry import REGISTRY, bench_queries, oracles, queries  # noqa: F401
 from .sinks import exports  # noqa: F401
@@ -106,7 +106,8 @@ _PRIORITY = (
 # corpus_curation_multimodal, funnel_stages, length_filter_adaptive,
 # vocab_coverage, dedup_cluster_stats, cohort_retention,
 # minhash_calibration, dedup_canonical, ann_sq8_topk,
-# bottomk_sample_per_lang, unigram_perplexity, plus the long-waiting
+# bottomk_sample_per_lang, unigram_perplexity, zorder_layout_events,
+# plus the long-waiting
 # sink_export_manifest (rows-only). Fund slots by retiring whichever
 # prefix members CORRECTNESS_r04 confirms green a second time.
 
