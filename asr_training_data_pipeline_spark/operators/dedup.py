@@ -1219,3 +1219,90 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------
+# SemDeDup production path: within-KMeans-cluster semantic dedup
+# ---------------------------------------------------------------------
+
+
+def _semantic_clustered_sql() -> str:
+    from .similarity import _KM_D2, _KM_ITERS, _km_cte
+
+    d2, iters = _KM_D2, _KM_ITERS
+    cos = (
+        "list_dot_product(a.e, b.e)"
+        " / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))"
+    )
+    return _km_cte("WITH RECURSIVE ") + f""",
+fa AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT v.vec_id, v.e, c{iters}.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {d2.format(i=iters)}, c{iters}.cid) AS rn
+    FROM v, c{iters}
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM fa a JOIN fa b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE {cos} >= {_PAIRS_THRESHOLD}
+),
+sym AS (SELECT va AS a, vb AS b FROM pairs
+        UNION SELECT vb, va FROM pairs),
+nodes AS (SELECT DISTINCT a AS v2 FROM sym),
+reach(x, y) AS (
+  SELECT v2, v2 FROM nodes
+  UNION
+  SELECT r.x, s.b FROM reach r JOIN sym s ON r.y = s.a
+),
+comp AS (SELECT x AS vec_id, min(y) AS component FROM reach GROUP BY x)
+SELECT vec_id, component,
+       cast(count(*) OVER (PARTITION BY component) AS bigint) AS cluster_size
+FROM comp
+ORDER BY vec_id
+"""
+
+
+@register(
+    "dedup_semantic_clustered",
+    oracle=_semantic_clustered_sql(),
+    tags=("dedup", "similarity", "iterative"),
+)
+def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup AS PUBLISHED (Abbas et al. 2023): partition the
+    embedding space with KMeans FIRST, score pairs only WITHIN each
+    cluster, then connected-components — the production path whose
+    pair cost is Σ|cluster|² ≈ n²/k instead of ``dedup_semantic``'s
+    brute-force n² (and each cluster's pair join is an independent,
+    perfectly parallel task).
+
+    Exactly verifiable end-to-end: the deterministic fixed-point
+    KMeans (see kmeans_embeddings) means the ORACLE replays clustering,
+    within-cluster scoring, and the transitive closure — so even this
+    two-stage approximate pipeline hash-matches. Dup pairs straddling
+    a cluster boundary are missed by design (the SemDeDup trade-off);
+    the overlap with the brute-force pair set is pinned in
+    tests/test_dedup.py.
+    """
+    from .similarity import cosine_col, kmeans_assignment_frame
+
+    fa = kmeans_assignment_frame(spark, sf_dir)
+    a = fa.select(
+        F.col("cluster").alias("cid"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("e").alias("ea"),
+    )
+    b = fa.select(
+        F.col("cluster").alias("cid"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("e").alias("eb"),
+    )
+    pairs = (
+        a.join(b, "cid")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(cosine_col(F.col("ea"), F.col("eb")) >= _PAIRS_THRESHOLD)
+        .select("vec_a", "vec_b")
+    )
+    labels = connected_components(pairs, col_a="vec_a", col_b="vec_b")
+    return cluster_output(labels, id_name="vec_id")

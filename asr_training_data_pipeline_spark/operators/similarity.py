@@ -503,19 +503,20 @@ _KM_K = 8
 _KM_ITERS = 3
 
 
-def _km_sql() -> str:
-    """DuckDB oracle replaying the SAME deterministic KMeans: seeds =
-    vec_id < K, squared-L2 via the three-dot identity (each dot a
-    sequential fold — bit-identical to the Spark zip_with fold),
-    fixed-point centroid means, ties to the lower centroid id,
-    unrolled for the fixed iteration count."""
+_KM_D2 = (
+    "list_dot_product(v.e, v.e) - 2 * list_dot_product(v.e, c{i}.ce)"
+    " + list_dot_product(c{i}.ce, c{i}.ce)"
+)
+
+
+def _km_cte(with_keyword: str = "WITH ") -> str:
+    """Shared unrolled-KMeans CTE chain (v, c0, a1..s1..c1, ...,
+    c{iters}) — the common prefix of the kmeans oracle and the
+    SemDeDup-clustered dedup oracle."""
     k, iters, scale = _KM_K, _KM_ITERS, _CENTROID_SCALE
-    d2 = (
-        "list_dot_product(v.e, v.e) - 2 * list_dot_product(v.e, c{i}.ce)"
-        " + list_dot_product(c{i}.ce, c{i}.ce)"
-    )
+    d2 = _KM_D2
     parts = [
-        "WITH v AS (SELECT vec_id, cast(embedding AS double[]) AS e,"
+        f"{with_keyword}v AS (SELECT vec_id, cast(embedding AS double[]) AS e,"
         f" [cast(floor(x * {scale} + 0.5) AS bigint) for x in cast(embedding AS double[])] AS qe"
         " FROM embeddings),",
         f"c0 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {k})",
@@ -541,7 +542,17 @@ s{it} AS (
 ),
 c{it} AS (SELECT c{p}.cid, coalesce(s{it}.ce, c{p}.ce) AS ce
           FROM c{p} LEFT JOIN s{it} USING (cid))""")
-    parts.append(f"""
+    return "".join(parts)
+
+
+def _km_sql() -> str:
+    """DuckDB oracle replaying the SAME deterministic KMeans: seeds =
+    vec_id < K, squared-L2 via the three-dot identity (each dot a
+    sequential fold — bit-identical to the Spark zip_with fold),
+    fixed-point centroid means, ties to the lower centroid id,
+    unrolled for the fixed iteration count."""
+    iters, d2 = _KM_ITERS, _KM_D2
+    return _km_cte() + f"""
 SELECT vec_id, cast(cid AS bigint) AS cluster, round(d2, 6) AS dist2
 FROM (
   SELECT v.vec_id, c{iters}.cid,
@@ -550,8 +561,7 @@ FROM (
                             ORDER BY {d2.format(i=iters)}, c{iters}.cid) AS rn
   FROM v, c{iters}
 ) WHERE rn = 1
-ORDER BY vec_id""")
-    return "".join(parts)
+ORDER BY vec_id"""
 
 
 @register("kmeans_embeddings", oracle=_km_sql(), tags=("similarity", "iterative"))
@@ -622,6 +632,18 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cid").cast("bigint").alias("cluster"),
         F.round("d2", 6).alias("dist2"),
     ).orderBy("vec_id")
+
+
+def kmeans_assignment_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, e, cluster) from the SAME converged deterministic
+    KMeans as ``kmeans_embeddings`` — the reusable partition for
+    within-cluster operators (SemDeDup pair generation in
+    operators.dedup.dedup_semantic_clustered)."""
+    full = kmeans_embeddings(spark, sf_dir).select("vec_id", "cluster")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    return emb.join(full, "vec_id")
 
 
 # ---------------------------------------------------------------------

@@ -372,3 +372,39 @@ def test_canonical_survivor_policy(spark, sf_dir):
     assert singles.is_canonical.all()
     # exactly one survivor per cluster
     assert m.is_canonical.sum() == m.component.nunique()
+
+
+def test_semantic_clustered_subset_of_bruteforce(spark, sf_dir):
+    """SemDeDup's within-cluster pairs are a SUBSET of the brute-force
+    cosine pairs (it can only miss boundary-straddlers, never invent),
+    and on this fixture the KMeans partition must retain most of them."""
+    from asr_training_data_pipeline_spark.operators.similarity import (
+        kmeans_assignment_frame,
+    )
+    from asr_training_data_pipeline_spark.operators.dedup import _PAIRS_THRESHOLD
+    from asr_training_data_pipeline_spark.operators.similarity import cosine_col
+
+    brute = _pairs(
+        REGISTRY["embedding_cosine_pairs"].fn(spark, sf_dir).toPandas(),
+        "vec_a", "vec_b",
+    )
+    fa = kmeans_assignment_frame(spark, sf_dir)
+    a = fa.select(F.col("cluster").alias("cid"), F.col("vec_id").alias("vec_a"),
+                  F.col("e").alias("ea"))
+    b = fa.select(F.col("cluster").alias("cid"), F.col("vec_id").alias("vec_b"),
+                  F.col("e").alias("eb"))
+    clustered = _pairs(
+        a.join(b, "cid")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(cosine_col(F.col("ea"), F.col("eb")) >= _PAIRS_THRESHOLD)
+        .select("vec_a", "vec_b")
+        .toPandas(),
+        "vec_a", "vec_b",
+    )
+    assert brute, "fixture should contain semantic-dup pairs"
+    assert clustered <= brute
+    # The fixture's pairs sit at cosine ≈ the 0.4 cut (near-random
+    # vectors), where k-means co-clustering is weakest; real near-dups
+    # (cosine ≥ 0.9) virtually always co-cluster. Pin that the
+    # partition still finds a meaningful share here.
+    assert len(clustered) >= 0.2 * len(brute), (len(clustered), len(brute))
