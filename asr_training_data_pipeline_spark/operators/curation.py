@@ -751,3 +751,132 @@ def bottomk_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "bucket", "sample_rank")
         .orderBy("lang", "sample_rank")
     )
+
+
+# ---------------------------------------------------------------------
+# End-to-end curation funnel (the run report)
+# ---------------------------------------------------------------------
+
+_FN_LEN_LO, _FN_LEN_HI = 10, 2000
+_FN_UNIQ, _FN_QUALITY = 0.3, 0.36  # ~corpus median composite score
+
+_FN_STAGES = ("length", "diversity", "quality", "perplexity", "dedup")
+
+
+def _funnel_sql() -> str:
+    from .dedup import _CANON_SQL
+    from .text_analysis import _LM_PPL_SQL
+
+    sig = _fused_sql().replace("WHERE len(t) > 0", "WHERE len(t) > 0 ")
+    ppl = _LM_PPL_SQL.replace("ORDER BY doc_id", "")
+    canon = _CANON_SQL.replace("ORDER BY doc_id", "")
+    gates = [
+        f"(n_tokens BETWEEN {_FN_LEN_LO} AND {_FN_LEN_HI})",
+        f"uniq_ratio >= {_FN_UNIQ}",
+        f"quality_score >= {_FN_QUALITY}",
+        "NOT is_low_quality",
+        "is_canonical",
+    ]
+    cum = []
+    acc = []
+    for g in gates:
+        acc.append(g)
+        cum.append(" AND ".join(acc))
+    sums = ", ".join(
+        f"sum(CASE WHEN {c} THEN 1 ELSE 0 END) AS n{i + 1}"
+        for i, c in enumerate(cum)
+    )
+    stage_rows = " UNION ALL ".join(
+        f"SELECT {i + 1} AS stage, '{name}' AS gate, n{i} AS n_in, n{i + 1} AS n_out"
+        f" FROM a"
+        for i, name in enumerate(_FN_STAGES)
+    )
+    return f"""
+WITH sig AS ({sig}),
+ppl AS ({ppl}),
+canon AS ({canon}),
+j AS (
+  SELECT sig.doc_id, sig.n_tokens, sig.uniq_ratio, sig.quality_score,
+         ppl.is_low_quality, canon.is_canonical
+  FROM sig JOIN ppl USING (doc_id) JOIN canon USING (doc_id)
+),
+a AS (SELECT count(*) AS n0, {sums} FROM j)
+SELECT cast(stage AS bigint) AS stage, gate,
+       cast(n_in AS bigint) AS n_in, cast(n_out AS bigint) AS n_out,
+       cast(n_in - n_out AS bigint) AS n_dropped,
+       round(CASE WHEN n_in > 0 THEN cast(n_out AS double) / n_in END, 6)
+         AS pass_rate
+FROM ({stage_rows}) s
+ORDER BY stage
+"""
+
+
+@register("curation_funnel", oracle=_funnel_sql(), tags=("pipeline", "quality", "dedup"))
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation RUN REPORT: how many documents survive each
+    successive gate — length → lexical diversity → composite quality →
+    LM perplexity → dedup survivorship — the five-line summary an
+    engineer reads after every corpus build to see where the data
+    went. Composes three operator families (fused text signals, the
+    corpus-trained unigram LM, the canonical-survivor manifest) in one
+    query, and the oracle composes their SQL the same way, so the
+    whole integrated pipeline hash-matches.
+
+    Scale: the text signals are scan-side; the LM and manifest joins
+    are the same plans their standalone queries run; the funnel itself
+    is ONE conditional aggregation (five cumulative-AND counters folded
+    map-side into a single row) exploded into the report rows — adding
+    a gate costs one more counter, never another pass."""
+    sig = curation_signals_fused(spark, sf_dir).select(
+        "doc_id", "n_tokens", "uniq_ratio", "quality_score"
+    )
+    from .dedup import dedup_canonical
+    from .text_analysis import unigram_perplexity
+
+    ppl = unigram_perplexity(spark, sf_dir).select("doc_id", "is_low_quality")
+    canon = dedup_canonical(spark, sf_dir).select("doc_id", "is_canonical")
+    j = sig.join(ppl, "doc_id").join(canon, "doc_id")
+    gates = [
+        F.col("n_tokens").between(_FN_LEN_LO, _FN_LEN_HI),
+        F.col("uniq_ratio") >= _FN_UNIQ,
+        F.col("quality_score") >= _FN_QUALITY,
+        ~F.col("is_low_quality"),
+        F.col("is_canonical"),
+    ]
+    cum = []
+    acc = None
+    for g in gates:
+        acc = g if acc is None else (acc & g)
+        cum.append(acc)
+    a = j.agg(
+        F.count("*").alias("n0"),
+        *[
+            F.sum(F.when(c, 1).otherwise(0)).alias(f"n{i + 1}")
+            for i, c in enumerate(cum)
+        ],
+    )
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).cast("bigint").alias("stage"),
+                F.lit(name).alias("gate"),
+                F.col(f"n{i}").cast("bigint").alias("n_in"),
+                F.col(f"n{i + 1}").cast("bigint").alias("n_out"),
+            )
+            for i, name in enumerate(_FN_STAGES)
+        ]
+    )
+    exploded = a.select(F.explode(stages).alias("s")).select("s.*")
+    return exploded.select(
+        "stage",
+        "gate",
+        "n_in",
+        "n_out",
+        (F.col("n_in") - F.col("n_out")).cast("bigint").alias("n_dropped"),
+        F.round(
+            F.when(
+                F.col("n_in") > 0, F.col("n_out").cast("double") / F.col("n_in")
+            ),
+            6,
+        ).alias("pass_rate"),
+    ).orderBy("stage")

@@ -185,3 +185,20 @@ def test_unigram_perplexity_consistency(spark, sf_dir):
         # only disagrees within rounding distance of the cut
         if abs(r.avg_neglogp - 7.0) > 1e-5:
             assert r.is_low_quality == (r.avg_neglogp > 7.0)
+
+
+def test_curation_funnel_monotone_and_consistent(spark, sf_dir):
+    """Funnel counts must be monotone non-increasing, chain stage to
+    stage (n_out[k] == n_in[k+1]), start from the joined population,
+    and each stage must agree with n_dropped/pass_rate."""
+    f = REGISTRY["curation_funnel"].fn(spark, sf_dir).toPandas().sort_values("stage")
+    assert list(f.gate) == ["length", "diversity", "quality", "perplexity", "dedup"]
+    for prev, nxt in zip(f.itertuples(), list(f.itertuples())[1:]):
+        assert prev.n_out == nxt.n_in
+    for r in f.itertuples():
+        assert 0 <= r.n_out <= r.n_in
+        assert r.n_dropped == r.n_in - r.n_out
+        if r.n_in > 0:
+            assert abs(r.pass_rate - r.n_out / r.n_in) < 1e-6
+    # the fixture must exercise the funnel non-trivially
+    assert f.iloc[-1].n_out < f.iloc[0].n_in
