@@ -65,6 +65,10 @@ def test_all_parquet_timestamps_normalized_to_ltz(bare_session, sf_dir):
         "kmeans_embeddings",
         "funnel_stages",
         "streaming_interval_join",
+        # r4 late additions: the z-order plan reads events.ts via
+        # unix_micros; the funnel composes text+LM+dedup families
+        "zorder_layout_events",
+        "curation_funnel",
     ],
 )
 def test_events_queries_on_bare_session(bare_session, sf_dir, name):
@@ -77,7 +81,8 @@ TZ_CONF = "spark.sql.session.timeZone"
 
 
 @pytest.mark.parametrize(
-    "name", ["streaming_tumbling_counts", "sessionize_events"]
+    "name",
+    ["streaming_tumbling_counts", "sessionize_events", "zorder_layout_events"]
 )
 def test_non_utc_session_timezone_still_matches_oracle(spark, sf_dir, name):
     """A harness JVM defaulting to a non-UTC zone must not skew
