@@ -734,3 +734,80 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", F.round("score", 6).alias("score"), "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------
+# Embedding-space profiling (feature health / drift report)
+# ---------------------------------------------------------------------
+
+_EPROF_SQL = f"""
+WITH v AS (SELECT vec_id, cast(embedding AS double[]) AS e FROM embeddings),
+q AS (SELECT vec_id, e,
+             [cast(floor(x * {_CENTROID_SCALE} + 0.5) AS bigint) for x in e] AS qe
+      FROM v),
+s AS (
+  SELECT i AS dim, sum(qe[i]) AS sq, count(*) AS n,
+         min(e[i]) AS mn, max(e[i]) AS mx,
+         sum(CASE WHEN e[i] = 0 THEN 1 ELSE 0 END) AS nz
+  FROM q, unnest(range(1, {_CENTROID_DIM + 1})) AS u(i)
+  GROUP BY i
+)
+SELECT cast(dim AS bigint) AS dim,
+       round(cast(sq AS double) / (n * {_CENTROID_SCALE}.0), 9) AS mean,
+       mn AS min_val, mx AS max_val,
+       cast(nz AS bigint) AS n_zero
+FROM s
+ORDER BY dim
+"""
+
+
+@register("profile_embeddings", oracle=_EPROF_SQL, tags=("similarity", "stats"))
+def profile_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding profile: mean (exact fixed-point sum),
+    min/max, and dead-zero counts for each of the {dim} dimensions —
+    the feature-health report that catches collapsed dimensions,
+    saturated ranges, and upstream-encoder drift before they poison
+    ANN recall or centroid quality.
+
+    Scale: one pass; per-dimension sums/extrema are map-side-combined
+    scalars ({dim}·4 numbers per partition on the wire, never the
+    vectors). The mean uses the same integer micro-quantization as
+    embedding_centroids, so the aggregation is order-independent and
+    the oracle exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * _CENTROID_SCALE + 0.5).cast("long"),
+    )
+    ed = F.transform("embedding", lambda x: x.cast("double"))
+    q = emb.select(ed.alias("e"), quant.alias("qe"))
+    aggs = []
+    for i in range(_CENTROID_DIM):
+        aggs += [
+            F.sum(F.get("qe", i)).alias(f"sq{i}"),
+            F.min(F.get("e", i)).alias(f"mn{i}"),
+            F.max(F.get("e", i)).alias(f"mx{i}"),
+            F.sum(F.when(F.get("e", i) == 0.0, 1).otherwise(0)).alias(f"nz{i}"),
+        ]
+    row = q.agg(F.count("*").alias("n"), *aggs)
+    dims = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).cast("bigint").alias("dim"),
+                F.round(
+                    F.col(f"sq{i}").cast("double")
+                    / (F.col("n") * float(_CENTROID_SCALE)),
+                    9,
+                ).alias("mean"),
+                F.col(f"mn{i}").alias("min_val"),
+                F.col(f"mx{i}").alias("max_val"),
+                F.col(f"nz{i}").cast("bigint").alias("n_zero"),
+            )
+            for i in range(_CENTROID_DIM)
+        ]
+    )
+    return (
+        row.select(F.explode(dims).alias("d"))
+        .select("d.*")
+        .orderBy("dim")
+    )

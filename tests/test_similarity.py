@@ -200,3 +200,26 @@ def test_sq8_quantization_fidelity(spark, sf_dir):
     assert not merged.empty
     err = (merged.score_f - merged.score_q).abs()
     assert err.max() < 0.02, f"sq8 cosine off by {err.max()}"
+
+
+def test_profile_embeddings_matches_numpy(spark, sf_dir):
+    """Per-dimension means/extrema must agree with a direct numpy
+    computation on the same vectors."""
+    import numpy as np
+
+    p = REGISTRY["profile_embeddings"].fn(spark, sf_dir).toPandas()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    mat = np.array([np.asarray(e, dtype=np.float64) for e in emb.embedding])
+    assert len(p) == mat.shape[1]
+    q = np.floor(mat * 1_000_000 + 0.5).astype(np.int64)
+    np.testing.assert_allclose(
+        p.sort_values("dim")["mean"].to_numpy(),
+        np.round(q.sum(axis=0) / (mat.shape[0] * 1e6), 9),
+        atol=1e-9,
+    )
+    np.testing.assert_array_equal(
+        p.sort_values("dim")["min_val"].to_numpy(), mat.min(axis=0)
+    )
+    np.testing.assert_array_equal(
+        p.sort_values("dim")["max_val"].to_numpy(), mat.max(axis=0)
+    )
