@@ -641,19 +641,13 @@ def _fused_sql() -> str:
     return _FUSED_SQL.format(sw=_SW_SQL_LIST)
 
 
-@register("curation_signals_fused", oracle=_fused_sql(), tags=("text", "quality", "pipeline"))
-def curation_signals_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Every per-document curation signal in ONE scan: token counts,
-    lexical diversity, stopword ratio, the composite quality score,
-    duplicate-word fraction, character and approximate-BPE budgets —
-    the fused feature vector a production gate computes once per
-    ingest instead of re-scanning per rule. All signals are codegen'd
-    column expressions over the same split arrays; the plan is a
-    zero-exchange projection, so adding a signal costs compute, never
-    another pass over 100 TB."""
+def fused_signals_projection(docs: DataFrame) -> DataFrame:
+    """The fused signal projection applied to ANY documents frame —
+    batch scan or stream (it is a stateless select, so the identical
+    expressions run under Structured Streaming in
+    streaming.windows.streaming_curation_gate_q)."""
     from .text_analysis import _STOPWORDS
 
-    docs = load_table(spark, sf_dir, "documents")
     t = F.split(F.col("text"), " ")
     lt = F.split(F.lower(F.col("text")), " ")
     n = F.size(t)
@@ -678,6 +672,19 @@ def curation_signals_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("bigint").alias("n_chars"),
         F.ceil(F.length("text") / 4.0).cast("bigint").alias("approx_bpe_tokens"),
     )
+
+
+@register("curation_signals_fused", oracle=_fused_sql(), tags=("text", "quality", "pipeline"))
+def curation_signals_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every per-document curation signal in ONE scan: token counts,
+    lexical diversity, stopword ratio, the composite quality score,
+    duplicate-word fraction, character and approximate-BPE budgets —
+    the fused feature vector a production gate computes once per
+    ingest instead of re-scanning per rule. All signals are codegen'd
+    column expressions over the same split arrays; the plan is a
+    zero-exchange projection, so adding a signal costs compute, never
+    another pass over 100 TB."""
+    return fused_signals_projection(load_table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------

@@ -299,3 +299,38 @@ def streaming_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_user").alias("user_id"),
         (F.unix_micros("error_ts") - F.unix_micros("click_ts")).alias("lag_us"),
     ).orderBy("click_id", "error_id")
+
+
+def _gate_sql() -> str:
+    from ..operators.curation import _FN_QUALITY, _fused_sql
+
+    return f"""
+SELECT *, quality_score >= {_FN_QUALITY} AS keep
+FROM ({_fused_sql()})
+ORDER BY doc_id
+"""
+
+
+@register("streaming_curation_gate", oracle=_gate_sql(), tags=("streaming", "quality"))
+def streaming_curation_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fused curation gate ON A STREAM: the SAME projection the
+    batch gate runs (operators.curation.fused_signals_projection —
+    shared code, not a re-implementation) applied to a document
+    stream with a keep decision per arriving document — gate-on-ingest,
+    the shape a continuously-fed training corpus runs so a document is
+    scored once, the moment it lands.
+
+    Stateless append mode: no watermark, no state store — each
+    micro-batch is a pure codegen'd projection, so throughput is scan
+    throughput. Oracle: the batch signal SQL plus the same keep
+    predicate (stream and batch must agree document-for-document,
+    which is the unification guarantee Structured Streaming makes for
+    stateless plans)."""
+    from ..operators.curation import _FN_QUALITY, fused_signals_projection
+
+    raw = _probed_stream(spark, _stage_dir(sf_dir, "documents"))
+    gated = fused_signals_projection(raw).withColumn(
+        "keep", F.col("quality_score") >= _FN_QUALITY
+    )
+    out = _run_to_memory(gated, mode="append")
+    return out.orderBy("doc_id")
