@@ -269,9 +269,11 @@ def _minhash_params_lit():
     )
 
 
-def minhash_signature_col(shingles):
+def minhash_signature_col(shingles, hash_transform=None):
     """64-slot MinHash signature: sig[k] = min over shingles of
-    (aₖ·h(shingle)+bₖ) mod p, p = 2³¹−1.
+    (aₖ·h(shingle)+bₖ) mod p, p = 2³¹−1. ``hash_transform`` overrides
+    the shingle→int hash (default: xxhash64 mod p — fastest; the
+    portable variant passes an md5-derived hash both engines share).
 
     Split across the JVM/Python boundary at the right place: the
     shingle hash h (xxhash64 → pmod) is a Catalyst expression in the
@@ -322,9 +324,11 @@ def minhash_signature_col(shingles):
                 )
             yield pd.Series(list(sigs))
 
-    h32 = F.transform(
-        shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)).cast("long")
-    )
+    if hash_transform is None:
+        hash_transform = lambda s: F.pmod(  # noqa: E731
+            F.xxhash64(s), F.lit(_MERSENNE)
+        ).cast("long")
+    h32 = F.transform(shingles, hash_transform)
     return perm_min(h32)
 
 
@@ -407,6 +411,130 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("x.doc_id").alias("doc_a"),
             F.col("y.doc_id").alias("doc_b"),
             est.alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= _EST_THRESHOLD)
+        .dropDuplicates(["doc_a", "doc_b"])
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------
+# Portable MinHash (engine-shared hash → EXACT oracle for the full
+# signature → banding → candidate → estimate pipeline)
+# ---------------------------------------------------------------------
+
+
+def _minhash_portable_sql() -> str:
+    """DuckDB replay of the ENTIRE MinHash+LSH pipeline: md5-derived
+    shingle hashes (bit-identical in both engines), the same 64
+    (a, b) permutation params as literals, 16 banded keys, the
+    band-bucket self-join, and the equal-slot Jaccard estimate."""
+    k, p = _SHINGLE_K, _MERSENNE
+    hash_s = f"('0x' || substr(md5(s), 1, 15))::BIGINT % {p}"
+    sig_exprs = ", ".join(
+        f"coalesce(list_min([({a} * h + {b}) % {p} for h in hs]), {p})"
+        for a, b in _MINHASH_PARAMS
+    )
+    est = f"len(list_filter(range(1, {_N_HASHES + 1}), i -> x.sig[i] = y.sig[i])) / {_N_HASHES}.0"
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sgl AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= {k} THEN
+           list_distinct([array_to_string(t[i:i+{k - 1}], ' ')
+                          for i in range(1, len(t) - {k - 2})])
+         ELSE [] END AS sgl
+  FROM toks
+),
+hs AS (SELECT doc_id, [{hash_s} for s in sgl] AS hs FROM sgl),
+sig AS (SELECT doc_id, [{sig_exprs}] AS sig FROM hs),
+bands AS (
+  SELECT doc_id, sig, bi,
+         array_to_string(sig[bi * {_ROWS_PER_BAND} + 1 : (bi + 1) * {_ROWS_PER_BAND}], ',') AS band_key
+  FROM sig, unnest(range(0, {_N_BANDS})) AS u(bi)
+),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         round({est}, 6) AS est_jaccard
+  FROM bands x JOIN bands y
+    ON x.bi = y.bi AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, est_jaccard
+FROM pairs
+WHERE est_jaccard >= {_EST_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "dedup_minhash_portable",
+    oracle=_minhash_portable_sql(),
+    tags=("dedup", "lsh"),
+)
+def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_minhash_lsh with an ENGINE-PORTABLE shingle hash
+    (md5-derived instead of xxhash64), which makes the whole
+    signature → banding → candidate → estimate pipeline exactly
+    SQL-replayable: the driver's independent DuckDB oracle verifies
+    the MinHash ALGORITHM end-to-end, not just its recall. The fast
+    path keeps xxhash64 (non-cryptographic, several× cheaper per
+    shingle at 100 TB); this variant shares every other line — the
+    Arrow-batched ``reduceat`` signature kernel, the band explode, the
+    bucket self-join — so algorithmic regressions in the shared code
+    fail BOTH the recall test and this exact oracle.
+
+    Band keys stay raw signature-slot strings here (no xxhash64
+    compaction) so bucket equality is engine-identical; the fast path
+    hashes them to 8 bytes for shuffle width."""
+    docs = load_table(spark, sf_dir, "documents")
+    portable_hash = (
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+        % _MERSENNE
+    )
+    n_part = spark.sparkContext.defaultParallelism
+    sigs = docs.repartition(n_part).select(
+        "doc_id",
+        minhash_signature_col(
+            shingles_col(F.split(F.col("text"), " "), _SHINGLE_K),
+            hash_transform=portable_hash,
+        ).alias("sig"),
+    )
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_N_BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(
+                                F.col("sig"), b * _ROWS_PER_BAND + 1, _ROWS_PER_BAND
+                            ),
+                            lambda x: x.cast("string"),
+                        ),
+                    ).alias("band_key"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc_id", "sig", "band.band_id", "band.band_key")
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("x.sig"), F.col("y.sig"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / _N_HASHES
+    )
+    return (
+        _band_pairs(bands, "sig")
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.round(est, 6).alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= _EST_THRESHOLD)
         .dropDuplicates(["doc_a", "doc_b"])

@@ -408,3 +408,17 @@ def test_semantic_clustered_subset_of_bruteforce(spark, sf_dir):
     # (cosine ≥ 0.9) virtually always co-cluster. Pin that the
     # partition still finds a meaningful share here.
     assert len(clustered) >= 0.2 * len(brute), (len(clustered), len(brute))
+
+
+def test_minhash_portable_recall_and_agreement(spark, sf_dir):
+    """The portable-hash variant must keep the same recall property as
+    the fast path (all exact-Jaccard≥0.8 pairs recovered) and agree
+    with it on the vast majority of candidates (different hash, same
+    algorithm and banding)."""
+    exact = _pairs(REGISTRY["dedup_ngram_jaccard"].fn(spark, sf_dir).toPandas())
+    fast = _pairs(REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir).toPandas())
+    portable = _pairs(REGISTRY["dedup_minhash_portable"].fn(spark, sf_dir).toPandas())
+    assert exact - portable == set(), f"portable missed: {exact - portable}"
+    inter = len(fast & portable)
+    union = len(fast | portable)
+    assert union and inter / union > 0.9, (inter, union)
