@@ -108,7 +108,7 @@ _PRIORITY = (
 # minhash_calibration, dedup_canonical, ann_sq8_topk,
 # bottomk_sample_per_lang, unigram_perplexity, zorder_layout_events,
 # dedup_semantic_clustered, curation_funnel, profile_embeddings,
-# streaming_curation_gate, dedup_minhash_portable,
+# streaming_curation_gate, dedup_minhash_portable, dedup_simhash_portable,
 # plus the long-waiting
 # sink_export_manifest (rows-only). Fund slots by retiring whichever
 # prefix members CORRECTNESS_r04 confirms green a second time.

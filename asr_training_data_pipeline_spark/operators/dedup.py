@@ -559,8 +559,10 @@ def _masks_lit():
     return F.array(*[F.lit(m).cast("long") for m in _BIT_MASKS])
 
 
-def simhash_col(tokens):
+def simhash_col(tokens, hash_transform=None):
     """64-bit SimHash of a token array (duplicates = weights).
+    ``hash_transform`` overrides the token→int64 hash (default
+    xxhash64; the portable variant passes an md5-derived hash).
 
     bit b of the fingerprint = sign of Σ_tokens (±1 by bit b of
     xxhash64(token)). Same JVM/Python split as
@@ -603,7 +605,9 @@ def simhash_col(tokens):
                 out[doc_idx] = (pos * masks).sum(axis=1, dtype=np.uint64).view(np.int64)
             yield pd.Series(out)
 
-    return sign_pack(F.transform(tokens, lambda t: F.xxhash64(t)))
+    if hash_transform is None:
+        hash_transform = F.xxhash64
+    return sign_pack(F.transform(tokens, hash_transform))
 
 
 @register("dedup_simhash", tags=("dedup", "lsh"))
@@ -620,6 +624,102 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     fp = docs.repartition(spark.sparkContext.defaultParallelism).select(
         "doc_id", simhash_col(whitespace_tokens_col("text")).alias("fp")
+    )
+    band_exprs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band_id"),
+                    F.shiftright(F.col("fp"), i * 16)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("band_key"),
+                )
+                for i in range(_SIMHASH_BANDS)
+            ]
+        )
+    )
+    bands = fp.select("doc_id", "fp", band_exprs.alias("band")).select(
+        "doc_id", "fp", "band.band_id", "band.band_key"
+    )
+    ham = F.bit_count(F.col("x.fp").bitwiseXOR(F.col("y.fp")))
+    return (
+        _band_pairs(bands, "fp")
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            ham.cast("bigint").alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= _HAMMING_MAX)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------
+# Portable SimHash (engine-shared hash → EXACT oracle)
+# ---------------------------------------------------------------------
+
+
+def _simhash_portable_sql() -> str:
+    """DuckDB replay of the full SimHash pipeline with the md5-derived
+    64-bit token hash: per-bit majority vote over the token list, the
+    4×16-bit pigeonhole band join, and the exact hamming filter."""
+    bit_exprs = []
+    for b in range(64):
+        if b < 32:
+            test = f"((('0x' || substr(md5(t), 9, 8))::BIGINT >> {b}) & 1) = 1"
+        else:
+            test = f"((('0x' || substr(md5(t), 1, 8))::BIGINT >> {b - 32}) & 1) = 1"
+        mask = _BIT_MASKS[b]
+        bit_exprs.append(
+            f"CASE WHEN 2 * len(list_filter(lt, t -> {test})) > len(lt)"
+            f" THEN CAST({mask} AS BIGINT) ELSE 0 END"
+        )
+    fp = " + ".join(bit_exprs)
+    return f"""
+WITH lt AS (SELECT doc_id, string_split(lower(text), ' ') AS lt FROM documents),
+fp AS (SELECT doc_id, cast({fp} AS BIGINT) AS fp FROM lt),
+bands AS (
+  SELECT doc_id, fp, bi, (fp >> (bi * 16)) & 65535 AS band_key
+  FROM fp, unnest(range(0, {_SIMHASH_BANDS})) AS u(bi)
+),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         cast(bit_count(xor(x.fp, y.fp)) AS bigint) AS hamming
+  FROM bands x JOIN bands y
+    ON x.bi = y.bi AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, hamming
+FROM pairs WHERE hamming <= {_HAMMING_MAX}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "dedup_simhash_portable", oracle=_simhash_portable_sql(), tags=("dedup", "lsh")
+)
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_simhash with an ENGINE-PORTABLE token hash (two md5-hex
+    32-bit halves packed to 64 bits), making the full fingerprint →
+    pigeonhole-band → hamming pipeline exactly SQL-replayable — the
+    same end-to-end algorithm verification dedup_minhash_portable
+    gives MinHash. Shares the Arrow-batched sign-sum kernel and band
+    join with the fast path; only the hash column differs (xxhash64
+    stays the production hash — one hash call vs md5 + two hex
+    parses per token)."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def portable_hash(t):
+        hexs = F.md5(t)
+        h_hi = F.conv(F.substring(hexs, 1, 8), 16, 10).cast("long")
+        h_lo = F.conv(F.substring(hexs, 9, 8), 16, 10).cast("long")
+        return F.shiftleft(h_hi, 32).bitwiseOR(h_lo)
+
+    fp = docs.repartition(spark.sparkContext.defaultParallelism).select(
+        "doc_id",
+        simhash_col(
+            F.split(F.lower(F.col("text")), " "), hash_transform=portable_hash
+        ).alias("fp"),
     )
     band_exprs = F.explode(
         F.array(
