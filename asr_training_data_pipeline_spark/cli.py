@@ -48,7 +48,9 @@ def _build_parser() -> argparse.ArgumentParser:
         help="audio,transcript file pairs (audio optional: 'transcript' alone "
         "works with the stub backend)",
     )
-    ap.add_argument("--outdir", required=True)
+    # required for pipeline runs, not for --query / --list-queries
+    # (enforced in main)
+    ap.add_argument("--outdir")
     # Matching & bridging (claude_research_optimal.py:395-398)
     ap.add_argument("--min_run", type=int, default=4)
     ap.add_argument("--max_gap_words", type=int, default=2)
@@ -70,6 +72,19 @@ def _build_parser() -> argparse.ArgumentParser:
     ap.add_argument(
         "--limit_pairs", type=int, default=None,
         help="process only the first N pairs (smoke runs)",
+    )
+    # Registry query runner (the analytics surface beyond the pipeline)
+    ap.add_argument(
+        "--query", help="run a registry query by name against --data and "
+        "print rows as JSON lines (see --list-queries)",
+    )
+    ap.add_argument(
+        "--list-queries", action="store_true",
+        help="list every registered query name (with oracle/bench tags) and exit",
+    )
+    ap.add_argument(
+        "--limit_rows", type=int, default=20,
+        help="max rows printed by --query (default 20)",
     )
     return ap
 
@@ -129,8 +144,47 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     """CLI body. ``spark=None`` builds (and stops) its own session;
     tests inject a live one."""
     args = _build_parser().parse_args(argv)
+
+    if args.list_queries:
+        from .api import REGISTRY
+
+        for name, q in REGISTRY.items():
+            kind = "oracle" if q.oracle else "rows-only"
+            flags = "+bench" if q.bench else ""
+            print(f"{name}\t{kind}{flags}\t{','.join(q.tags)}")
+        return 0
+
+    if args.query:
+        if not args.data:
+            print("error: --query requires --data (an sf dir)", file=sys.stderr)
+            return 2
+        from .api import REGISTRY
+        from .session import get_spark as _gs
+
+        if args.query not in REGISTRY:
+            print(f"error: unknown query {args.query!r}", file=sys.stderr)
+            return 2
+        own = spark is None
+        if own:
+            spark = _gs(app_name=f"query_{args.query}", cpus=args.cpus)
+        try:
+            pdf = (
+                REGISTRY[args.query]
+                .fn(spark, args.data)
+                .limit(args.limit_rows)
+                .toPandas()
+            )
+            print(pdf.to_json(orient="records", lines=True))
+            return 0
+        finally:
+            if own:
+                spark.stop()
+
     if not args.data and not args.pairs:
         print("error: provide --data or --pairs", file=sys.stderr)
+        return 2
+    if not args.outdir:
+        print("error: pipeline runs require --outdir", file=sys.stderr)
         return 2
 
     from .session import get_spark

@@ -606,7 +606,7 @@ def simhash_col(tokens, hash_transform=None):
             yield pd.Series(out)
 
     if hash_transform is None:
-        hash_transform = F.xxhash64
+        hash_transform = lambda t: F.xxhash64(t)  # noqa: E731
     return sign_pack(F.transform(tokens, hash_transform))
 
 

@@ -47,3 +47,26 @@ def test_cli_pairs_mode(spark, tmp_path, capsys):
 
 def test_cli_requires_input(capsys):
     assert main(["--outdir", "/tmp/x"]) == 2
+
+
+def test_cli_list_queries(capsys):
+    from asr_training_data_pipeline_spark.cli import main
+
+    assert main(["--list-queries"]) == 0
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if l.strip()]
+    assert len(lines) > 100
+    assert any(l.startswith("word_coverage\toracle") for l in lines)
+
+
+def test_cli_query_runner(spark, sf_dir, capsys):
+    import json
+
+    from asr_training_data_pipeline_spark.cli import main
+
+    assert main(["--query", "word_coverage", "--data", sf_dir], spark=spark) == 0
+    out = capsys.readouterr().out.strip()
+    rows = [json.loads(l) for l in out.splitlines() if l.strip()]
+    assert rows and "word" in rows[0]
+
+    assert main(["--query", "nope", "--data", sf_dir], spark=spark) == 2
