@@ -37,16 +37,22 @@ _PRIORITY = (
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",
-    "embedding_cosine_pairs",
     "ann_lsh_topk",
     "dedup_components",
     "corpus_curation",
     "lang_id_heuristic",
-    "quality_score",
     "token_count",
-    "doc_fingerprint",
-    "tfidf_top_terms",
-    "stopword_filter",
+    # late-r4 rotation: five driver-green-in-r3 text/ANN slots
+    # (quality_score, doc_fingerprint, tfidf_top_terms,
+    # stopword_filter, embedding_cosine_pairs) retire to the tail —
+    # each family keeps ≥2 prefix reps and every retiree stays
+    # pytest-oracle-covered every run — funding first driver rows for
+    # the five highest-value late-r4 oracle queries below.
+    "dedup_minhash_portable",
+    "dedup_semantic_clustered",
+    "curation_funnel",
+    "unigram_perplexity",
+    "dedup_canonical",
     "multimodal_audio_features",
     "multimodal_image_resize",
     # reference pipeline / alignment / streaming
@@ -105,11 +111,11 @@ _PRIORITY = (
 # streaming_interval_join, dedup_substring_spans, kmeans_embeddings,
 # corpus_curation_multimodal, funnel_stages, length_filter_adaptive,
 # vocab_coverage, dedup_cluster_stats, cohort_retention,
-# minhash_calibration, dedup_canonical, ann_sq8_topk,
-# bottomk_sample_per_lang, unigram_perplexity, zorder_layout_events,
-# dedup_semantic_clustered, curation_funnel, profile_embeddings,
-# streaming_curation_gate, dedup_minhash_portable, dedup_simhash_portable,
-# plus the long-waiting
+# minhash_calibration, ann_sq8_topk, bottomk_sample_per_lang,
+# zorder_layout_events, profile_embeddings, streaming_curation_gate,
+# dedup_simhash_portable, the five late-r4 retirees (quality_score,
+# doc_fingerprint, tfidf_top_terms, stopword_filter,
+# embedding_cosine_pairs), plus the long-waiting
 # sink_export_manifest (rows-only). Fund slots by retiring whichever
 # prefix members CORRECTNESS_r04 confirms green a second time.
 
