@@ -1,0 +1,69 @@
+"""Empty-input robustness: a 100 TB pipeline constantly hits empty
+partitions, strata, and incremental batches — every operator family
+must degrade to an empty (or constant) result, never a crash
+(division by zero on an empty stratum, sum-of-nothing None leaking
+into a fixpoint check, collect() on an empty model frame, ...)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import duckdb
+import pytest
+
+from asr_training_data_pipeline_spark.api import REGISTRY
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+# one representative per operator family (keeps suite time bounded)
+FAMILIES = [
+    "word_coverage",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_components",
+    "dedup_canonical",
+    "dedup_semantic_clustered",
+    "corpus_curation",
+    "curation_funnel",
+    "unigram_perplexity",
+    "bottomk_sample_per_lang",
+    "mixture_weights",
+    "length_filter_adaptive",
+    "ann_cosine_topk",
+    "ann_sq8_topk",
+    "kmeans_embeddings",
+    "profile_embeddings",
+    "zorder_layout_events",
+    "pack_sequences",
+    "contamination_check",
+    "sessionize_events",
+]
+
+# row counts that are CONSTANT by design (parameter reports / per-dim
+# profiles emit their frame even over zero input rows)
+_EXPECTED_NONZERO = {
+    "profile_embeddings": 64,  # per-dimension rows, null stats
+    "curation_funnel": 5,  # the five stage rows, all counts zero
+}
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark):
+    d = tempfile.mkdtemp(prefix="empty_sf_")
+    src = "/root/testdata/sf0.001"
+    for t in TABLES:
+        duckdb.sql(
+            f"COPY (SELECT * FROM '{src}/{t}.parquet' LIMIT 0) "
+            f"TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    return d
+
+
+@pytest.mark.parametrize("name", FAMILIES)
+def test_runs_on_empty_tables(spark, empty_sf_dir, name):
+    n = REGISTRY[name].fn(spark, empty_sf_dir).count()
+    assert n == _EXPECTED_NONZERO.get(name, 0)
