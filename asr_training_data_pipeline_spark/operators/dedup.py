@@ -79,7 +79,8 @@ _DEDUP_EXACT_SQL = f"""
 SELECT key, cast(count(*) AS bigint) AS n_dups, min(doc_id) AS keep_id
 FROM (SELECT doc_id,
              array_to_string((string_split(text, ' '))[1:{_PREFIX_K}], ' ') AS key
-      FROM documents)
+      FROM documents
+      WHERE text IS NOT NULL AND text <> '')
 GROUP BY key
 HAVING count(*) > 1
 ORDER BY key
@@ -91,12 +92,19 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicate groups by a derived key (first 8 words): the
     hash-groupBy dedup primitive. Survivor = lowest doc_id.
 
+    NULL/empty documents are excluded on both engines — Spark's
+    concat_ws silently maps a NULL token array to '' while SQL keeps
+    NULL, so without the filter "no content" docs would collide into
+    one phantom duplicate group on one engine only. Content-less docs
+    ARE deduplicated by dedup_exact_hash (sha256('') groups them).
+
     Scale: one shuffle on the (short) key; map-side partial counts.
     """
     docs = load_table(spark, sf_dir, "documents")
     key = F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, _PREFIX_K))
     return (
-        docs.select(F.col("doc_id"), key.alias("key"))
+        docs.filter(F.col("text").isNotNull() & (F.col("text") != ""))
+        .select(F.col("doc_id"), key.alias("key"))
         .groupBy("key")
         .agg(
             F.count("*").cast("bigint").alias("n_dups"),

@@ -268,8 +268,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STOPWORD_FILTER_SQL = f"""
 SELECT doc_id,
-       array_to_string(list_filter(string_split(lower(text), ' '),
-                   x -> x <> '' AND x NOT IN ({_SW_SQL_LIST})), ' ') AS content_text,
+       CASE WHEN len(list_filter(string_split(lower(text), ' '),
+                   x -> x <> '' AND x NOT IN ({_SW_SQL_LIST}))) > 0 THEN
+         array_to_string(list_filter(string_split(lower(text), ' '),
+                   x -> x <> '' AND x NOT IN ({_SW_SQL_LIST})), ' ')
+       END AS content_text,
        cast(len(list_filter(string_split(lower(text), ' '),
                    x -> x <> '' AND x NOT IN ({_SW_SQL_LIST}))) AS bigint) AS n_content
 FROM documents
@@ -280,7 +283,11 @@ ORDER BY doc_id
 @register("stopword_filter", oracle=_STOPWORD_FILTER_SQL, tags=("text",))
 def stopword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """StopWordsRemover semantics as a pure array expression: drop
-    stopwords/empties from the token array, keep original order."""
+    stopwords/empties from the token array, keep original order.
+    Documents with NO content tokens (empty / all-stopword / NULL
+    text) yield NULL content_text — made explicit on both engines so
+    the edge case can't diverge (Spark's array_join and DuckDB's
+    array_to_string disagree on the empty list)."""
     docs = load_table(spark, sf_dir, "documents")
     sw = F.array(*[F.lit(w) for w in _STOPWORDS])
     toks = F.filter(
@@ -289,7 +296,7 @@ def stopword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         "doc_id",
-        F.array_join(toks, " ").alias("content_text"),
+        F.when(F.size(toks) > 0, F.array_join(toks, " ")).alias("content_text"),
         F.size(toks).cast("bigint").alias("n_content"),
     ).orderBy("doc_id")
 

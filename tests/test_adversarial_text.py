@@ -1,0 +1,80 @@
+"""Adversarial-text oracle parity: the driver fixture is uniform word
+salad, so NULL text, empty strings, repeated separators, punctuation
+soup, digit runs, control characters, and degenerate repetition never
+exercise the engines' edge-case disagreements (empty-list join, NULL
+key grouping, \\s-class drift). This suite re-runs the text/dedup
+oracle comparison on a hostile documents table — any Spark/DuckDB
+divergence on these inputs is a query-design bug by the repo's
+exactness contract."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import duckdb
+import pytest
+
+from asr_training_data_pipeline_spark.api import REGISTRY, oracles
+from asr_training_data_pipeline_spark.testing import compare_frames, run_oracle
+
+_DOCS_SQL = """
+SELECT * FROM (VALUES
+  (0, NULL, 'en', 'src0', 0),
+  (1, '', 'en', 'src1', 0),
+  (2, 'one', 'de', 'src2', 3),
+  (3, 'a  b   c', 'es', 'src3', 8),
+  (4, '!!! ??? ... --- ;;; :::', 'fr', 'src4', 23),
+  (5, repeat('loop the loop ', 500), 'zh', 'src5', 7000),
+  (6, 'MiXeD CaSe WORDS lower UPPER', 'en', 'src6', 28),
+  (7, '123 456 7890 0 00', 'en', 'src7', 17),
+  (8, 'tab\tand\nnewline chars', 'de', 'src8', 22),
+  (9, 'duplicate duplicate duplicate duplicate', 'es', 'src9', 39)
+) AS t(doc_id, text, lang, source, n_chars)
+"""
+
+QUERIES = [
+    "lang_id_heuristic",
+    "quality_score",
+    "token_count",
+    "doc_fingerprint",
+    "stopword_filter",
+    "tfidf_top_terms",
+    "curation_signals_fused",
+    "unigram_perplexity",
+    "repetition_signals",
+    "pii_scrub",
+    "stratified_sample",
+    "bottomk_sample_per_lang",
+    "contamination_check",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_portable",
+    "dedup_simhash_portable",
+    "doc_winnowing",
+    "dedup_substring_spans",
+    "pack_sequences",
+    "mixture_weights",
+    "length_filter_adaptive",
+    "word_coverage",
+    "curation_funnel",
+    "dedup_canonical",
+]
+
+
+@pytest.fixture(scope="module")
+def adversarial_sf_dir(sf_dir):
+    d = tempfile.mkdtemp(prefix="adv_sf_")
+    duckdb.sql(f"COPY ({_DOCS_SQL}) TO '{d}/documents.parquet' (FORMAT PARQUET)")
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "embeddings",
+    ):
+        shutil.copyfile(f"{sf_dir}/{t}.parquet", f"{d}/{t}.parquet")
+    return d
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_adversarial_oracle_parity(spark, adversarial_sf_dir, name):
+    spdf = REGISTRY[name].fn(spark, adversarial_sf_dir).toPandas()
+    compare_frames(spdf, run_oracle(oracles()[name], adversarial_sf_dir), name)
