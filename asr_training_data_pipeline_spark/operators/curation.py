@@ -539,7 +539,9 @@ txt AS (
 v AS (SELECT vec_id, label, cast(embedding AS double[]) AS e,
              [cast(floor(x * {_MM_SCALE} + 0.5) AS bigint)
               for x in cast(embedding AS double[])] AS qe
-      FROM embeddings),
+      FROM embeddings
+      WHERE list_dot_product(cast(embedding AS double[]),
+                             cast(embedding AS double[])) > 0),
 s AS (SELECT label, i, sum(qe[i]) AS sq, count(*) AS n
       FROM v, unnest(range(1, 65)) AS u(i) GROUP BY label, i),
 c AS (SELECT label, list(cast(sq AS double) / (n * {_MM_SCALE}.0) ORDER BY i) AS ce

@@ -1086,7 +1086,8 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEMANTIC_SQL = """
 WITH RECURSIVE
-v AS (SELECT vec_id, cast(embedding AS double[]) AS e FROM embeddings),
+v AS (SELECT vec_id, cast(embedding AS double[]) AS e FROM embeddings
+      WHERE list_dot_product(cast(embedding AS double[]), cast(embedding AS double[])) > 0),
 pairs AS (
   SELECT a.vec_id AS va, b.vec_id AS vb
   FROM v a, v b
@@ -1482,7 +1483,8 @@ fa AS (
 pairs AS (
   SELECT a.vec_id AS va, b.vec_id AS vb
   FROM fa a JOIN fa b ON a.cid = b.cid AND a.vec_id < b.vec_id
-  WHERE {cos} >= {_PAIRS_THRESHOLD}
+  WHERE list_dot_product(a.e, a.e) > 0 AND list_dot_product(b.e, b.e) > 0
+    AND {cos} >= {_PAIRS_THRESHOLD}
 ),
 sym AS (SELECT va AS a, vb AS b FROM pairs
         UNION SELECT vb, va FROM pairs),
@@ -1521,9 +1523,14 @@ def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     the overlap with the brute-force pair set is pinned in
     tests/test_dedup.py.
     """
-    from .similarity import cosine_col, kmeans_assignment_frame
+    from .similarity import cosine_col, dot_col, kmeans_assignment_frame
 
-    fa = kmeans_assignment_frame(spark, sf_dir)
+    # clustering runs on the FULL domain (L2 handles zero vectors);
+    # the cosine pair scorer excludes zero-norm vectors like the rest
+    # of the cosine family (oracle applies the same predicate)
+    fa = kmeans_assignment_frame(spark, sf_dir).filter(
+        dot_col(F.col("e"), F.col("e")) > 0
+    )
     a = fa.select(
         F.col("cluster").alias("cid"),
         F.col("vec_id").alias("vec_a"),

@@ -37,10 +37,28 @@ def cosine_col(a: Column, b: Column) -> Column:
     return dot_col(a, b) / (F.sqrt(dot_col(a, a)) * F.sqrt(dot_col(b, b)))
 
 
+# The cosine family's input domain: zero-norm vectors are excluded at
+# the scan (cosine is undefined on them, and under ANSI a single
+# corrupt row would otherwise abort a 100 TB job with DIVIDE_BY_ZERO).
+# validate_embeddings reports what the filter excludes; every oracle
+# applies the same predicate so both engines see identical input.
+_NONZERO_WHERE = (
+    "list_dot_product(cast(embedding AS double[]),"
+    " cast(embedding AS double[])) > 0"
+)
+
+
+def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings scan restricted to the cosine family's domain
+    (nonzero norm). Scan-side codegen filter — no extra pass."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(dot_col(F.col("embedding"), F.col("embedding")) > 0)
+
+
 _TOPK_SQL = f"""
 WITH q AS (SELECT vec_id AS query_id, cast(embedding AS double[]) AS qe
-           FROM embeddings WHERE vec_id < {_N_QUERIES}),
-v AS (SELECT vec_id, cast(embedding AS double[]) AS ve FROM embeddings),
+           FROM embeddings WHERE vec_id < {_N_QUERIES} AND list_dot_product(cast(embedding AS double[]), cast(embedding AS double[])) > 0),
+v AS (SELECT vec_id, cast(embedding AS double[]) AS ve FROM embeddings WHERE list_dot_product(cast(embedding AS double[]), cast(embedding AS double[])) > 0),
 s AS (
   SELECT query_id, vec_id AS neighbor_id,
          list_dot_product(qe, ve)
@@ -69,7 +87,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions). For large Q or recall/latency trade-offs, use
     ann_lsh_buckets.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     q = F.broadcast(
         emb.filter(F.col("vec_id") < _N_QUERIES).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
@@ -97,7 +115,8 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PAIRS_THRESHOLD = 0.4
 
 _PAIRS_SQL = f"""
-WITH v AS (SELECT vec_id, cast(embedding AS double[]) AS e FROM embeddings)
+WITH v AS (SELECT vec_id, cast(embedding AS double[]) AS e FROM embeddings
+          WHERE list_dot_product(cast(embedding AS double[]), cast(embedding AS double[])) > 0)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_dot_product(a.e, b.e)
          / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS score
@@ -118,7 +137,7 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     production path is ann_lsh_buckets (bucketed candidates) with
     this exact scorer applied inside buckets only.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     return (
@@ -158,7 +177,8 @@ _BUCKET_SQL_EXPR = " + ".join(
 )
 
 _LSH_BUCKETS_SQL = f"""
-WITH v AS (SELECT vec_id, cast(embedding AS double[]) AS e FROM embeddings),
+WITH v AS (SELECT vec_id, cast(embedding AS double[]) AS e FROM embeddings
+          WHERE list_dot_product(cast(embedding AS double[]), cast(embedding AS double[])) > 0),
 b AS (SELECT vec_id, cast({_BUCKET_SQL_EXPR} AS bigint) AS bucket FROM v)
 SELECT bucket, cast(count(*) AS bigint) AS n_vectors,
        min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id
@@ -166,7 +186,8 @@ FROM b GROUP BY bucket ORDER BY bucket
 """
 
 _LSH_TOPK_SQL = f"""
-WITH v AS (SELECT vec_id, cast(embedding AS double[]) AS e FROM embeddings),
+WITH v AS (SELECT vec_id, cast(embedding AS double[]) AS e FROM embeddings
+          WHERE list_dot_product(cast(embedding AS double[]), cast(embedding AS double[])) > 0),
 b AS (SELECT vec_id, cast({_BUCKET_SQL_EXPR} AS bigint) AS bucket, e FROM v),
 q AS (SELECT vec_id AS query_id, e AS qe, bucket AS qbucket
       FROM b WHERE vec_id < {_N_QUERIES}),
@@ -206,7 +227,7 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the SQL as full-precision literals; recall additionally pinned
     in tests/test_similarity.py against exact top-k.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     buckets = emb.select("vec_id", lsh_bucket_col(F.col("embedding")).alias("bucket"))
     return (
         buckets.groupBy("bucket")
@@ -263,7 +284,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays bucket assignment, multi-probe, and rerank exactly
     (plane constants embedded as full-precision literals).
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     v = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ve"),
@@ -303,7 +324,8 @@ _N_PROBE_CENTROIDS = 4
 
 
 _IVF_TOPK_SQL = f"""
-WITH v0 AS (SELECT vec_id, cast(embedding AS double[]) AS e FROM embeddings),
+WITH v0 AS (SELECT vec_id, cast(embedding AS double[]) AS e FROM embeddings
+           WHERE list_dot_product(cast(embedding AS double[]), cast(embedding AS double[])) > 0),
 params AS (SELECT greatest(count(*) // {_N_CENTROIDS}, 1) AS step FROM v0),
 c AS (SELECT vec_id // step AS centroid_id, e AS ce
       FROM v0, params
@@ -354,7 +376,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed-sampling, assignment, probe, and rerank; recall additionally
     pinned in tests.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     n = emb.count()
     step = max(1, n // _N_CENTROIDS)
     cents = F.broadcast(
@@ -414,7 +436,8 @@ _CENTROID_SCALE = 1_000_000  # fixed-point quantum for exact sums
 _OUTLIER_COS = -0.05  # below this cosine to own centroid → outlier (~p5 here)
 
 _CENTROID_SQL = f"""
-WITH v AS (SELECT vec_id, label, cast(embedding AS double[]) AS e FROM embeddings),
+WITH v AS (SELECT vec_id, label, cast(embedding AS double[]) AS e FROM embeddings
+          WHERE list_dot_product(cast(embedding AS double[]), cast(embedding AS double[])) > 0),
 q AS (SELECT vec_id, label, e,
              [cast(floor(x * {_CENTROID_SCALE} + 0.5) AS bigint) for x in e] AS qe
       FROM v),
@@ -468,7 +491,7 @@ def centroid_cos_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine to its label's fixed-point centroid — the reusable core of
     embedding_centroids, also consumed by the multi-signal curation
     composite (operators.curation.corpus_curation_multimodal)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     quant = F.transform(
         "embedding",
         lambda x: F.floor(x.cast("double") * _CENTROID_SCALE + 0.5).cast("long"),
@@ -651,7 +674,8 @@ def kmeans_assignment_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------
 
 _SQ8_SQL = f"""
-WITH v0 AS (SELECT vec_id, cast(embedding AS double[]) AS e FROM embeddings),
+WITH v0 AS (SELECT vec_id, cast(embedding AS double[]) AS e FROM embeddings
+           WHERE list_dot_product(cast(embedding AS double[]), cast(embedding AS double[])) > 0),
 q8 AS (
   SELECT vec_id,
          [cast(floor(x * s + 0.5) AS bigint) for x in e] AS qv
@@ -710,7 +734,7 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ranking fidelity vs the float top-k is pinned in
     tests/test_similarity.py.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     q8 = emb.select("vec_id", sq8_quantize_col(F.col("embedding")).alias("qv"))
     q = F.broadcast(
         q8.filter(F.col("vec_id") < _N_QUERIES).select(
@@ -811,3 +835,51 @@ def profile_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d.*")
         .orderBy("dim")
     )
+
+
+# ---------------------------------------------------------------------
+# Embedding validation (the ingest gate for the cosine family)
+# ---------------------------------------------------------------------
+
+_EXPECT_DIM = _CENTROID_DIM
+_MAG_BOUND = 1_000_000.0  # fixed-point micro-quantization domain: |x| ≤ 1e6
+
+_VALIDATE_SQL = f"""
+WITH v AS (SELECT vec_id, label, cast(embedding AS double[]) AS e FROM embeddings)
+SELECT vec_id, label,
+       cast(len(e) AS bigint) AS n_dims,
+       cast(len(list_filter(e, x -> NOT (abs(x) <= {_MAG_BOUND}))) AS bigint)
+         AS n_out_of_range,
+       list_dot_product(e, e) > 0 AS nonzero_norm,
+       len(e) = {_EXPECT_DIM}
+         AND len(list_filter(e, x -> NOT (abs(x) <= {_MAG_BOUND}))) = 0
+         AND list_dot_product(e, e) > 0 AS is_valid
+FROM v
+ORDER BY vec_id
+"""
+
+
+@register("validate_embeddings", oracle=_VALIDATE_SQL, tags=("similarity", "safety"))
+def validate_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest validation for the embedding column — the gate that
+    keeps one corrupt row from aborting a 100 TB cosine job: dimension
+    count, out-of-range/NaN elements (NOT (|x| ≤ bound) is TRUE for
+    NaN on both engines — the bound is the fixed-point quantization
+    domain, so anything it flags would overflow the exact centroid
+    path), and the zero-norm flag the cosine family's scan filter
+    excludes. Production runs this at ingest and quarantines
+    ``NOT is_valid`` rows; the similarity queries then see a clean
+    domain. One pass, pure codegen."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ed = F.transform("embedding", lambda x: x.cast("double"))
+    n_bad = F.size(F.filter(ed, lambda x: ~(F.abs(x) <= _MAG_BOUND)))
+    nonzero = dot_col(F.col("embedding"), F.col("embedding")) > 0
+    n_dims = F.size(ed)
+    return emb.select(
+        "vec_id",
+        "label",
+        n_dims.cast("bigint").alias("n_dims"),
+        n_bad.cast("bigint").alias("n_out_of_range"),
+        nonzero.alias("nonzero_norm"),
+        ((n_dims == _EXPECT_DIM) & (n_bad == 0) & nonzero).alias("is_valid"),
+    ).orderBy("vec_id")
