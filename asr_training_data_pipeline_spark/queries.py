@@ -449,7 +449,9 @@ def ms_round_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JSON_SQL = """
 SELECT event_id,
-       cast(json_extract_string(props, '$.k') AS bigint) AS prop_k
+       CASE WHEN json_valid(props)
+            THEN try_cast(json_extract_string(props, '$.k') AS bigint)
+       END AS prop_k
 FROM events
 """
 
@@ -457,11 +459,13 @@ FROM events
 @register("json_extract_props", oracle=_JSON_SQL, tags=("scalar", "json"))
 def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C16 JSON payload access via get_json_object (Jackson-based,
-    JVM-side — no Python)."""
+    JVM-side — no Python). try_cast, not cast: a non-numeric payload
+    value must yield NULL on both engines, not abort the job under
+    ANSI (real props blobs are never uniformly clean)."""
     ev = _t(spark, sf_dir, "events")
     return ev.select(
         "event_id",
-        F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
+        F.get_json_object("props", "$.k").try_cast("bigint").alias("prop_k"),
     )
 
 
