@@ -113,7 +113,8 @@ _PRIORITY = (
 # vocab_coverage, dedup_cluster_stats, cohort_retention,
 # minhash_calibration, ann_sq8_topk, bottomk_sample_per_lang,
 # zorder_layout_events, profile_embeddings, streaming_curation_gate,
-# dedup_simhash_portable, validate_embeddings, the five late-r4 retirees (quality_score,
+# dedup_simhash_portable, validate_embeddings, train_test_split,
+# the five late-r4 retirees (quality_score,
 # doc_fingerprint, tfidf_top_terms, stopword_filter,
 # embedding_cosine_pairs), plus the long-waiting
 # sink_export_manifest (rows-only). Fund slots by retiring whichever

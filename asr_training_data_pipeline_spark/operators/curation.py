@@ -889,3 +889,56 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pass_rate"),
     ).orderBy("stage")
+
+
+# ---------------------------------------------------------------------
+# Deterministic train/valid/test split
+# ---------------------------------------------------------------------
+
+_SPLIT_TRAIN, _SPLIT_VALID = 80, 90  # /100: 80-10-10
+
+_SPLIT_SQL = f"""
+SELECT doc_id, lang, bucket,
+       CASE WHEN bucket < {_SPLIT_TRAIN} THEN 'train'
+            WHEN bucket < {_SPLIT_VALID} THEN 'valid'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('split' || doc_id), 1, 8))::BIGINT % 100 AS bucket
+  FROM documents
+)
+ORDER BY doc_id
+"""
+
+
+@register("train_test_split", oracle=_SPLIT_SQL, tags=("sampling", "pipeline"))
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test assignment by hashed
+    doc_id — the split manifest every training corpus needs, with the
+    same reproducibility contract as stratified_sample: reruns,
+    backfills, and incremental batches land every document in the SAME
+    split forever (a rand() split reshuffles and leaks valid into
+    train on the next run). One scan, zero shuffles; the manifest can
+    be written alongside the shards or recomputed anywhere from
+    doc_id alone."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return (
+        docs.select("doc_id", "lang", bucket.alias("bucket"))
+        .withColumn(
+            "split",
+            F.when(F.col("bucket") < _SPLIT_TRAIN, "train")
+            .when(F.col("bucket") < _SPLIT_VALID, "valid")
+            .otherwise("test"),
+        )
+        .orderBy("doc_id")
+    )

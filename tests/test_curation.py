@@ -202,3 +202,17 @@ def test_curation_funnel_monotone_and_consistent(spark, sf_dir):
             assert abs(r.pass_rate - r.n_out / r.n_in) < 1e-6
     # the fixture must exercise the funnel non-trivially
     assert f.iloc[-1].n_out < f.iloc[0].n_in
+
+
+def test_train_test_split_deterministic_and_disjoint(spark, sf_dir):
+    """Every document gets exactly one split, proportions are near
+    80/10/10, and reruns produce identical assignments."""
+    s1 = REGISTRY["train_test_split"].fn(spark, sf_dir).toPandas()
+    n = len(s1)
+    assert n == s1.doc_id.nunique()
+    frac = s1.split.value_counts(normalize=True)
+    assert 0.7 < frac.get("train", 0) < 0.9
+    assert 0.05 < frac.get("valid", 0) < 0.16
+    assert 0.05 < frac.get("test", 0) < 0.16
+    s2 = REGISTRY["train_test_split"].fn(spark, sf_dir).toPandas()
+    assert s1.equals(s2)
