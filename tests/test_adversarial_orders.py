@@ -1,0 +1,73 @@
+"""Adversarial-orders oracle parity: NULL, negative, and zero
+o_totalprice rows injected into every ~90th order. The relational
+family's exactness machinery (decimal-routed sums, explicit casts,
+total window orders, coalesce defaults) must hold under dirty
+numerics — aggregates skip NULLs identically on both engines, signs
+flow through rollup/cube/pivot, and rank ties stay total."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import duckdb
+import pytest
+
+from asr_training_data_pipeline_spark.api import REGISTRY, oracles
+from asr_training_data_pipeline_spark.testing import compare_frames, run_oracle
+
+_ORD_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN o_orderkey % 97 = 0 THEN NULL
+            WHEN o_orderkey % 89 = 0 THEN -o_totalprice
+            WHEN o_orderkey % 83 = 0 THEN 0.0
+            ELSE o_totalprice END AS o_totalprice,
+       o_orderdate, o_orderpriority
+FROM '{src}/orders.parquet'
+"""
+
+QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q18_large_volume",
+    "topk_orders_per_cust",
+    "conditional_agg_orders",
+    "rollup_revenue",
+    "cube_quantities",
+    "grouping_sets_revenue",
+    "pivot_revenue_by_status",
+    "percentile_prices",
+    "cust_order_distribution",
+    "ntile_quartiles",
+    "corr_qty_price",
+    "skew_join_salted",
+    "asof_join_orders",
+    "correlated_min_subquery",
+    "distinct_counts",
+    "set_ops_segments",
+    "first_match_confidence",
+    "group_concat_ordered",
+    "avg_confidence_coalesce",
+]
+
+
+@pytest.fixture(scope="module")
+def adversarial_ord_dir(sf_dir):
+    d = tempfile.mkdtemp(prefix="adv_ord_")
+    duckdb.sql(
+        f"COPY ({_ORD_SQL.format(src=sf_dir)}) "
+        f"TO '{d}/orders.parquet' (FORMAT PARQUET)"
+    )
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "lineitem", "events", "documents", "embeddings",
+    ):
+        shutil.copyfile(f"{sf_dir}/{t}.parquet", f"{d}/{t}.parquet")
+    return d
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_adversarial_orders_oracle_parity(spark, adversarial_ord_dir, name):
+    spdf = REGISTRY[name].fn(spark, adversarial_ord_dir).toPandas()
+    compare_frames(spdf, run_oracle(oracles()[name], adversarial_ord_dir), name)
