@@ -120,3 +120,19 @@ def test_bottomk_prefilter_precedes_window(spark, sf_dir):
     # lang-keyed exchange: no Window node before the first Exchange
     head = plan.split("Exchange hashpartitioning", 1)[0]
     assert "Window" in head  # window is the exchange CONSUMER (printed above it)
+
+
+def test_contamination_benchmark_broadcasts(spark, sf_dir):
+    """The benchmark shingle set must arrive by broadcast: the CORPUS
+    (streamed) side never hash-shuffles by shingle — its only exchange
+    is the final doc_id aggregation. (A shingle exchange INSIDE the
+    broadcast build subtree is fine: that's the tiny benchmark set's
+    distinct; the streamed side prints above BroadcastExchange.)"""
+    plan = _executed_plan(spark, sf_dir, "contamination_check")
+    assert "BroadcastHashJoin" in plan
+    corpus_side = plan.split("BroadcastExchange", 1)[0]
+    for part in re.findall(
+        r"Exchange hashpartitioning\(([^)]*)\)", corpus_side
+    ):
+        keyed = part.split(",")[0].strip()
+        assert not keyed.startswith("shingle"), part
