@@ -71,3 +71,56 @@ def adversarial_ord_dir(sf_dir):
 def test_adversarial_orders_oracle_parity(spark, adversarial_ord_dir, name):
     spdf = REGISTRY[name].fn(spark, adversarial_ord_dir).toPandas()
     compare_frames(spdf, run_oracle(oracles()[name], adversarial_ord_dir), name)
+
+
+_LI_SQL = """
+SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+       CASE WHEN l_orderkey % 97 = 0 THEN NULL ELSE l_quantity END AS l_quantity,
+       CASE WHEN l_orderkey % 89 = 0 THEN NULL
+            WHEN l_orderkey % 83 = 0 THEN -l_extendedprice
+            ELSE l_extendedprice END AS l_extendedprice,
+       CASE WHEN l_orderkey % 79 = 0 THEN NULL
+            WHEN l_orderkey % 73 = 0 THEN 1.0
+            ELSE l_discount END AS l_discount,
+       l_tax, l_returnflag, l_linestatus, l_shipdate
+FROM '{src}/lineitem.parquet'
+"""
+
+LI_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q18_large_volume",
+    "cube_quantities",
+    "corr_qty_price",
+    "filter_pushdown_projection",
+    "join_broadcast_dims",
+    "semi_join_customers",
+    "anti_join_customers",
+    "range_join_events",
+    "distinct_counts",
+]
+
+
+@pytest.fixture(scope="module")
+def adversarial_li_dir(sf_dir):
+    d = tempfile.mkdtemp(prefix="adv_li_")
+    duckdb.sql(
+        f"COPY ({_LI_SQL.format(src=sf_dir)}) "
+        f"TO '{d}/lineitem.parquet' (FORMAT PARQUET)"
+    )
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "events", "documents", "embeddings",
+    ):
+        shutil.copyfile(f"{sf_dir}/{t}.parquet", f"{d}/{t}.parquet")
+    return d
+
+
+@pytest.mark.parametrize("name", LI_QUERIES)
+def test_adversarial_lineitem_oracle_parity(spark, adversarial_li_dir, name):
+    """NULL quantities/prices/discounts and a discount of exactly 1.0
+    (revenue-zeroing) injected into lineitem; the q1 family's decimal
+    sums and every lineitem join must keep hash-matching."""
+    spdf = REGISTRY[name].fn(spark, adversarial_li_dir).toPandas()
+    compare_frames(spdf, run_oracle(oracles()[name], adversarial_li_dir), name)
