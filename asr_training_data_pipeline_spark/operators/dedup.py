@@ -223,26 +223,34 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------
 
 
-def _band_pairs(bands: DataFrame, payload: str) -> DataFrame:
+def _band_pairs(base: DataFrame, band_structs, payload: str) -> DataFrame:
     """Candidate pairs via self-join on the band bucket key, with the
-    bands table PERSISTED first.
+    COMPACT per-doc fingerprint frame persisted (one row per doc) and
+    the band explode derived from the cache on both join sides.
 
     Without the persist, the self-join references the fingerprint
     subtree twice, so Spark executes the (pandas-UDF) signature
-    computation twice. Persisting the tiny bands projection
-    (doc_id, fingerprint, band keys — never the text) computes it
-    once; this is also the production shape at 100 TB, where
-    signatures are materialized once (table/checkpoint) and every
-    downstream pass joins against them. Measured against the
-    alternative single-shuffle shape (groupBy bucket + double-explode
-    pair expansion): the hash self-join is ~4× faster — the explode
-    materializes each bucket's member array once per member.
+    computation twice. Persisting BEFORE the band explode stores each
+    fingerprint once instead of once per band (16× less cached data
+    for MinHash); the explode itself is codegen over the cache scan —
+    re-running it per side costs nothing compared to re-running the
+    kernel or caching the duplication. Measured ~15% faster than
+    persisting the exploded bands at sf0.1, and the production shape
+    at 100 TB is the same: signatures are materialized once
+    (table/checkpoint), band keys are derived on read. Also measured
+    against the single-shuffle shape (groupBy bucket + double-explode
+    pair expansion): the hash self-join is ~4× faster.
 
-    Returns columns ``x``/``y``: structs of (doc_id, <payload>).
+    ``band_structs``: array<struct<band_id, band_key>> column derived
+    from ``base``'s columns. Returns columns ``x``/``y``: structs of
+    (doc_id, <payload>).
     """
     from pyspark import StorageLevel
 
-    bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    bands = base.select(
+        "doc_id", payload, F.explode(band_structs).alias("band")
+    ).select("doc_id", payload, "band.band_id", "band.band_key")
     a = bands.alias("a")
     b = bands.alias("b")
     return a.join(
@@ -374,27 +382,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sig").isNotNull())
     )
 
-    bands = sigs.select(
-        "doc_id",
-        "sig",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(_N_BANDS - 1)),
-                lambda b: F.struct(
-                    b.alias("band_id"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("sig"), b * _ROWS_PER_BAND + 1, _ROWS_PER_BAND),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
-                    ).alias("band_key"),
-                ),
-            )
-        ).alias("band"),
-    ).select("doc_id", "sig", "band.band_id", "band.band_key")
+    band_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(_N_BANDS - 1)),
+        lambda b: F.struct(
+            b.alias("band_id"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(F.col("sig"), b * _ROWS_PER_BAND + 1, _ROWS_PER_BAND),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias("band_key"),
+        ),
+    )
 
     # Estimate BEFORE the pair-dedup shuffle: a pair colliding in k
     # bands is emitted k times, and shipping (doc_a, doc_b, est) —
@@ -414,7 +416,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         / _N_HASHES
     )
     return (
-        _band_pairs(bands, "sig")
+        _band_pairs(sigs, band_structs, "sig")
         .select(
             F.col("x.doc_id").alias("doc_a"),
             F.col("y.doc_id").alias("doc_b"),
@@ -507,27 +509,19 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             hash_transform=portable_hash,
         ).alias("sig"),
     )
-    bands = sigs.select(
-        "doc_id",
-        "sig",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(_N_BANDS - 1)),
-                lambda b: F.struct(
-                    b.alias("band_id"),
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(
-                                F.col("sig"), b * _ROWS_PER_BAND + 1, _ROWS_PER_BAND
-                            ),
-                            lambda x: x.cast("string"),
-                        ),
-                    ).alias("band_key"),
+    band_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(_N_BANDS - 1)),
+        lambda b: F.struct(
+            b.alias("band_id"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.col("sig"), b * _ROWS_PER_BAND + 1, _ROWS_PER_BAND),
+                    lambda x: x.cast("string"),
                 ),
-            )
-        ).alias("band"),
-    ).select("doc_id", "sig", "band.band_id", "band.band_key")
+            ).alias("band_key"),
+        ),
+    )
     est = (
         F.size(
             F.filter(
@@ -538,7 +532,7 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         / _N_HASHES
     )
     return (
-        _band_pairs(bands, "sig")
+        _band_pairs(sigs, band_structs, "sig")
         .select(
             F.col("x.doc_id").alias("doc_a"),
             F.col("y.doc_id").alias("doc_b"),
@@ -633,25 +627,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = docs.repartition(spark.sparkContext.defaultParallelism).select(
         "doc_id", simhash_col(whitespace_tokens_col("text")).alias("fp")
     )
-    band_exprs = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("band_id"),
-                    F.shiftright(F.col("fp"), i * 16)
-                    .bitwiseAND(F.lit(0xFFFF))
-                    .alias("band_key"),
-                )
-                for i in range(_SIMHASH_BANDS)
-            ]
-        )
-    )
-    bands = fp.select("doc_id", "fp", band_exprs.alias("band")).select(
-        "doc_id", "fp", "band.band_id", "band.band_key"
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_id"),
+                F.shiftright(F.col("fp"), i * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("band_key"),
+            )
+            for i in range(_SIMHASH_BANDS)
+        ]
     )
     ham = F.bit_count(F.col("x.fp").bitwiseXOR(F.col("y.fp")))
     return (
-        _band_pairs(bands, "fp")
+        _band_pairs(fp, band_structs, "fp")
         .select(
             F.col("x.doc_id").alias("doc_a"),
             F.col("y.doc_id").alias("doc_b"),
@@ -729,25 +718,20 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.lower(F.col("text")), " "), hash_transform=portable_hash
         ).alias("fp"),
     )
-    band_exprs = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("band_id"),
-                    F.shiftright(F.col("fp"), i * 16)
-                    .bitwiseAND(F.lit(0xFFFF))
-                    .alias("band_key"),
-                )
-                for i in range(_SIMHASH_BANDS)
-            ]
-        )
-    )
-    bands = fp.select("doc_id", "fp", band_exprs.alias("band")).select(
-        "doc_id", "fp", "band.band_id", "band.band_key"
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_id"),
+                F.shiftright(F.col("fp"), i * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("band_key"),
+            )
+            for i in range(_SIMHASH_BANDS)
+        ]
     )
     ham = F.bit_count(F.col("x.fp").bitwiseXOR(F.col("y.fp")))
     return (
-        _band_pairs(bands, "fp")
+        _band_pairs(fp, band_structs, "fp")
         .select(
             F.col("x.doc_id").alias("doc_a"),
             F.col("y.doc_id").alias("doc_b"),
