@@ -69,6 +69,13 @@ def test_all_parquet_timestamps_normalized_to_ltz(bare_session, sf_dir):
         # unix_micros; the funnel composes text+LM+dedup families
         "zorder_layout_events",
         "curation_funnel",
+        # prefix-rotated late-r4 entries: first driver exposure is on
+        # the vanilla session, so pin them here too
+        "dedup_minhash_portable",
+        "dedup_semantic_clustered",
+        "unigram_perplexity",
+        "dedup_canonical",
+        "streaming_curation_gate",
     ],
 )
 def test_events_queries_on_bare_session(bare_session, sf_dir, name):
