@@ -41,6 +41,11 @@ FAMILIES = [
     "pack_sequences",
     "contamination_check",
     "sessionize_events",
+    "train_test_split",
+    "validate_embeddings",
+    "dedup_minhash_portable",
+    "dedup_simhash_portable",
+    "streaming_curation_gate",
 ]
 
 # row counts that are CONSTANT by design (parameter reports / per-dim
