@@ -223,7 +223,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------
 
 
-def _band_pairs(base: DataFrame, band_structs, payload: str) -> DataFrame:
+# Which frame the LSH candidate join persists: "doc" caches the compact
+# per-doc fingerprint frame (bands derived from the cache on each join
+# side); "band" caches the exploded band frame (16 rows/doc, no
+# re-derivation). scripts/minhash_headtohead.py flips this knob to
+# measure the two shapes interleaved run-for-run on the same session.
+_BAND_PERSIST_DEFAULT = "doc"
+
+
+def _band_pairs(
+    base: DataFrame, band_structs, payload: str, persist_mode: str | None = None
+) -> DataFrame:
     """Candidate pairs via self-join on the band bucket key, with the
     COMPACT per-doc fingerprint frame persisted (one row per doc) and
     the band explode derived from the cache on both join sides.
@@ -234,9 +244,13 @@ def _band_pairs(base: DataFrame, band_structs, payload: str) -> DataFrame:
     fingerprint once instead of once per band (16× less cached data
     for MinHash); the explode itself is codegen over the cache scan —
     re-running it per side costs nothing compared to re-running the
-    kernel or caching the duplication. Measured ~15% faster than
-    persisting the exploded bands at sf0.1, and the production shape
-    at 100 TB is the same: signatures are materialized once
+    kernel or caching the duplication. Settled by the interleaved
+    head-to-head (scripts/minhash_headtohead.py, round 5, 14 samples
+    per shape alternated run-for-run on one session): per-doc persist
+    min 3.76 s vs per-band 4.12 s at sf0.1 — ~10% faster, and the
+    r4 driver's 8.22 s sample was a host-load burst (identical plans
+    sampled 4–137 s in the same harness). The production shape at
+    100 TB is the same: signatures are materialized once
     (table/checkpoint), band keys are derived on read. Also measured
     against the single-shuffle shape (groupBy bucket + double-explode
     pair expansion): the hash self-join is ~4× faster.
@@ -247,10 +261,14 @@ def _band_pairs(base: DataFrame, band_structs, payload: str) -> DataFrame:
     """
     from pyspark import StorageLevel
 
-    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    mode = persist_mode or _BAND_PERSIST_DEFAULT
+    if mode == "doc":
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
     bands = base.select(
         "doc_id", payload, F.explode(band_structs).alias("band")
     ).select("doc_id", payload, "band.band_id", "band.band_key")
+    if mode == "band":
+        bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
     a = bands.alias("a")
     b = bands.alias("b")
     return a.join(
