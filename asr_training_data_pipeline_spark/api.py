@@ -66,21 +66,31 @@ _PRIORITY = (
     "streaming_stateful_totals",
     "streaming_dedup_exact",
     "acoustic_boundary_gate",
-    # events-table operators (red in r2 from the nanos session bug,
-    # fixed in sources/tables.py — need fresh driver signal)
-    "ms_round_convert",
-    "json_extract_props",
-    "case_adaptive_guard",
-    "avg_confidence_coalesce",
+    # events-table representative (W1; the rest of the events block —
+    # ms_round_convert, json_extract_props, case_adaptive_guard,
+    # avg_confidence_coalesce, lag_lead_boundaries, sequence_position,
+    # longest_span_top1, first_match_confidence, leak_vote_2of3,
+    # moving_avg_range_frame, asof_join_orders, range_join_events —
+    # retired in the r5 rotation wave after going green in BOTH r3 and
+    # r4; all stay pytest-oracle-covered every run, and the events
+    # table keeps prefix reps via sessionize + funnel + anomalies +
+    # z-order below)
     "sessionize_events",
-    "lag_lead_boundaries",
-    "sequence_position",
-    "longest_span_top1",
-    "first_match_confidence",
-    "leak_vote_2of3",
-    "moving_avg_range_frame",
-    "asof_join_orders",
-    "range_join_events",
+    # r5 rotation wave: twelve oracle-backed queries that had never had
+    # a driver CORRECTNESS row (VERDICT r4 tasks 2, 5, 8), funded by
+    # the twice-green events-block retirees above.
+    "zorder_layout_events",
+    "ann_sq8_topk",
+    "kmeans_embeddings",
+    "pack_sequences",
+    "train_test_split",
+    "bottomk_sample_per_lang",
+    "funnel_stages",
+    "event_rate_anomalies",
+    "dedup_incremental",
+    "streaming_interval_join",
+    "streaming_curation_gate",
+    "sink_training_shards",
     # r4 rotation: the four r3-new oracle queries that had never had a
     # driver CORRECTNESS row, plus the new semantic-dedup capstone.
     # Retired to the tail (driver-green in BOTH r2 and r3, still
@@ -106,19 +116,17 @@ _PRIORITY = (
 )
 
 # Rotation queue for the NEXT prefix refresh (oracle-backed, registered
-# past the driver's 50-slot window this round): pack_sequences,
-# embedding_centroids, dedup_incremental, mixture_weights,
-# streaming_interval_join, dedup_substring_spans, kmeans_embeddings,
-# corpus_curation_multimodal, funnel_stages, length_filter_adaptive,
-# vocab_coverage, dedup_cluster_stats, cohort_retention,
-# minhash_calibration, ann_sq8_topk, bottomk_sample_per_lang,
-# zorder_layout_events, profile_embeddings, streaming_curation_gate,
-# dedup_simhash_portable, validate_embeddings, train_test_split,
-# the five late-r4 retirees (quality_score,
-# doc_fingerprint, tfidf_top_terms, stopword_filter,
-# embedding_cosine_pairs), plus the long-waiting
-# sink_export_manifest (rows-only). Fund slots by retiring whichever
-# prefix members CORRECTNESS_r04 confirms green a second time.
+# past the driver's 50-slot window this round): mixture_weights,
+# embedding_centroids, dedup_substring_spans, cohort_retention,
+# corpus_curation_multimodal, length_filter_adaptive, vocab_coverage,
+# dedup_cluster_stats, minhash_calibration, profile_embeddings,
+# dedup_simhash_portable, validate_embeddings, curation_signals_fused,
+# lang_id_confusion, plus any new r5 oracle queries, plus the
+# long-waiting sink_export_manifest (rows-only). Fund slots by retiring
+# whichever prefix members CORRECTNESS_r05 confirms green a second
+# time (the r4 rotation's doc_winnowing/dedup_winnow_pairs/
+# profile_documents/dedup_ngram_jaccard_stopshingle/dedup_semantic and
+# the r4 curation block are all once-green candidates).
 
 
 def _reorder_registry() -> None:

@@ -498,14 +498,41 @@ def write_training_shards(spark, sf_dir: str, out_dir: str) -> None:
     )
 
 
-@register("sink_training_shards", tags=("sink",))
+# The shard stats are a pure aggregation of the pack_sequences
+# manifest, so the write→read-back round trip gets an EXACT oracle:
+# any loss or duplication in the partitioned write would break the
+# per-(lang, shard) doc counts / token totals / stream extents.
+_SHARDS_SQL = """
+WITH pack AS ({pack_sql})
+SELECT lang, cast(shard AS bigint) AS shard,
+       cast(count(*) AS bigint) AS n_docs,
+       cast(sum(n_tokens) AS bigint) AS n_tokens,
+       cast(max(stream_start + n_tokens) AS bigint) AS stream_end,
+       cast(max(last_chunk) AS bigint) AS max_chunk
+FROM pack
+GROUP BY lang, shard
+ORDER BY lang, shard
+"""
+
+
+def _shards_oracle() -> str:
+    from ..operators.curation import _PACK_SQL
+
+    return _SHARDS_SQL.format(pack_sql=_PACK_SQL)
+
+
+@register("sink_training_shards", oracle=_shards_oracle(), tags=("sink",))
 def sink_training_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K9 end-to-end: writes the partitioned training shards to a
     fixed scratch dir (overwritten per run), reads them BACK, and
     returns per-(lang, shard) stats — rows, token totals, stream
     extent — so the check covers the write path, the partition layout,
-    and the round-trip. Rows-only (file layout is environmental);
-    partition pruning and ordering pinned by tests/test_sinks.py."""
+    and the round-trip. Exact oracle: the stats are a pure aggregation
+    of the pack_sequences manifest, so DuckDB replays them from the
+    documents table directly — a green row proves the partitioned
+    write lost and duplicated nothing. Partition columns come back
+    from the directory layout (lang string, shard int), hence the
+    explicit bigint casts below."""
     import shutil
     import tempfile
 
@@ -515,7 +542,10 @@ def sink_training_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_training_shards(spark, sf_dir, out_dir)
     back = spark.read.parquet(f"{out_dir}/training_shards")
     return (
-        back.groupBy("lang", "shard")
+        back.groupBy(
+            F.col("lang").cast("string").alias("lang"),
+            F.col("shard").cast("bigint").alias("shard"),
+        )
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
             F.sum("n_tokens").cast("bigint").alias("n_tokens"),

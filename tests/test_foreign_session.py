@@ -76,6 +76,14 @@ def test_all_parquet_timestamps_normalized_to_ltz(bare_session, sf_dir):
         "unigram_perplexity",
         "dedup_canonical",
         "streaming_curation_gate",
+        # r5 rotation wave: the rest of the twelve newcomers — first
+        # driver exposure is on the vanilla session, so pin them here
+        "ann_sq8_topk",
+        "train_test_split",
+        "bottomk_sample_per_lang",
+        "event_rate_anomalies",
+        "dedup_incremental",
+        "sink_training_shards",
     ],
 )
 def test_events_queries_on_bare_session(bare_session, sf_dir, name):
