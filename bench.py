@@ -72,11 +72,24 @@ def main() -> None:
         samples: list[float] = []
         n = 0
         while len(samples) < runs_per_query or (
-            # High spread means an external load burst hit some run;
-            # take extra samples for a shot at a quiet window (two for
-            # cheap queries, one for expensive ones).
             len(samples) < (max_runs + 1 if min(samples) < 3.0 else max_runs)
-            and max(samples) > 1.5 * min(samples)
+            and (
+                # High spread means an external load burst hit some
+                # run; take extra samples for a shot at a quiet window
+                # (two for cheap queries, one for expensive ones).
+                max(samples) > 1.5 * min(samples)
+                # Still-improving trend means the plan hasn't reached
+                # steady state yet (C2 JIT / codegen warm-up on the
+                # heavy pandas-UDF plans ramps over ~4 runs: measured
+                # 5.3 → 4.0 → 3.4 → 3.0 s on asr_pipeline_clips) —
+                # keep sampling until the last run stops being the
+                # fastest by a margin, so the recorded min is the
+                # steady state, not the ramp.
+                or (
+                    samples[-1] == min(samples)
+                    and max(samples) > 1.1 * samples[-1]
+                )
+            )
         ):
             t0 = time.time()
             n = fn(spark, sf_dir).count()
