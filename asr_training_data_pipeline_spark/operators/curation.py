@@ -397,7 +397,14 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     in production the corpus side is a pre-bucketed hash index, making
     the probe co-partitioned."""
     docs = load_table(spark, sf_dir, "documents")
-    key = F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 8))
+    # NULL text must key to NULL (joins/windows then treat it as its
+    # own non-matching row, like the oracle's array_to_string(NULL)):
+    # concat_ws alone folds a NULL array to '' and would spuriously
+    # collide NULL-text docs with empty-text docs.
+    key = F.when(
+        F.col("text").isNotNull(),
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 8)),
+    )
     h = docs.select("doc_id", key.alias("h"))
     corpus = (
         h.filter(F.col("doc_id") % _INC_MOD != 0).select("h").distinct()

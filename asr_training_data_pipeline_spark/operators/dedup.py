@@ -1381,11 +1381,11 @@ ranked AS (
   SELECT d.doc_id,
          coalesce(c.component, d.doc_id) AS component,
          coalesce(c.cluster_size, 1) AS cluster_size,
-         cast(substr(d.source, 4) AS BIGINT) AS src_rank,
+         try_cast(substr(d.source, 4) AS BIGINT) AS src_rank,
          d.n_chars,
          first_value(d.doc_id) OVER (
            PARTITION BY coalesce(c.component, d.doc_id)
-           ORDER BY cast(substr(d.source, 4) AS BIGINT) ASC,
+           ORDER BY try_cast(substr(d.source, 4) AS BIGINT) ASC NULLS LAST,
                     d.n_chars DESC, d.doc_id ASC
            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
          ) AS canonical_doc
@@ -1423,7 +1423,10 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
-        F.expr("cast(substring(source, 4) AS BIGINT)").alias("src_rank"),
+        # try_cast, NULLS LAST pinned on both engines: a source value
+        # without the numeric suffix ranks least-trusted instead of
+        # killing the job (Spark ANSI cast throws; DuckDB cast errors)
+        F.expr("try_cast(substring(source, 4) AS BIGINT)").alias("src_rank"),
         F.col("n_chars").cast("bigint").alias("n_chars"),
     )
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
@@ -1433,7 +1436,9 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
         W.partitionBy("component")
         .orderBy(
-            F.col("src_rank").asc(), F.col("n_chars").desc(), F.col("doc_id").asc()
+            F.col("src_rank").asc_nulls_last(),
+            F.col("n_chars").desc(),
+            F.col("doc_id").asc()
         )
         .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     )

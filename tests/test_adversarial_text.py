@@ -29,7 +29,26 @@ SELECT * FROM (VALUES
   (6, 'MiXeD CaSe WORDS lower UPPER', 'en', 'src6', 28),
   (7, '123 456 7890 0 00', 'en', 'src7', 17),
   (8, 'tab\tand\nnewline chars', 'de', 'src8', 22),
-  (9, 'duplicate duplicate duplicate duplicate', 'es', 'src9', 39)
+  (9, 'duplicate duplicate duplicate duplicate', 'es', 'src9', 39),
+  -- r5 extension (VERDICT r4 task 7): unicode soup, PII in the RAW
+  -- text (not just the deterministic augmentation), and a real
+  -- benchmark-contamination hit. doc 97 is a benchmark member
+  -- (97 % 97 = 0); docs 11/12 share 3-gram shingles with it below/
+  -- above the 5% threshold; doc 0 (NULL) is also a benchmark member
+  -- and must contribute nothing.
+  (11, 'the quick brown fox leaps over fences today quite often indeed truly', 'en', 'src11', 69),
+  (12, 'the quick brown fox jumps over the lazy dog entirely verbatim', 'en', 'src12', 62),
+  (13, 'emoji 🤖 soup 🌍🌎🌏 and ☕ break time', 'en', 'src13', 36),
+  (14, '中文文本没有空格所以整句是一个词', 'zh', 'src14', 16),
+  (15, 'مرحبا بالعالم هذا نص عربي للاختبار', 'ar', 'src15', 34),
+  (16, 'naïve café résumé coöperate reëlect', 'fr', 'src16', 35),
+  (17, 'superscript ¹²³ and arabic ١٢٣٤ digits here', 'en', 'src17', 43),
+  (18, 'zero​width joiner and non' || chr(160) || 'breaking space', 'en', 'src18', 40),
+  (19, 'reach alice@example.org or 192.168.1.1 or call 555-1234 now', 'en', 'src19', 60),
+  (20, 'fake ip 999.999.999.999 half phone 55-1234 plus 1234-5678 runs', 'en', 'src20', 63),
+  (21, ' leading and trailing spaces ', 'de', 'src21', 29),
+  (97, 'the quick brown fox jumps over the lazy dog', 'en', 'src97', 43),
+  (9007199254740993, 'big id division exactness row with enough words to shingle', 'en', 'srcbig', 59)
 ) AS t(doc_id, text, lang, source, n_chars)
 """
 
@@ -59,6 +78,10 @@ QUERIES = [
     "word_coverage",
     "curation_funnel",
     "dedup_canonical",
+    # r5 rotation newcomers on the documents table
+    "dedup_incremental",
+    "train_test_split",
+    "sink_training_shards",
 ]
 
 
