@@ -121,8 +121,9 @@ _PRIORITY = (
 # corpus_curation_multimodal, length_filter_adaptive, vocab_coverage,
 # dedup_cluster_stats, minhash_calibration, profile_embeddings,
 # dedup_simhash_portable, validate_embeddings, curation_signals_fused,
-# lang_id_confusion, plus any new r5 oracle queries, plus the
-# long-waiting sink_export_manifest (rows-only). Fund slots by retiring
+# lang_id_confusion, plus the new r5 oracle queries
+# (heavy_hitter_words, bigram_perplexity, ...), plus the long-waiting
+# sink_export_manifest (rows-only). Fund slots by retiring
 # whichever prefix members CORRECTNESS_r05 confirms green a second
 # time (the r4 rotation's doc_winnowing/dedup_winnow_pairs/
 # profile_documents/dedup_ngram_jaccard_stopshingle/dedup_semantic and

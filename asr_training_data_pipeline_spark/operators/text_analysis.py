@@ -834,3 +834,316 @@ def unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(avg), 4).alias("perplexity"),
         (F.col("sum_u") > F.col("n") * _LM_THRESH_U).alias("is_low_quality"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------
+# Exact distributed heavy hitters (Misra-Gries candidates + recount)
+# ---------------------------------------------------------------------
+
+_HH_PHI_DEN = 50   # heavy hitter ⟺ cnt · 50 > N  (frequency > 2%)
+_HH_CAPACITY = 64  # MG counters per partition; guarantee needs ≥ 49
+
+_HH_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+),
+tot AS (SELECT count(*) AS n FROM toks)
+SELECT w,
+       cast(count(*) AS bigint) AS cnt,
+       cast(count(*) AS double) / n AS share
+FROM toks, tot
+GROUP BY w, n
+HAVING count(*) * {_HH_PHI_DEN} > n
+ORDER BY cnt DESC, w
+"""
+
+
+def misra_gries_candidates(items: DataFrame, col: str, capacity: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries of a single string column:
+    each partition emits ≤ ``capacity`` candidate values, guaranteed to
+    include every value whose partition count exceeds
+    n_p/(capacity+1) (Misra & Gries 1982; merge rule per Agarwal et
+    al., "Mergeable Summaries", PODS'12: add batch counts, then
+    subtract the (capacity+1)-largest counter and drop non-positive).
+
+    Arrow-native (``mapInArrow``): batches stream through a dict of
+    counters; only the ≤capacity surviving keys per partition are
+    emitted, so the operator's output is O(capacity · partitions)
+    regardless of input size or cardinality.
+    """
+    import pyarrow as pa
+
+    def mg(batches):
+        counters: dict = {}
+        for batch in batches:
+            vc = pa.compute.value_counts(batch.column(0))
+            for kv in vc:
+                k = kv["values"].as_py()
+                counters[k] = counters.get(k, 0) + kv["counts"].as_py()
+            if len(counters) > capacity:
+                cut = sorted(counters.values(), reverse=True)[capacity]
+                counters = {k: c - cut for k, c in counters.items() if c > cut}
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(list(counters.keys()), type=pa.string())], [col]
+        )
+
+    return items.select(col).mapInArrow(mg, f"{col} string")
+
+
+@register("heavy_hitter_words", oracle=_HH_SQL, tags=("text", "stats"))
+def heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus heavy hitters (vocabulary items with frequency
+    above 1/50 = 2%) via the two-pass sketch-then-recount pattern:
+    pass 1 runs Misra-Gries per partition (≤64 counters each, map-side
+    only) and unions the candidates — a guaranteed superset of the
+    true heavy hitters, since a word with global count > N/50 must
+    exceed n_p/50 ≥ n_p/(64+1) in some partition; pass 2
+    broadcast-probes the tokens against the tiny candidate set and
+    exactly recounts ONLY those, so the result equals the plain
+    groupBy-HAVING oracle under ANY partitioning.
+
+    Scale: the long tail — the overwhelming share of a 100 TB
+    vocabulary — never enters an exchange: pass 1 emits
+    O(capacity · partitions) rows, pass 2 shuffles only candidate-word
+    tokens (map-side combined to ≤ capacity·partitions partial rows).
+    A plain groupBy ships one partial row per DISTINCT word per
+    partition instead — billions, mostly hapax legomena. The threshold
+    compare is integer (cnt·{den} > N): exact on both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    )
+    cands = misra_gries_candidates(toks, "w", _HH_CAPACITY).distinct()
+    total = toks.agg(F.count("*").alias("n"))
+    counted = (
+        toks.join(F.broadcast(cands), "w")
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+    )
+    return (
+        counted.filter(F.col("cnt") * _HH_PHI_DEN > F.col("n"))
+        .select(
+            "w",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("n")).alias("share"),
+        )
+        .orderBy(F.col("cnt").desc(), "w")
+    )
+
+
+# ---------------------------------------------------------------------
+# Bigram-LM perplexity with stupid backoff (train/score split)
+# ---------------------------------------------------------------------
+
+_BI_TRAIN_MOD = 5       # doc_id % MOD != 0 → LM training split
+_BI_BACKOFF = 0.4       # stupid-backoff factor α (Brants et al. 2007)
+_BI_THRESH_U = 7_500_000  # mean -ln p > 7.5 nats → low quality
+
+# Quantized score tables, all integer micro-nats:
+#   lq_u(w)   = ⌊-ln(c_u(w)/T)·S + ½⌋         (unigram, train counts)
+#   lq_oov    = ⌊ ln(T+1)·S + ½⌋              (unseen unigram: p=1/(T+1))
+#   lq_bi(b)  = ⌊-ln(c_bi(b)/c_u(w1))·S + ½⌋  (seen bigram)
+#   backoff   = ⌊-ln(α)·S + ½⌋ + (lq_u(w2) or lq_oov)
+# Every transcendental is evaluated ONCE per distinct key and floored
+# to bigint, so the per-document reduction is an integer sum — exact
+# under any partitioning and any join order, on both engines.
+_BIGRAM_SQL = f"""
+WITH train AS (
+  SELECT string_split(lower(text), ' ') AS t FROM documents
+  WHERE doc_id % {_BI_TRAIN_MOD} <> 0 AND text IS NOT NULL
+),
+u AS (
+  SELECT w, count(*) AS cu
+  FROM (SELECT unnest(t) AS w FROM train) GROUP BY w
+),
+tot AS (SELECT sum(cu) AS total FROM u),
+lu AS (
+  SELECT w, cast(floor(-ln(cast(cu AS double) / total) * {_LM_SCALE} + 0.5)
+                 AS bigint) AS lq_u
+  FROM u, tot
+),
+consts AS (
+  SELECT cast(floor(ln(cast(total + 1 AS double)) * {_LM_SCALE} + 0.5)
+              AS bigint) AS lq_oov,
+         cast(floor(-ln({_BI_BACKOFF}) * {_LM_SCALE} + 0.5) AS bigint)
+           AS lq_alpha
+  FROM tot
+),
+bi AS (
+  SELECT w1, w2, count(*) AS cb
+  FROM (
+    SELECT unnest([struct_pack(w1 := t[i], w2 := t[i + 1])
+                   for i in range(1, len(t))], recursive := true)
+    FROM train
+  ) GROUP BY w1, w2
+),
+lb AS (
+  SELECT bi.w1, bi.w2,
+         cast(floor(-ln(cast(cb AS double) / cu) * {_LM_SCALE} + 0.5)
+              AS bigint) AS lq_bi
+  FROM bi JOIN u ON u.w = bi.w1
+),
+docs_t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+  WHERE text IS NOT NULL
+),
+first_term AS (
+  SELECT doc_id, coalesce(lu.lq_u, consts.lq_oov) AS q
+  FROM (SELECT doc_id, t[1] AS w FROM docs_t) f
+  LEFT JOIN lu ON lu.w = f.w
+  CROSS JOIN consts
+),
+bigrams AS (
+  SELECT doc_id, b.w1, b.w2
+  FROM (
+    SELECT doc_id, unnest([struct_pack(w1 := t[i], w2 := t[i + 1])
+                           for i in range(1, len(t))]) AS b
+    FROM docs_t
+  )
+),
+bigram_terms AS (
+  SELECT doc_id,
+         coalesce(lb.lq_bi,
+                  consts.lq_alpha + coalesce(lu.lq_u, consts.lq_oov)) AS q
+  FROM bigrams
+  LEFT JOIN lb ON lb.w1 = bigrams.w1 AND lb.w2 = bigrams.w2
+  LEFT JOIN lu ON lu.w = bigrams.w2
+  CROSS JOIN consts
+),
+s AS (
+  SELECT doc_id, count(*) AS n, sum(q) AS sum_u
+  FROM (SELECT * FROM first_term UNION ALL SELECT * FROM bigram_terms)
+  GROUP BY doc_id
+)
+SELECT doc_id,
+       cast(n AS bigint) AS n_terms,
+       round(cast(sum_u AS double) / (n * {_LM_SCALE}.0), 6) AS avg_neglogp,
+       round(exp(cast(sum_u AS double) / (n * {_LM_SCALE}.0)), 4) AS perplexity,
+       sum_u > n * {_BI_THRESH_U} AS is_low_quality
+FROM s
+ORDER BY doc_id
+"""
+
+
+def _bigram_structs(t):
+    """array<struct<w1,w2>> of adjacent token pairs — JVM-side array
+    slicing, no explode until the pair rows are actually needed."""
+    n = F.size(t)
+    return F.zip_with(
+        F.slice(t, 1, n - 1),
+        F.slice(t, 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+
+
+@register("bigram_perplexity", oracle=_BIGRAM_SQL, tags=("text", "quality"))
+def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality filter with stupid backoff (Brants et al.,
+    "Large Language Models in Machine Translation", EMNLP 2007): train
+    bigram/unigram tables on a held-out split (doc_id % 5 ≠ 0 stands
+    in for the clean reference corpus CCNet trains on), score EVERY
+    document by mean negative log-probability — first token by the
+    unigram table, each following token by p(w2|w1) when the bigram
+    was seen, else α·p_uni(w2) with the unseen-unigram fallback
+    1/(T+1) — and flag the high-perplexity tail. Unlike
+    unigram_perplexity (trained on itself, so nothing is ever unseen),
+    the split makes the backoff path reachable: scored docs can
+    contain unseen words and transitions (the uniform driver fixture's
+    tiny vocabulary happens to cover every bigram, so the backoff and
+    OOV paths are pinned by tests/test_bigram_lm.py's constructed
+    corpus and by the adversarial-text fixture's score-only unicode
+    docs instead).
+
+    Exactness: integer micro-nat quantization once per distinct
+    unigram/bigram/constant (comment above _BIGRAM_SQL), so the
+    per-document sum is order-independent bigint arithmetic.
+
+    Scale: the score tables are corpus-frequency joins keyed on the
+    word/pair — shuffles carry (token, count) pairs, never documents;
+    the bigram pair derivation is JVM array slicing in the scan stage.
+    In production the tables are a one-time artifact (written by the
+    training split, broadcast or bucket-joined at score time)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    t = F.split(F.lower(F.col("text")), " ")
+    train = docs.filter(F.col("doc_id") % _BI_TRAIN_MOD != 0)
+
+    u = (
+        train.select(F.explode(t).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cu"))
+    )
+    tot = u.agg(F.sum("cu").alias("total"))
+    lu = (
+        u.crossJoin(F.broadcast(tot))
+        .select(
+            "w",
+            F.floor(
+                -F.log(F.col("cu").cast("double") / F.col("total"))
+                * _LM_SCALE
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("lq_u"),
+        )
+    )
+    consts = tot.select(
+        F.floor(F.log((F.col("total") + 1).cast("double")) * _LM_SCALE + 0.5)
+        .cast("bigint")
+        .alias("lq_oov"),
+        F.floor(-F.log(F.lit(float(_BI_BACKOFF))) * _LM_SCALE + 0.5)
+        .cast("bigint")
+        .alias("lq_alpha"),
+    )
+    bi = (
+        train.select(F.explode(_bigram_structs(t)).alias("b"))
+        .groupBy(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .agg(F.count("*").alias("cb"))
+    )
+    lb = bi.join(u, bi.w1 == u.w).select(
+        "w1",
+        "w2",
+        F.floor(
+            -F.log(F.col("cb").cast("double") / F.col("cu")) * _LM_SCALE + 0.5
+        )
+        .cast("bigint")
+        .alias("lq_bi"),
+    )
+
+    scored = docs.select("doc_id", t.alias("t"))
+    first_term = (
+        scored.select("doc_id", F.element_at("t", 1).alias("w"))
+        .join(lu, "w", "left")
+        .crossJoin(F.broadcast(consts))
+        .select("doc_id", F.coalesce("lq_u", "lq_oov").alias("q"))
+    )
+    bigram_terms = (
+        scored.select("doc_id", F.explode(_bigram_structs(F.col("t"))).alias("b"))
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .join(lb, ["w1", "w2"], "left")
+        .join(lu.withColumnRenamed("w", "w2").withColumnRenamed("lq_u", "lq_u2"), "w2", "left")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "doc_id",
+            F.coalesce(
+                "lq_bi",
+                F.col("lq_alpha") + F.coalesce("lq_u2", "lq_oov"),
+            ).alias("q"),
+        )
+    )
+    s = (
+        first_term.unionByName(bigram_terms)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"), F.sum("q").alias("sum_u"))
+    )
+    avg = F.col("sum_u").cast("double") / (F.col("n") * float(_LM_SCALE))
+    return s.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_terms"),
+        F.round(avg, 6).alias("avg_neglogp"),
+        F.round(F.exp(avg), 4).alias("perplexity"),
+        (F.col("sum_u") > F.col("n") * _BI_THRESH_U).alias("is_low_quality"),
+    ).orderBy("doc_id")

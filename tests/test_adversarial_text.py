@@ -82,6 +82,11 @@ QUERIES = [
     "dedup_incremental",
     "train_test_split",
     "sink_training_shards",
+    # r5 new operators; the score-only unicode docs (doc_id % 5 == 0:
+    # 0, 5, 15, 20) force bigram_perplexity through its backoff/OOV
+    # paths here
+    "heavy_hitter_words",
+    "bigram_perplexity",
 ]
 
 
