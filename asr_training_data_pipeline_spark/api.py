@@ -30,29 +30,54 @@ from .streaming import stateful, windows  # noqa: F401
 # ---------------------------------------------------------------------
 
 _PRIORITY = (
-    # flagship + north-star: dedup, similarity, text, multimodal
+    # flagship + north-star: dedup, similarity, text, multimodal.
+    # r6 rotation wave 3 (VERDICT r5 tasks 1/2/5): the 18 oracle-backed
+    # queries that had never had a driver CORRECTNESS row, plus the two
+    # long-waiting rows-only members (sink_export_manifest,
+    # mllib_minhash_pairs), rotate IN. Funded by retiring twenty
+    # twice-or-more-green members to the tail: the r4 winnowing block
+    # (doc_winnowing, dedup_winnow_pairs, profile_documents,
+    # dedup_ngram_jaccard_stopshingle, dedup_semantic — green r4+r5),
+    # the r4 curation block (pii_scrub, repetition_signals,
+    # stratified_sample, contamination_check, unigram_perplexity,
+    # curation_funnel — green r4+r5), the late-r4 block
+    # (dedup_minhash_portable, dedup_semantic_clustered,
+    # dedup_canonical, corpus_curation — green r4+r5), and five
+    # many-times-green flagship members whose families keep prefix reps
+    # (dedup_exact, ann_lsh_topk, dedup_components, lang_id_heuristic,
+    # token_count — green r2..r5). Every retiree stays
+    # pytest-oracle-covered on every suite run.
     "word_coverage",
-    "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",
-    "ann_lsh_topk",
-    "dedup_components",
-    "corpus_curation",
-    "lang_id_heuristic",
-    "token_count",
-    # late-r4 rotation: five driver-green-in-r3 text/ANN slots
-    # (quality_score, doc_fingerprint, tfidf_top_terms,
-    # stopword_filter, embedding_cosine_pairs) retire to the tail —
-    # each family keeps ≥2 prefix reps and every retiree stays
-    # pytest-oracle-covered every run — funding first driver rows for
-    # the five highest-value late-r4 oracle queries below.
-    "dedup_minhash_portable",
-    "dedup_semantic_clustered",
-    "curation_funnel",
-    "unigram_perplexity",
-    "dedup_canonical",
+    # wave-3 newcomers: text analysis (heavy_hitter_words and
+    # bigram_perplexity are the r5-new operators — verification-debt
+    # head per VERDICT r5 task 2)
+    "heavy_hitter_words",
+    "bigram_perplexity",
+    "vocab_coverage",
+    "lang_id_confusion",
+    # wave-3 newcomers: ANN / embeddings
+    "ann_ivf_topk",
+    "ann_lsh_buckets",
+    "embedding_centroids",
+    "profile_embeddings",
+    "validate_embeddings",
+    # wave-3 newcomers: dedup
+    "dedup_simhash_portable",
+    "dedup_substring_spans",
+    "dedup_cluster_stats",
+    "minhash_calibration",
+    "mllib_minhash_pairs",
+    # wave-3 newcomers: curation / analytics / sinks
+    "curation_signals_fused",
+    "length_filter_adaptive",
+    "mixture_weights",
+    "cohort_retention",
+    "corpus_curation_multimodal",
+    "sink_export_manifest",
     "multimodal_audio_features",
     "multimodal_image_resize",
     # reference pipeline / alignment / streaming
@@ -76,9 +101,7 @@ _PRIORITY = (
     # table keeps prefix reps via sessionize + funnel + anomalies +
     # z-order below)
     "sessionize_events",
-    # r5 rotation wave: twelve oracle-backed queries that had never had
-    # a driver CORRECTNESS row (VERDICT r4 tasks 2, 5, 8), funded by
-    # the twice-green events-block retirees above.
+    # r5 rotation wave, kept for a second green (once-green in r5):
     "zorder_layout_events",
     "ann_sq8_topk",
     "kmeans_embeddings",
@@ -91,43 +114,17 @@ _PRIORITY = (
     "streaming_interval_join",
     "streaming_curation_gate",
     "sink_training_shards",
-    # r4 rotation: the four r3-new oracle queries that had never had a
-    # driver CORRECTNESS row, plus the new semantic-dedup capstone.
-    # Retired to the tail (driver-green in BOTH r2 and r3, still
-    # pytest-oracle-covered every run): q1_pricing_summary,
-    # scalar_normalize_tokens, num_to_words_sizes,
-    # phoneme_case_extension, positional_pairing.
-    "doc_winnowing",
-    "dedup_winnow_pairs",
-    "profile_documents",
-    "dedup_ngram_jaccard_stopshingle",
-    "dedup_semantic",
-    # r4 additions: the corpus-curation safety/sampling family
-    # (operators/curation.py). Slots funded by retiring dedup_exact_hash
-    # (green r2+r3; dedup_exact still represents the family),
-    # group_concat_ordered + timestamp_format (r3-green scalar shapes;
-    # the scalar family keeps 3 prefix slots), and
-    # streaming_sliding_counts (r3-green; 4 streaming slots remain).
-    # All four stay pytest-oracle-covered every run.
-    "pii_scrub",
-    "repetition_signals",
-    "stratified_sample",
-    "contamination_check",
 )
 
-# Rotation queue for the NEXT prefix refresh (oracle-backed, registered
-# past the driver's 50-slot window this round): mixture_weights,
-# embedding_centroids, dedup_substring_spans, cohort_retention,
-# corpus_curation_multimodal, length_filter_adaptive, vocab_coverage,
-# dedup_cluster_stats, minhash_calibration, profile_embeddings,
-# dedup_simhash_portable, validate_embeddings, curation_signals_fused,
-# lang_id_confusion, plus the new r5 oracle queries
-# (heavy_hitter_words, bigram_perplexity, ...), plus the long-waiting
-# sink_export_manifest (rows-only). Fund slots by retiring
-# whichever prefix members CORRECTNESS_r05 confirms green a second
-# time (the r4 rotation's doc_winnowing/dedup_winnow_pairs/
-# profile_documents/dedup_ngram_jaccard_stopshingle/dedup_semantic and
-# the r4 curation block are all once-green candidates).
+# Rotation queue for the NEXT prefix refresh: with wave 3 in the
+# prefix, every oracle-backed query in the registry has either a
+# driver CORRECTNESS row already or a slot this round — the
+# never-checked set is empty if r6 comes back green. Next candidates
+# to rotate IN (rows-only family never driver-run):
+# mllib_tfidf_features, mllib_brp_ann_topk, multimodal_frame_sample,
+# vad_speech_segments. Fund slots by retiring whichever r5-wave
+# members CORRECTNESS_r06 confirms green a second time
+# (zorder_layout_events .. sink_training_shards above).
 
 
 def _reorder_registry() -> None:

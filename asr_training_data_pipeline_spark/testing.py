@@ -41,6 +41,13 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("Int64")
         elif pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].astype("float64")
+        elif df[c].dtype == object:
+            # Spark surfaces SQL NULL as None, DuckDB's .df() as NaN;
+            # pandas currently treats them as equal in
+            # assert_series_equal but has deprecated that (pandas
+            # FutureWarning). Pin one representation so the comparison
+            # stays exact under future pandas majors.
+            df[c] = df[c].where(pd.notna(df[c]), None)
     df = df.sort_values(by=list(df.columns), na_position="first").reset_index(
         drop=True
     )
