@@ -874,15 +874,31 @@ def misra_gries_candidates(items: DataFrame, col: str, capacity: int) -> DataFra
     import pyarrow as pa
 
     def mg(batches):
+        # Compress (subtract the (capacity+1)-largest counter, drop
+        # non-positive) both after each batch AND whenever the dict
+        # exceeds 8·capacity mid-batch: the merge rule composes, and
+        # the in-loop trigger bounds peak memory to O(capacity)
+        # instead of O(distinct values per Arrow batch) on
+        # high-cardinality streams. Each compression removes ≥
+        # (capacity+1)·cut total mass, so every key still loses at
+        # most n_p/(capacity+1) across all compressions — the survival
+        # guarantee is unchanged.
         counters: dict = {}
+        soft_cap = 8 * capacity
+
+        def compress():
+            cut = sorted(counters.values(), reverse=True)[capacity]
+            return {k: c - cut for k, c in counters.items() if c > cut}
+
         for batch in batches:
             vc = pa.compute.value_counts(batch.column(0))
             for kv in vc:
                 k = kv["values"].as_py()
                 counters[k] = counters.get(k, 0) + kv["counts"].as_py()
+                if len(counters) > soft_cap:
+                    counters = compress()
             if len(counters) > capacity:
-                cut = sorted(counters.values(), reverse=True)[capacity]
-                counters = {k: c - cut for k, c in counters.items() if c > cut}
+                counters = compress()
         yield pa.RecordBatch.from_arrays(
             [pa.array(list(counters.keys()), type=pa.string())], [col]
         )
@@ -948,7 +964,13 @@ _BI_THRESH_U = 7_500_000  # mean -ln p > 7.5 nats → low quality
 #   backoff   = ⌊-ln(α)·S + ½⌋ + (lq_u(w2) or lq_oov)
 # Every transcendental is evaluated ONCE per distinct key and floored
 # to bigint, so the per-document reduction is an integer sum — exact
-# under any partitioning and any join order, on both engines.
+# under any partitioning and any join order WITHIN each engine.
+# Cross-engine equality additionally relies on the JVM's and DuckDB's
+# libm agreeing on ln() at each distinct input: a 1-ulp divergence
+# landing exactly on a floor(x·S + ½) boundary would shift that key's
+# table entry by one micro-nat. Both libms agree on every fixture
+# input (pinned by the oracle-parity suite); the suite, not this
+# comment, is the cross-engine guarantee.
 _BIGRAM_SQL = f"""
 WITH train AS (
   SELECT string_split(lower(text), ' ') AS t FROM documents
@@ -1060,11 +1082,17 @@ def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram/bigram/constant (comment above _BIGRAM_SQL), so the
     per-document sum is order-independent bigint arithmetic.
 
-    Scale: the score tables are corpus-frequency joins keyed on the
-    word/pair — shuffles carry (token, count) pairs, never documents;
-    the bigram pair derivation is JVM array slicing in the scan stage.
-    In production the tables are a one-time artifact (written by the
-    training split, broadcast or bucket-joined at score time)."""
+    Scale: the LM tables (lu/lb) are vocabulary-sized — O(distinct
+    unigrams/bigrams), orders of magnitude smaller than the token
+    stream — so the score-side joins broadcast them (pinned below and
+    by tests/test_plan_shapes.py): the per-token rows never shuffle at
+    score time; the only score-side exchange is the final doc_id
+    aggregation, map-side combined. The broadcast holds while the
+    quantized tables fit in the driver/executor broadcast budget
+    (~tens of millions of entries at 16 B each; the bench fixture is
+    thousands); past that, write the tables once and bucket-join on
+    the word key so the token stream still shuffles at most once. The
+    bigram pair derivation is JVM array slicing in the scan stage."""
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
@@ -1116,15 +1144,21 @@ def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = docs.select("doc_id", t.alias("t"))
     first_term = (
         scored.select("doc_id", F.element_at("t", 1).alias("w"))
-        .join(lu, "w", "left")
+        .join(F.broadcast(lu), "w", "left")
         .crossJoin(F.broadcast(consts))
         .select("doc_id", F.coalesce("lq_u", "lq_oov").alias("q"))
     )
     bigram_terms = (
         scored.select("doc_id", F.explode(_bigram_structs(F.col("t"))).alias("b"))
         .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
-        .join(lb, ["w1", "w2"], "left")
-        .join(lu.withColumnRenamed("w", "w2").withColumnRenamed("lq_u", "lq_u2"), "w2", "left")
+        .join(F.broadcast(lb), ["w1", "w2"], "left")
+        .join(
+            F.broadcast(
+                lu.withColumnRenamed("w", "w2").withColumnRenamed("lq_u", "lq_u2")
+            ),
+            "w2",
+            "left",
+        )
         .crossJoin(F.broadcast(consts))
         .select(
             "doc_id",

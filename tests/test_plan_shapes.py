@@ -136,3 +136,24 @@ def test_contamination_benchmark_broadcasts(spark, sf_dir):
     ):
         keyed = part.split(",")[0].strip()
         assert not keyed.startswith("shingle"), part
+
+
+def test_bigram_score_tables_broadcast(spark, sf_dir):
+    """The quantized LM tables must arrive at the token stream by
+    broadcast: every join in the plan is a BroadcastHashJoin (no
+    SortMergeJoin), so the scored per-token rows never hash-shuffle on
+    a word key — their only exchange is the final doc_id aggregation.
+    (Word-keyed exchanges below the broadcast builds are the
+    train-side vocabulary groupBys: vocabulary-sized, not
+    token-stream-sized.) Past the broadcast budget the documented
+    fallback is a bucket-join on the word key — see
+    bigram_perplexity's docstring."""
+    plan = _executed_plan(spark, sf_dir, "bigram_perplexity")
+    assert plan.count("SortMergeJoin") == 0, "LM table join fell back to SMJ"
+    assert plan.count("BroadcastHashJoin") >= 3  # lu (first), lb, lu2
+    doc_exchanges = [
+        e
+        for e in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+        if "doc_id" in e
+    ]
+    assert len(doc_exchanges) == 1, doc_exchanges
