@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from ..registry import register
 from ..sources.tables import load_table
 from .shingles import shingles_col, shingles_sql
+from .similarity import _VALID_WHERE as _SIM_VALID_WHERE
 
 # ---------------------------------------------------------------------
 # PII scrub
@@ -547,8 +548,7 @@ v AS (SELECT vec_id, label, cast(embedding AS double[]) AS e,
              [cast(floor(x * {_MM_SCALE} + 0.5) AS bigint)
               for x in cast(embedding AS double[])] AS qe
       FROM embeddings
-      WHERE list_dot_product(cast(embedding AS double[]),
-                             cast(embedding AS double[])) > 0),
+      WHERE {_SIM_VALID_WHERE}),
 s AS (SELECT label, i, sum(qe[i]) AS sq, count(*) AS n
       FROM v, unnest(range(1, 65)) AS u(i) GROUP BY label, i),
 c AS (SELECT label, list(cast(sq AS double) / (n * {_MM_SCALE}.0) ORDER BY i) AS ce

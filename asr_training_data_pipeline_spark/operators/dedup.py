@@ -1089,7 +1089,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEMANTIC_SQL = """
 WITH RECURSIVE
 v AS (SELECT vec_id, cast(embedding AS double[]) AS e FROM embeddings
-      WHERE list_dot_product(cast(embedding AS double[]), cast(embedding AS double[])) > 0),
+      WHERE {valid}),
 pairs AS (
   SELECT a.vec_id AS va, b.vec_id AS vb
   FROM v a, v b
@@ -1114,12 +1114,12 @@ ORDER BY vec_id
 """
 
 
-from .similarity import _PAIRS_THRESHOLD  # shared semantic-dup cut
+from .similarity import _PAIRS_THRESHOLD, _VALID_WHERE  # shared semantic-dup domain
 
 
 @register(
     "dedup_semantic",
-    oracle=_SEMANTIC_SQL.format(thr=_PAIRS_THRESHOLD),
+    oracle=_SEMANTIC_SQL.format(thr=_PAIRS_THRESHOLD, valid=_VALID_WHERE),
     tags=("dedup", "similarity", "iterative"),
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -59,8 +59,10 @@ r AS (SELECT min(user_id) AS min_u, max(user_id) AS max_u,
       FROM e),
 n AS (
   SELECT event_id, user_id, ts_min,
-         ((user_id - min_u) * 65535) // greatest(max_u - min_u, 1) AS u16,
-         ((ts_min - min_t) * 65535) // greatest(max_t - min_t, 1) AS t16
+         cast((cast(user_id - min_u AS hugeint) * 65535)
+              // greatest(max_u - min_u, 1) AS bigint) AS u16,
+         cast((cast(ts_min - min_t AS hugeint) * 65535)
+              // greatest(max_t - min_t, 1) AS bigint) AS t16
   FROM e, r
 ),
 z AS (
@@ -116,7 +118,10 @@ def zorder_layout_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # before interleaving — raw values would waste interleave bits
     # (user_id has ~8 significant bits, epoch-minutes ~25) and let one
     # dimension dominate the curve. Exact integer math: one 1-row agg
-    # broadcast back over the scan.
+    # broadcast back over the scan. The ×65535 runs in decimal(38,0)
+    # (oracle: hugeint) so an id RANGE past 2^47 — e.g. snowflake-style
+    # 2^53 ids — can't overflow bigint and abort the job under ANSI;
+    # the quotient is back in [0, 65535] and casts down safely.
     r = e.agg(
         F.min("user_id").alias("min_u"),
         F.max("user_id").alias("max_u"),
@@ -127,8 +132,14 @@ def zorder_layout_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "ts_min",
-        F.expr("((user_id - min_u) * 65535) div greatest(max_u - min_u, 1)").alias("u16"),
-        F.expr("((ts_min - min_t) * 65535) div greatest(max_t - min_t, 1)").alias("t16"),
+        F.expr(
+            "cast(cast(user_id - min_u AS decimal(38,0)) * 65535"
+            " div greatest(max_u - min_u, 1) AS bigint)"
+        ).alias("u16"),
+        F.expr(
+            "cast(cast(ts_min - min_t AS decimal(38,0)) * 65535"
+            " div greatest(max_t - min_t, 1) AS bigint)"
+        ).alias("t16"),
     )
     z = norm.select(
         "event_id",

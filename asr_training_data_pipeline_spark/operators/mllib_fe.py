@@ -113,7 +113,9 @@ def mllib_brp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    from .similarity import load_embeddings
+
+    emb = load_embeddings(spark, sf_dir)
     norm = F.sqrt(
         F.aggregate(
             F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),

@@ -22,6 +22,8 @@ from ..sources.tables import load_table
 
 _TOPK = 5
 _N_QUERIES = 8  # vec_id < 8 are the query vectors
+_EMB_DIM = 64  # embeddings.embedding dimensionality (TESTDATA.md)
+_MAG_BOUND = 1_000_000.0  # fixed-point micro-quantization domain: |x| ≤ 1e6
 
 
 def dot_col(a: Column, b: Column) -> Column:
@@ -37,28 +39,61 @@ def cosine_col(a: Column, b: Column) -> Column:
     return dot_col(a, b) / (F.sqrt(dot_col(a, a)) * F.sqrt(dot_col(b, b)))
 
 
-# The cosine family's input domain: zero-norm vectors are excluded at
-# the scan (cosine is undefined on them, and under ANSI a single
-# corrupt row would otherwise abort a 100 TB job with DIVIDE_BY_ZERO).
-# validate_embeddings reports what the filter excludes; every oracle
-# applies the same predicate so both engines see identical input.
-_NONZERO_WHERE = (
-    "list_dot_product(cast(embedding AS double[]),"
-    " cast(embedding AS double[])) > 0"
+# The similarity family's input domain = validate_embeddings'
+# ``is_valid``: expected dimension count, every element finite and
+# inside the fixed-point quantization range (NOT (|x| ≤ 1e6) is TRUE
+# for NaN on both engines, so NaN/±Inf rows are excluded), nonzero
+# norm. Excluded at the scan because one corrupt row would otherwise
+# abort a 100 TB job under ANSI (DIVIDE_BY_ZERO on zero norms,
+# CAST_OVERFLOW on NaN/Inf in the fixed-point paths) — and, short of
+# an abort, NaN scores would poison every downstream ranking.
+# validate_embeddings reports exactly what this filter excludes; every
+# oracle applies the same predicate so both engines see identical
+# input.
+_VALID_WHERE = (
+    f"(len(cast(embedding AS double[])) = {_EMB_DIM}"
+    " AND len(list_filter(cast(embedding AS double[]),"
+    f" x -> NOT (abs(x) <= {_MAG_BOUND}))) = 0"
+    " AND list_dot_product(cast(embedding AS double[]),"
+    " cast(embedding AS double[])) > 0)"
 )
 
 
+# The quantizable (finite) domain: like _VALID_WHERE but zero-norm
+# vectors stay in — used by profile_embeddings, where dead/collapsed
+# rows are signal, not corruption.
+_FINITE_WHERE = (
+    f"(len(cast(embedding AS double[])) = {_EMB_DIM}"
+    " AND len(list_filter(cast(embedding AS double[]),"
+    f" x -> NOT (abs(x) <= {_MAG_BOUND}))) = 0)"
+)
+
+
+def finite_embedding_pred() -> Column:
+    """Spark mirror of ``_FINITE_WHERE`` (scan-side codegen, no UDF)."""
+    ed = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    n_bad = F.size(F.filter(ed, lambda x: ~(F.abs(x) <= _MAG_BOUND)))
+    return (F.size(ed) == _EMB_DIM) & (n_bad == 0)
+
+
+def valid_embedding_pred() -> Column:
+    """Spark mirror of ``_VALID_WHERE`` (scan-side codegen, no UDF)."""
+    nonzero = dot_col(F.col("embedding"), F.col("embedding")) > 0
+    return finite_embedding_pred() & nonzero
+
+
 def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embeddings scan restricted to the cosine family's domain
-    (nonzero norm). Scan-side codegen filter — no extra pass."""
+    """Embeddings scan restricted to the similarity family's domain
+    (valid per ``validate_embeddings``). Scan-side codegen filter —
+    no extra pass."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return emb.filter(dot_col(F.col("embedding"), F.col("embedding")) > 0)
+    return emb.filter(valid_embedding_pred())
 
 
 _TOPK_SQL = f"""
 WITH q AS (SELECT vec_id AS query_id, cast(embedding AS double[]) AS qe
-           FROM embeddings WHERE vec_id < {_N_QUERIES} AND list_dot_product(cast(embedding AS double[]), cast(embedding AS double[])) > 0),
-v AS (SELECT vec_id, cast(embedding AS double[]) AS ve FROM embeddings WHERE list_dot_product(cast(embedding AS double[]), cast(embedding AS double[])) > 0),
+           FROM embeddings WHERE vec_id < {_N_QUERIES} AND {_VALID_WHERE}),
+v AS (SELECT vec_id, cast(embedding AS double[]) AS ve FROM embeddings WHERE {_VALID_WHERE}),
 s AS (
   SELECT query_id, vec_id AS neighbor_id,
          list_dot_product(qe, ve)
@@ -116,7 +151,7 @@ _PAIRS_THRESHOLD = 0.4
 
 _PAIRS_SQL = f"""
 WITH v AS (SELECT vec_id, cast(embedding AS double[]) AS e FROM embeddings
-          WHERE list_dot_product(cast(embedding AS double[]), cast(embedding AS double[])) > 0)
+          WHERE {_VALID_WHERE})
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_dot_product(a.e, b.e)
          / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS score
@@ -178,7 +213,7 @@ _BUCKET_SQL_EXPR = " + ".join(
 
 _LSH_BUCKETS_SQL = f"""
 WITH v AS (SELECT vec_id, cast(embedding AS double[]) AS e FROM embeddings
-          WHERE list_dot_product(cast(embedding AS double[]), cast(embedding AS double[])) > 0),
+          WHERE {_VALID_WHERE}),
 b AS (SELECT vec_id, cast({_BUCKET_SQL_EXPR} AS bigint) AS bucket FROM v)
 SELECT bucket, cast(count(*) AS bigint) AS n_vectors,
        min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id
@@ -187,7 +222,7 @@ FROM b GROUP BY bucket ORDER BY bucket
 
 _LSH_TOPK_SQL = f"""
 WITH v AS (SELECT vec_id, cast(embedding AS double[]) AS e FROM embeddings
-          WHERE list_dot_product(cast(embedding AS double[]), cast(embedding AS double[])) > 0),
+          WHERE {_VALID_WHERE}),
 b AS (SELECT vec_id, cast({_BUCKET_SQL_EXPR} AS bigint) AS bucket, e FROM v),
 q AS (SELECT vec_id AS query_id, e AS qe, bucket AS qbucket
       FROM b WHERE vec_id < {_N_QUERIES}),
@@ -325,7 +360,7 @@ _N_PROBE_CENTROIDS = 4
 
 _IVF_TOPK_SQL = f"""
 WITH v0 AS (SELECT vec_id, cast(embedding AS double[]) AS e FROM embeddings
-           WHERE list_dot_product(cast(embedding AS double[]), cast(embedding AS double[])) > 0),
+           WHERE {_VALID_WHERE}),
 params AS (SELECT greatest(count(*) // {_N_CENTROIDS}, 1) AS step FROM v0),
 c AS (SELECT vec_id // step AS centroid_id, e AS ce
       FROM v0, params
@@ -431,13 +466,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # primitive)
 # ---------------------------------------------------------------------
 
-_CENTROID_DIM = 64  # embeddings.embedding dimensionality (TESTDATA.md)
+_CENTROID_DIM = _EMB_DIM
 _CENTROID_SCALE = 1_000_000  # fixed-point quantum for exact sums
 _OUTLIER_COS = -0.05  # below this cosine to own centroid → outlier (~p5 here)
 
 _CENTROID_SQL = f"""
 WITH v AS (SELECT vec_id, label, cast(embedding AS double[]) AS e FROM embeddings
-          WHERE list_dot_product(cast(embedding AS double[]), cast(embedding AS double[])) > 0),
+          WHERE {_VALID_WHERE}),
 q AS (SELECT vec_id, label, e,
              [cast(floor(x * {_CENTROID_SCALE} + 0.5) AS bigint) for x in e] AS qe
       FROM v),
@@ -541,7 +576,7 @@ def _km_cte(with_keyword: str = "WITH ") -> str:
     parts = [
         f"{with_keyword}v AS (SELECT vec_id, cast(embedding AS double[]) AS e,"
         f" [cast(floor(x * {scale} + 0.5) AS bigint) for x in cast(embedding AS double[])] AS qe"
-        " FROM embeddings),",
+        f" FROM embeddings WHERE {_VALID_WHERE}),",
         f"c0 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {k})",
     ]
     for it in range(1, iters + 1):
@@ -602,7 +637,7 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     model (collected per round, like every parameter-server/MLlib
     iteration). The final assignment is one more broadcast pass.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     quant = F.transform(
         "embedding",
         lambda x: F.floor(x.cast("double") * _CENTROID_SCALE + 0.5).cast("long"),
@@ -663,7 +698,7 @@ def kmeans_assignment_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-cluster operators (SemDeDup pair generation in
     operators.dedup.dedup_semantic_clustered)."""
     full = kmeans_embeddings(spark, sf_dir).select("vec_id", "cluster")
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = load_embeddings(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     return emb.join(full, "vec_id")
@@ -675,7 +710,7 @@ def kmeans_assignment_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQ8_SQL = f"""
 WITH v0 AS (SELECT vec_id, cast(embedding AS double[]) AS e FROM embeddings
-           WHERE list_dot_product(cast(embedding AS double[]), cast(embedding AS double[])) > 0),
+           WHERE {_VALID_WHERE}),
 q8 AS (
   SELECT vec_id,
          [cast(floor(x * s + 0.5) AS bigint) for x in e] AS qv
@@ -765,7 +800,8 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------
 
 _EPROF_SQL = f"""
-WITH v AS (SELECT vec_id, cast(embedding AS double[]) AS e FROM embeddings),
+WITH v AS (SELECT vec_id, cast(embedding AS double[]) AS e FROM embeddings
+           WHERE {_FINITE_WHERE}),
 q AS (SELECT vec_id, e,
              [cast(floor(x * {_CENTROID_SCALE} + 0.5) AS bigint) for x in e] AS qe
       FROM v),
@@ -797,8 +833,16 @@ def profile_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalars ({dim}·4 numbers per partition on the wire, never the
     vectors). The mean uses the same integer micro-quantization as
     embedding_centroids, so the aggregation is order-independent and
-    the oracle exact."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    the oracle exact.
+
+    Domain: the quantizable subset only — wrong-dimension and
+    NaN/Inf/out-of-range rows are excluded scan-side (they would abort
+    the fixed-point cast under ANSI); zero-norm vectors stay IN, since
+    dead-zero detection is this profile's point. validate_embeddings
+    is the report over the raw table."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        finite_embedding_pred()
+    )
     quant = F.transform(
         "embedding",
         lambda x: F.floor(x.cast("double") * _CENTROID_SCALE + 0.5).cast("long"),
@@ -841,8 +885,7 @@ def profile_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Embedding validation (the ingest gate for the cosine family)
 # ---------------------------------------------------------------------
 
-_EXPECT_DIM = _CENTROID_DIM
-_MAG_BOUND = 1_000_000.0  # fixed-point micro-quantization domain: |x| ≤ 1e6
+_EXPECT_DIM = _EMB_DIM
 
 _VALIDATE_SQL = f"""
 WITH v AS (SELECT vec_id, label, cast(embedding AS double[]) AS e FROM embeddings)
