@@ -39,15 +39,19 @@ SFS = [
 
 def shuffle_totals(spark) -> tuple[int, int]:
     """(shuffle_write_bytes, shuffle_read_bytes) summed over every
-    stage the app has run so far."""
-    store = spark.sparkContext._jsc.sc().statusStore()
-    w = r = 0
-    it = store.stageList(None).iterator()
-    while it.hasNext():
-        s = it.next()
-        w += s.shuffleWriteBytes()
-        r += s.shuffleReadBytes()
-    return w, r
+    stage the app has run so far (Spark UI REST API — the scaling
+    session enables the UI just for this)."""
+    import json
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    with urllib.request.urlopen(f"{base}/api/v1/applications/{app}/stages") as f:
+        stages = json.load(f)
+    return (
+        sum(s.get("shuffleWriteBytes", 0) for s in stages),
+        sum(s.get("shuffleReadBytes", 0) for s in stages),
+    )
 
 
 def measure(spark, fn, sf, runs=3):
@@ -67,7 +71,13 @@ def measure(spark, fn, sf, runs=3):
 
 
 def main() -> None:
-    spark = get_spark(app_name="scaling_r6")
+    spark = get_spark(
+        app_name="scaling_r6",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": "100000",
+        },
+    )
     print("| query | declared | " + " | ".join(
         f"{label} s / shuffle" for _, label in SFS
     ) + " | t ratio 100× | shuffle ratio 100× |")
