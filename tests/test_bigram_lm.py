@@ -108,3 +108,48 @@ def test_bigram_perplexity_matches_independent_golden(spark, lm_sf_dir):
         # semantics, not libm bit-identity.
         want = sum_u / (n * _LM_SCALE)
         assert abs(got[doc_id][1] - want) <= (n + 0.5) / (n * _LM_SCALE), doc_id
+
+
+def _boundary_margin(x: float) -> float:
+    """Distance of x·S + ½ from the nearest floor() boundary, in units
+    of 1 micro-nat."""
+    v = x * _LM_SCALE + 0.5
+    f = v - math.floor(v)
+    return min(f, 1.0 - f)
+
+
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_quantization_boundaries_have_libm_margin(sf):
+    """The cross-engine exactness of the micro-nat tables relies on
+    the JVM's and DuckDB's libm agreeing on ln() at every distinct
+    input; a 1-ulp divergence only matters if a quantized value lands
+    within ~|x|·2⁻⁵² of a ⌊x·1e6+½⌋ boundary. Measure the actual
+    margin for EVERY distinct unigram, bigram, and constant the driver
+    fixtures produce: requiring ≥1e-6 micro-nats (≈10³× a 1-ulp
+    perturbation of x≈20) turns the ADVICE-flagged boundary risk into
+    a checked property of the fixture rather than an assumption."""
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, lower(text) AS t FROM '{sf}/documents.parquet'"
+        " WHERE text IS NOT NULL"
+    ).fetchall()
+    cu: dict = {}
+    cb: dict = {}
+    for doc_id, t in rows:
+        if doc_id % 5 == 0:
+            continue
+        toks = t.split(" ")
+        for w in toks:
+            cu[w] = cu.get(w, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            cb[(a, b)] = cb.get((a, b), 0) + 1
+    total = sum(cu.values())
+    xs = [-math.log(c / total) for c in cu.values()]
+    xs += [-math.log(c / cu[a]) for (a, _b), c in cb.items()]
+    xs += [math.log(total + 1), -math.log(0.4)]
+    worst = min(_boundary_margin(x) for x in xs)
+    # 1-ulp of ln at x≈20 perturbs x·1e6 by ≈ 20·2⁻⁵²·1e6 ≈ 4.4e-9
+    assert worst > 1e-6, f"quantization margin too tight: {worst}"

@@ -157,3 +157,14 @@ def test_bigram_score_tables_broadcast(spark, sf_dir):
         if "doc_id" in e
     ]
     assert len(doc_exchanges) == 1, doc_exchanges
+
+
+def test_heavy_hitters_candidates_broadcast(spark, sf_dir):
+    """Pass 2's exact recount must probe the Misra-Gries candidate set
+    by broadcast: the token stream hash-shuffles only AFTER the
+    candidate semi-join cuts it to heavy-hitter tokens (map-side
+    combined to ≤ capacity·partitions partial rows). No sort-merge
+    join anywhere — the full vocabulary never rides an exchange."""
+    plan = _executed_plan(spark, sf_dir, "heavy_hitter_words")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("SortMergeJoin") == 0
