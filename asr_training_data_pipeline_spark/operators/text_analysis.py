@@ -858,6 +858,35 @@ ORDER BY cnt DESC, w
 """
 
 
+def _mg_ingest(counters: dict, pairs, capacity: int) -> None:
+    """Fold (value, count) pairs into a Misra-Gries counter dict,
+    in place. Compresses (subtract the (capacity+1)-largest counter,
+    drop non-positive) both at the end of every ingest AND whenever
+    the dict exceeds 8·capacity mid-stream: the merge rule composes
+    (Agarwal et al., PODS'12), and the in-loop trigger bounds peak
+    memory to O(capacity) instead of O(distinct values per batch) on
+    high-cardinality streams. Each compression removes ≥
+    (capacity+1)·cut total mass, so any key loses at most
+    n_p/(capacity+1) across ALL compressions — the heavy-hitter
+    survival guarantee is unchanged (property-tested directly in
+    tests/test_heavy_hitters.py)."""
+    soft_cap = 8 * capacity
+
+    def compress():
+        cut = sorted(counters.values(), reverse=True)[capacity]
+        for k in [k for k, c in counters.items() if c <= cut]:
+            del counters[k]
+        for k in counters:
+            counters[k] -= cut
+
+    for k, c in pairs:
+        counters[k] = counters.get(k, 0) + c
+        if len(counters) > soft_cap:
+            compress()
+    if len(counters) > capacity:
+        compress()
+
+
 def misra_gries_candidates(items: DataFrame, col: str, capacity: int) -> DataFrame:
     """Per-partition Misra-Gries summaries of a single string column:
     each partition emits ≤ ``capacity`` candidate values, guaranteed to
@@ -874,31 +903,14 @@ def misra_gries_candidates(items: DataFrame, col: str, capacity: int) -> DataFra
     import pyarrow as pa
 
     def mg(batches):
-        # Compress (subtract the (capacity+1)-largest counter, drop
-        # non-positive) both after each batch AND whenever the dict
-        # exceeds 8·capacity mid-batch: the merge rule composes, and
-        # the in-loop trigger bounds peak memory to O(capacity)
-        # instead of O(distinct values per Arrow batch) on
-        # high-cardinality streams. Each compression removes ≥
-        # (capacity+1)·cut total mass, so every key still loses at
-        # most n_p/(capacity+1) across all compressions — the survival
-        # guarantee is unchanged.
         counters: dict = {}
-        soft_cap = 8 * capacity
-
-        def compress():
-            cut = sorted(counters.values(), reverse=True)[capacity]
-            return {k: c - cut for k, c in counters.items() if c > cut}
-
         for batch in batches:
             vc = pa.compute.value_counts(batch.column(0))
-            for kv in vc:
-                k = kv["values"].as_py()
-                counters[k] = counters.get(k, 0) + kv["counts"].as_py()
-                if len(counters) > soft_cap:
-                    counters = compress()
-            if len(counters) > capacity:
-                counters = compress()
+            _mg_ingest(
+                counters,
+                ((kv["values"].as_py(), kv["counts"].as_py()) for kv in vc),
+                capacity,
+            )
         yield pa.RecordBatch.from_arrays(
             [pa.array(list(counters.keys()), type=pa.string())], [col]
         )

@@ -89,3 +89,39 @@ def test_query_matches_plain_groupby(spark, sf_dir):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+@given(
+    st.lists(st.integers(0, 60), min_size=1, max_size=600),
+    st.integers(2, 8),
+    st.lists(st.integers(1, 50), min_size=1, max_size=8),
+)
+@settings(max_examples=300, deadline=None)
+def test_mg_ingest_survival_under_any_batching(items, capacity, cuts):
+    """The SHIPPED ingest path (including its mid-stream 8·capacity
+    compressions) never loses an item with count > n/(capacity+1),
+    for any stream, any capacity, and any batch-boundary placement —
+    the exact property the recount pass relies on."""
+    from asr_training_data_pipeline_spark.operators.text_analysis import (
+        _mg_ingest,
+    )
+
+    # slice the stream at arbitrary boundaries derived from `cuts`
+    bounds, pos = [], 0
+    for c in cuts:
+        pos += c
+        if pos >= len(items):
+            break
+        bounds.append(pos)
+    batches, prev = [], 0
+    for b in bounds + [len(items)]:
+        if b > prev:
+            batches.append(items[prev:b])
+            prev = b
+    counters: dict = {}
+    for batch in batches:
+        _mg_ingest(counters, Counter(batch).items(), capacity)
+    n = len(items)
+    for k, c in Counter(items).items():
+        if c * (capacity + 1) > n:
+            assert k in counters, (k, c, n, capacity, bounds)
