@@ -120,11 +120,12 @@ _PRIORITY = (
 # prefix, every oracle-backed query in the registry has either a
 # driver CORRECTNESS row already or a slot this round — the
 # never-checked set is empty if r6 comes back green. Next candidates
-# to rotate IN (rows-only family never driver-run):
-# mllib_tfidf_features, mllib_brp_ann_topk, multimodal_frame_sample,
-# vad_speech_segments. Fund slots by retiring whichever r5-wave
-# members CORRECTNESS_r06 confirms green a second time
-# (zorder_layout_events .. sink_training_shards above).
+# to rotate IN: exact_quantiles_orders (new in r6, oracle-backed) and
+# the rows-only family never driver-run (mllib_tfidf_features,
+# mllib_brp_ann_topk, multimodal_frame_sample, vad_speech_segments).
+# Fund slots by retiring whichever r5-wave members CORRECTNESS_r06
+# confirms green a second time (zorder_layout_events ..
+# sink_training_shards above).
 
 
 def _reorder_registry() -> None:

@@ -1151,6 +1151,105 @@ def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EQ_BUCKET = 64  # price units per histogram bucket (~7.8k buckets here)
+_EQ_PCTS = (("p25", 1, 4), ("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+
+_EXACT_Q_SQL = """
+SELECT o_orderstatus,
+       percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+       percentile_disc(0.5)  WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+       percentile_disc(0.9)  WITHIN GROUP (ORDER BY o_totalprice) AS p90,
+       percentile_disc(0.99) WITHIN GROUP (ORDER BY o_totalprice) AS p99
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register("exact_quantiles_orders", oracle=_EXACT_Q_SQL, tags=("agg", "scale"))
+def exact_quantiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT discrete quantiles (p25/p50/p90/p99 per group) WITHOUT a
+    per-group value collection — the distributed shape that survives
+    100 TB where ``percentile()``/``percentile_disc`` aggregates
+    don't: those buffer every value of a group on one reducer, so a
+    3-group table concentrates the whole corpus on 3 tasks.
+
+    Two passes, same pattern as heavy_hitter_words' sketch-then-
+    recount and zorder's bucket histogram: (1) a map-side-combined
+    histogram over fixed-width value buckets (one exchange of
+    ≤ groups·buckets count rows — kilobytes at any corpus size), with
+    a cumulative window over that tiny frame locating, for each
+    target rank r = ⌈p·n⌉, the single bucket containing it; (2) the
+    scan streams again, keeps ONLY rows in chosen buckets (a
+    broadcast semi-join against ≤ groups·|percentiles| bucket keys —
+    at most n/buckets rows each survive), and a within-bucket
+    row_number picks the (r − below)-th smallest. The answer is a raw
+    data value (percentile_disc semantics: smallest v with
+    cume_dist ≥ p, i.e. sorted position ⌈p·n⌉), so cross-engine
+    equality is exact — no interpolation arithmetic at all. Ranks are
+    computed in integer arithmetic ((n·num + den − 1) div den).
+
+    tests/test_plan_shapes.py pins the shape: no percentile buffer
+    aggregate, no sort-merge join, bucket keys arrive by broadcast."""
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderstatus").alias("g"), F.col("o_totalprice").alias("v")
+        )
+        # ordered-set aggregates ignore NULLs on both engines; the
+        # histogram must count the same population
+        .filter(F.col("v").isNotNull())
+    )
+    # bucket id only needs to be MONOTONE in v and deterministic (it
+    # never crosses engines), so truncating `div` on negatives is fine
+    b = F.expr(f"cast(floor(v) as bigint) div {_EQ_BUCKET}")
+    hist = orders.groupBy("g", b.alias("b")).agg(F.count("*").alias("cnt"))
+    wcum = (
+        W.partitionBy("g").orderBy("b").rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum = hist.select(
+        "g",
+        "b",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(wcum), F.lit(0)).alias("below"),
+        F.sum("cnt").over(W.partitionBy("g")).alias("n"),
+    )
+    pcts = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("p"),
+                F.expr(f"(n * {num} + {den} - 1) div {den}").alias("r"),
+            )
+            for name, num, den in _EQ_PCTS
+        ]
+    )
+    targets = (
+        cum.select("g", "b", "cnt", "below", F.explode(pcts).alias("t"))
+        .filter(
+            (F.col("below") < F.col("t.r"))
+            & (F.col("t.r") <= F.col("below") + F.col("cnt"))
+        )
+        .select("g", "b", F.col("t.p").alias("p"), F.col("t.r").alias("r"), "below")
+    )
+    sel = orders.withColumn("b", b).join(F.broadcast(targets), ["g", "b"])
+    wr = W.partitionBy("g", "p").orderBy("v")
+    picked = (
+        sel.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == F.col("r") - F.col("below"))
+        .select("g", "p", "v")
+    )
+    return (
+        picked.groupBy(F.col("g").alias("o_orderstatus"))
+        .agg(
+            *[
+                F.max(F.when(F.col("p") == name, F.col("v"))).alias(name)
+                for name, _num, _den in _EQ_PCTS
+            ]
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 @register("approx_stats_orders", tags=("agg", "approx"))
 def approx_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based aggregates — the single-pass, mergeable shapes for

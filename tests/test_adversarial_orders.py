@@ -38,6 +38,7 @@ QUERIES = [
     "grouping_sets_revenue",
     "pivot_revenue_by_status",
     "percentile_prices",
+    "exact_quantiles_orders",
     "cust_order_distribution",
     "ntile_quartiles",
     "corr_qty_price",

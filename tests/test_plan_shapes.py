@@ -168,3 +168,14 @@ def test_heavy_hitters_candidates_broadcast(spark, sf_dir):
     plan = _executed_plan(spark, sf_dir, "heavy_hitter_words")
     assert "BroadcastHashJoin" in plan
     assert plan.count("SortMergeJoin") == 0
+
+
+def test_exact_quantiles_no_value_buffering(spark, sf_dir):
+    """The two-pass quantile must never use Spark's percentile buffer
+    aggregate (which collects every group value on one reducer) and
+    must fetch its chosen bucket keys by broadcast — the scan streams
+    twice, values never concentrate."""
+    plan = _executed_plan(spark, sf_dir, "exact_quantiles_orders")
+    assert "percentile" not in plan.lower()
+    assert plan.count("SortMergeJoin") == 0
+    assert "BroadcastHashJoin" in plan
