@@ -84,6 +84,30 @@ def test_all_parquet_timestamps_normalized_to_ltz(bare_session, sf_dir):
         "event_rate_anomalies",
         "dedup_incremental",
         "sink_training_shards",
+        # r6 rotation wave 3: all twenty newcomers' first driver
+        # exposure is on the vanilla session, so pin each here
+        "heavy_hitter_words",
+        "bigram_perplexity",
+        "vocab_coverage",
+        "lang_id_confusion",
+        "ann_ivf_topk",
+        "ann_lsh_buckets",
+        "embedding_centroids",
+        "profile_embeddings",
+        "validate_embeddings",
+        "dedup_simhash_portable",
+        "dedup_substring_spans",
+        "dedup_cluster_stats",
+        "minhash_calibration",
+        "mllib_minhash_pairs",
+        "curation_signals_fused",
+        "length_filter_adaptive",
+        "mixture_weights",
+        "cohort_retention",
+        "corpus_curation_multimodal",
+        "sink_export_manifest",
+        # r6 addition
+        "exact_quantiles_orders",
     ],
 )
 def test_events_queries_on_bare_session(bare_session, sf_dir, name):
