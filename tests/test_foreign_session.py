@@ -121,7 +121,13 @@ TZ_CONF = "spark.sql.session.timeZone"
 
 @pytest.mark.parametrize(
     "name",
-    ["streaming_tumbling_counts", "sessionize_events", "zorder_layout_events"]
+    [
+        "streaming_tumbling_counts",
+        "sessionize_events",
+        "zorder_layout_events",
+        # r6: the only wave-3 newcomer that reads event timestamps
+        "cohort_retention",
+    ]
 )
 def test_non_utc_session_timezone_still_matches_oracle(spark, sf_dir, name):
     """A harness JVM defaulting to a non-UTC zone must not skew
