@@ -46,6 +46,9 @@ FAMILIES = [
     "dedup_minhash_portable",
     "dedup_simhash_portable",
     "streaming_curation_gate",
+    "heavy_hitter_words",
+    "bigram_perplexity",
+    "exact_quantiles_orders",
 ]
 
 # row counts that are CONSTANT by design (parameter reports / per-dim
