@@ -28,6 +28,7 @@ QUERIES = [
     ("dedup_incremental", "linear; hash-key shuffle only"),
     ("pack_sequences", "linear; single range partition"),
     ("train_test_split", "linear; scan-side hash, no shuffle"),
+    ("exact_quantiles_orders", "linear; shuffle O(groups·buckets)"),
 ]
 
 SFS = [
