@@ -484,14 +484,53 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("ce", "cn", "csim", "crank")
         )
 
-    v = nearest(
-        emb.select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("embedding").alias("ve"),
-            norm.alias("vn"),
-        ),
-        "ve", "vn", "neighbor_id", 1,
+    # CORPUS-side assignment is argmax over the C collected centroid
+    # literals, entirely scan-side: the old crossJoin + per-vector
+    # window shuffled the whole corpus (vectors included) just to rank
+    # C candidates per row. Same (csim desc, centroid_id asc) rule —
+    # identical assignment, zero exchanges. The centroid collect is a
+    # C-row model fetch, the parameter-server pattern kmeans already
+    # uses.
+    crows = sorted(
+        (int(r["centroid_id"]), [float(x) for x in r["ce"]], float(r["cn"]))
+        for r in cents.collect()
     )
+    if not crows:  # empty table → no centroids → empty result
+        return emb.select(
+            F.col("vec_id").cast("bigint").alias("query_id"),
+            F.col("vec_id").cast("bigint").alias("neighbor_id"),
+            F.lit(None).cast("double").alias("score"),
+            F.lit(None).cast("bigint").alias("rank"),
+        ).limit(0)
+    cand_arr = F.array(
+        *[
+            F.struct(
+                (
+                    dot_col(
+                        F.col("ve"), F.array(*[F.lit(x) for x in ce])
+                    )
+                    / (F.col("vn") * F.lit(cn))
+                ).alias("csim"),
+                F.lit(cid).cast("long").alias("centroid_id"),
+            )
+            for cid, ce, cn in crows
+        ]
+    )
+    best = F.element_at(
+        F.array_sort(
+            cand_arr,
+            lambda l, r: F.when(l["csim"] > r["csim"], F.lit(-1))
+            .when(l["csim"] < r["csim"], F.lit(1))
+            .when(l["centroid_id"] < r["centroid_id"], F.lit(-1))
+            .otherwise(F.lit(1)),
+        ),
+        1,
+    )
+    v = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ve"),
+        norm.alias("vn"),
+    ).withColumn("centroid_id", best["centroid_id"])
     q = nearest(
         emb.filter(F.col("vec_id") < _N_QUERIES).select(
             F.col("vec_id").alias("query_id"),
@@ -722,23 +761,66 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in v.filter(F.col("vec_id") < _KM_K).select("vec_id", "e").collect()
     ]
 
-    def assign(cdf):
-        cdf = cdf.withColumn("cc", dot_col(F.col("ce"), F.col("ce")))
-        d2 = (
-            F.col("ee") - 2 * dot_col(F.col("e"), F.col("ce")) + F.col("cc")
+    def assign(cents_list):
+        if not cents_list:  # empty table → no seeds → no assignments
+            return v.select(
+                "vec_id",
+                "e",
+                "qe",
+                F.lit(None).cast("long").alias("cid"),
+                F.lit(None).cast("double").alias("d2"),
+            ).limit(0)
+        # The K centroids are literals (the driver owns the model), so
+        # the argmin runs ENTIRELY scan-side: build the K-element
+        # (d2, cid) array per row, sort with the same (d2 asc, cid
+        # asc) rule the oracle's window uses, take the head — no
+        # crossJoin row blow-up, no vector-carrying exchange. ‖c‖² is
+        # folded in Python (same sequential IEEE adds as
+        # list_dot_product), ‖e‖² is the hoisted ee column, so d2 is
+        # bit-identical to the oracle's per-pair three-dot form.
+        def py_dot(xs, ys):
+            acc = 0.0
+            for x, y in zip(xs, ys):
+                acc = acc + x * y
+            return acc
+
+        cands = F.array(
+            *[
+                F.struct(
+                    (
+                        F.col("ee")
+                        - 2
+                        * dot_col(
+                            F.col("e"),
+                            F.array(*[F.lit(float(x)) for x in ce]),
+                        )
+                        + F.lit(py_dot(ce, ce))
+                    ).alias("d2"),
+                    F.lit(int(cid)).cast("long").alias("cid"),
+                )
+                for cid, ce in cents_list
+            ]
         )
-        w = W.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cid"))
-        return (
-            v.crossJoin(F.broadcast(cdf))
-            .withColumn("d2", d2)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
+        best = F.element_at(
+            F.array_sort(
+                cands,
+                lambda l, r: F.when(l["d2"] < r["d2"], F.lit(-1))
+                .when(l["d2"] > r["d2"], F.lit(1))
+                .when(l["cid"] < r["cid"], F.lit(-1))
+                .otherwise(F.lit(1)),
+            ),
+            1,
+        )
+        return v.withColumn("best", best).select(
+            "vec_id",
+            "e",
+            "qe",
+            F.col("best.cid").alias("cid"),
+            F.col("best.d2").alias("d2"),
         )
 
-    spark_ = emb.sparkSession
     for _ in range(_KM_ITERS):
-        cdf = spark_.createDataFrame(cents, "cid long, ce array<double>")
-        a = assign(cdf)
+        a = assign(cents)
         sums = a.groupBy("cid").agg(
             F.count("*").alias("n"),
             *[F.sum(F.get("qe", i)).alias(f"s{i}") for i in range(_CENTROID_DIM)],
@@ -751,9 +833,7 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in sums.collect()
         }
         cents = [(cid, new.get(cid, ce)) for cid, ce in cents]
-    final = assign(
-        spark_.createDataFrame(cents, "cid long, ce array<double>")
-    )
+    final = assign(cents)
     return final.select(
         "vec_id",
         F.col("cid").cast("bigint").alias("cluster"),

@@ -49,6 +49,7 @@ FAMILIES = [
     "heavy_hitter_words",
     "bigram_perplexity",
     "exact_quantiles_orders",
+    "ann_ivf_topk",
 ]
 
 # row counts that are CONSTANT by design (parameter reports / per-dim

@@ -179,3 +179,28 @@ def test_exact_quantiles_no_value_buffering(spark, sf_dir):
     assert "percentile" not in plan.lower()
     assert plan.count("SortMergeJoin") == 0
     assert "BroadcastHashJoin" in plan
+
+
+def test_kmeans_assignment_no_window_no_vector_shuffle(spark, sf_dir):
+    """Centroid assignment is a scan-side argmin over the K literal
+    centroids: no Window node anywhere (the old per-vector ranking
+    window shuffled the whole corpus, vectors included), and the only
+    exchanges are the cid partial-sum aggregation and the final
+    scalar orderBy."""
+    plan = _executed_plan(spark, sf_dir, "kmeans_embeddings")
+    assert "Window" not in plan
+    for part in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        keyed = part.split(",")[0].strip()
+        assert keyed.startswith("cid"), part
+
+
+def test_ivf_corpus_assignment_scan_side(spark, sf_dir):
+    """The corpus side assigns by scan-side argmax over collected
+    centroid literals — no exchange partitioned on neighbor_id alone
+    (the old shape shuffled every vector through a per-vector ranking
+    window); the only windows left are the tiny query probe and the
+    final per-query rank."""
+    plan = _executed_plan(spark, sf_dir, "ann_ivf_topk")
+    for part in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        keys = [k.strip().split("#")[0] for k in part.split(",")[:-1]]
+        assert keys != ["neighbor_id"], part
