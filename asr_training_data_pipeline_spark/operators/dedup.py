@@ -1555,9 +1555,18 @@ def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "cid")
         .filter(F.col("vec_a") < F.col("vec_b"))
         # norms hoisted per row (identical doubles to the oracle's
-        # per-pair sqrt(dot)): 1 fold per within-cluster pair, not 3
+        # per-pair sqrt(dot)): 1 fold per within-cluster pair, not 3.
+        # The when() guard keeps the division total: filter predicates
+        # reorder freely under Catalyst, so without it this predicate
+        # could evaluate before the zero-norm prefilter and abort
+        # under ANSI. NULL >= threshold is NULL → row dropped, same
+        # outcome.
         .filter(
-            dot_col(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+            F.when(
+                (F.col("na") > 0) & (F.col("nb") > 0),
+                dot_col(F.col("ea"), F.col("eb"))
+                / (F.col("na") * F.col("nb")),
+            )
             >= _PAIRS_THRESHOLD
         )
         .select("vec_a", "vec_b")

@@ -502,14 +502,19 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("double").alias("score"),
             F.lit(None).cast("bigint").alias("rank"),
         ).limit(0)
+    # The division is guarded because Catalyst reorders FILTER
+    # predicates freely: the join-key null check derived from this
+    # expression was observed pushed BELOW the validity filter, where
+    # the zero-norm row's vn·cn = 0 aborts under ANSI. when() makes
+    # the expression total; valid rows (vn > 0 by the scan filter) are
+    # untouched, so every oracle still matches.
     cand_arr = F.array(
         *[
             F.struct(
-                (
-                    dot_col(
-                        F.col("ve"), F.array(*[F.lit(x) for x in ce])
-                    )
-                    / (F.col("vn") * F.lit(cn))
+                F.when(
+                    F.col("vn") > 0,
+                    dot_col(F.col("ve"), F.array(*[F.lit(x) for x in ce]))
+                    / (F.col("vn") * F.lit(cn)),
                 ).alias("csim"),
                 F.lit(cid).cast("long").alias("centroid_id"),
             )
