@@ -729,21 +729,10 @@ FROM (
 ORDER BY vec_id"""
 
 
-@register("kmeans_embeddings", oracle=_km_sql(), tags=("similarity", "iterative"))
-def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed Lloyd's KMeans over the embeddings, EXACTLY
-    verifiable: deterministic seeds (vec_id < K), squared-L2 by the
-    three-dot identity (sequential folds), and fixed-point (bigint)
-    centroid means make every iteration bit-reproducible under any
-    partitioning — so the DuckDB oracle replays all {iters} iterations
-    and hash-matches. Empty clusters keep their previous centroid.
-
-    Scale: per iteration the vectors stream once against K broadcast
-    centroids (n·K·d flops, no vector shuffle) and the update
-    aggregates K·d bigints; the driver holds only the K×d centroid
-    model (collected per round, like every parameter-server/MLlib
-    iteration). The final assignment is one more broadcast pass.
-    """
+def _kmeans_final_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, e, qe, cid, d2) after the converged deterministic
+    Lloyd iterations — the shared core of ``kmeans_embeddings`` and
+    ``kmeans_assignment_frame``."""
     emb = load_embeddings(spark, sf_dir)
     quant = F.transform(
         "embedding",
@@ -838,7 +827,27 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in sums.collect()
         }
         cents = [(cid, new.get(cid, ce)) for cid, ce in cents]
-    final = assign(cents)
+    return assign(cents)
+
+
+@register("kmeans_embeddings", oracle=_km_sql(), tags=("similarity", "iterative"))
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's KMeans over the embeddings, EXACTLY
+    verifiable: deterministic seeds (vec_id < K), squared-L2 by the
+    three-dot identity (sequential folds), and fixed-point (bigint)
+    centroid means make every iteration bit-reproducible under any
+    partitioning — so the DuckDB oracle replays all {iters} iterations
+    and hash-matches. Empty clusters keep their previous centroid.
+
+    Scale: per iteration the vectors stream once against the K
+    centroid LITERALS — the argmin is a scan-side sorted candidate
+    array, so no window and no vector-carrying exchange (plan-locked)
+    — and the update aggregates K·d bigints; the driver holds only
+    the K×d centroid model (collected per round, like every
+    parameter-server/MLlib iteration). The final assignment is one
+    more scan.
+    """
+    final = _kmeans_final_assignment(spark, sf_dir)
     return final.select(
         "vec_id",
         F.col("cid").cast("bigint").alias("cluster"),
@@ -850,12 +859,12 @@ def kmeans_assignment_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, e, cluster) from the SAME converged deterministic
     KMeans as ``kmeans_embeddings`` — the reusable partition for
     within-cluster operators (SemDeDup pair generation in
-    operators.dedup.dedup_semantic_clustered)."""
-    full = kmeans_embeddings(spark, sf_dir).select("vec_id", "cluster")
-    emb = load_embeddings(spark, sf_dir).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    )
-    return emb.join(full, "vec_id")
+    operators.dedup.dedup_semantic_clustered). Reuses the final
+    assignment frame directly — the old shape re-joined the corpus to
+    the labels on vec_id, a corpus-sized shuffle join for columns the
+    assignment already carries."""
+    final = _kmeans_final_assignment(spark, sf_dir)
+    return final.select("vec_id", "e", F.col("cid").alias("cluster"))
 
 
 # ---------------------------------------------------------------------
