@@ -77,3 +77,32 @@ def test_zorder_rank_is_distributed(spark, sf_dir):
         "zbucket" in part
         for part in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     ), plan
+
+
+def test_u16_normalization_monotone_and_bounded_at_extreme_ranges():
+    """Property for the decimal-routed 16-bit min-max normalization:
+    for ANY id range — including snowflake-scale spans past 2^47 where
+    the old bigint ×65535 overflowed — the quotient stays in
+    [0, 65535] and is monotone in the value. Pure-integer replay of
+    cast((u - min) AS decimal(38,0)) * 65535 div greatest(range, 1)
+    (Python ints are exact, like decimal(38,0))."""
+    import random
+
+    rng = random.Random(406)
+    for _ in range(200):
+        lo = rng.randint(-(2**53), 2**53)
+        hi = lo + rng.choice([0, 1, 63, 2**20, 2**47, 2**53 - 1])
+        span = max(hi - lo, 1)
+        xs = sorted(
+            rng.randint(lo, hi) for _ in range(20)
+        ) + [lo, hi]
+        xs.sort()
+        prev = None
+        for x in xs:
+            q = ((x - lo) * 65535) // span
+            # Spark `div` truncates; operands here are non-negative so
+            # floor == trunc
+            assert 0 <= q <= 65535, (lo, hi, x, q)
+            if prev is not None:
+                assert q >= prev
+            prev = q
