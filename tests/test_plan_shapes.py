@@ -204,3 +204,13 @@ def test_ivf_corpus_assignment_scan_side(spark, sf_dir):
     for part in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         keys = [k.strip().split("#")[0] for k in part.split(",")[:-1]]
         assert keys != ["neighbor_id"], part
+
+
+def test_unigram_score_table_broadcast(spark, sf_dir):
+    """Like the bigram lock: the unigram frequency table must reach
+    the token stream by broadcast — no sort-merge join (which would
+    shuffle one row per token), only the doc_id aggregation exchanges
+    the scored stream."""
+    plan = _executed_plan(spark, sf_dir, "unigram_perplexity")
+    assert plan.count("SortMergeJoin") == 0
+    assert "BroadcastHashJoin" in plan
