@@ -91,16 +91,19 @@ _PRIORITY = (
     "streaming_stateful_totals",
     "streaming_dedup_exact",
     "acoustic_boundary_gate",
-    # events-table representative (W1; the rest of the events block —
-    # ms_round_convert, json_extract_props, case_adaptive_guard,
-    # avg_confidence_coalesce, lag_lead_boundaries, sequence_position,
-    # longest_span_top1, first_match_confidence, leak_vote_2of3,
-    # moving_avg_range_frame, asof_join_orders, range_join_events —
-    # retired in the r5 rotation wave after going green in BOTH r3 and
-    # r4; all stay pytest-oracle-covered every run, and the events
-    # table keeps prefix reps via sessionize + funnel + anomalies +
+    # events-table block (ms_round_convert, json_extract_props,
+    # case_adaptive_guard, avg_confidence_coalesce, lag_lead_boundaries,
+    # sequence_position, longest_span_top1, first_match_confidence,
+    # leak_vote_2of3, moving_avg_range_frame, asof_join_orders,
+    # range_join_events — retired in the r5 wave after green in BOTH
+    # r3+r4; sessionize_events retired mid-r6 after green in r2+r5 to
+    # fund the slot below; all stay pytest-oracle-covered every run,
+    # and the events table keeps prefix reps via funnel + anomalies +
     # z-order below)
-    "sessionize_events",
+    # r6-new operator: first driver exposure must not wait a round
+    # (the r5 verdict's task-2 lesson) — exact distributed quantiles
+    # via bucket histogram + targeted recount, oracle-backed
+    "exact_quantiles_orders",
     # r5 rotation wave, kept for a second green (once-green in r5):
     "zorder_layout_events",
     "ann_sq8_topk",
@@ -116,16 +119,16 @@ _PRIORITY = (
     "sink_training_shards",
 )
 
-# Rotation queue for the NEXT prefix refresh: with wave 3 in the
-# prefix, every oracle-backed query in the registry has either a
-# driver CORRECTNESS row already or a slot this round — the
-# never-checked set is empty if r6 comes back green. Next candidates
-# to rotate IN: exact_quantiles_orders (new in r6, oracle-backed) and
-# the rows-only family never driver-run (mllib_tfidf_features,
-# mllib_brp_ann_topk, multimodal_frame_sample, vad_speech_segments).
-# Fund slots by retiring whichever r5-wave members CORRECTNESS_r06
-# confirms green a second time (zorder_layout_events ..
-# sink_training_shards above).
+# Rotation queue for the NEXT prefix refresh: with wave 3 plus
+# exact_quantiles_orders in the prefix, every oracle-backed query in
+# the registry has either a driver CORRECTNESS row already or a slot
+# this round — the never-checked set is empty if r6 comes back green.
+# Next candidates to rotate IN: any r7-new operators first, then the
+# rows-only family never driver-run (mllib_tfidf_features,
+# mllib_brp_ann_topk, multimodal_frame_sample, vad_speech_segments),
+# then a third green for sessionize_events. Fund slots by retiring
+# whichever r5-wave members CORRECTNESS_r06 confirms green a second
+# time (zorder_layout_events .. sink_training_shards above).
 
 
 def _reorder_registry() -> None:
