@@ -81,11 +81,15 @@ _PRIORITY = (
     "multimodal_audio_features",
     "multimodal_image_resize",
     # reference pipeline / alignment / streaming
+    # r6-new operator (same first-round-exposure rule as
+    # exact_quantiles_orders below): product-quantization ANN with
+    # integer ADC distances, oracle-backed. Slot funded by retiring
+    # asr_scan_stub (rows-only, green r3+r4+r5; stays golden-tested).
+    "ann_pq_topk",
     "lcs_align_runs",
     "bridge_runs_sessions",
     "asr_pipeline_clips",
     "asr_pipeline_summary",
-    "asr_scan_stub",
     "streaming_tumbling_counts",
     "streaming_session_window",
     "streaming_stateful_totals",

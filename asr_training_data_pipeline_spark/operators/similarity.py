@@ -1132,3 +1132,305 @@ def validate_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         nonzero.alias("nonzero_norm"),
         ((n_dims == _EXPECT_DIM) & (n_bad == 0) & nonzero).alias("is_valid"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------
+# Product-quantized (PQ) ANN: the memory-side scale path
+# ---------------------------------------------------------------------
+
+_PQ_M = 4  # subspaces
+_PQ_DSUB = _EMB_DIM // _PQ_M  # dims per subspace
+_PQ_K = 8  # codes per subspace; codebooks seeded at vec_id < K
+
+
+def _pq_d2_sql(a: str, b: str) -> str:
+    """Integer squared-L2 between two fixed-point subvectors via the
+    three-dot identity. Every dot ≤ d·(2·scale)² < 2^47, so the
+    double-valued ``list_dot_product`` is exact and the bigint cast is
+    lossless — the distance is an exact integer on both engines."""
+    return (
+        f"cast(list_dot_product({a},{a}) - 2*list_dot_product({a},{b})"
+        f" + list_dot_product({b},{b}) AS bigint)"
+    )
+
+
+def _pq_sql() -> str:
+    """DuckDB oracle replaying the SAME deterministic PQ build: slice
+    the fixed-point grid into M subspaces, seed K codes from
+    vec_id < K, one Lloyd refinement with grid-rounded means, encode
+    by per-subspace argmin (ties to the lower centroid id), then ADC —
+    approximate distance = Σ_m lut[m][code_m], an exact bigint."""
+    m_range = range(_PQ_M)
+    parts = [
+        f"""WITH v AS (
+  SELECT vec_id,
+         [cast(floor(x * {_CENTROID_SCALE} + 0.5) AS bigint)
+          for x in cast(embedding AS double[])] AS qe
+  FROM embeddings WHERE {_VALID_WHERE}),
+sub AS (SELECT vec_id, """
+        + ", ".join(
+            f"qe[{m * _PQ_DSUB + 1}:{(m + 1) * _PQ_DSUB}] AS s{m}"
+            for m in m_range
+        )
+        + " FROM v)"
+    ]
+    for m in m_range:
+        d2 = _pq_d2_sql(f"sub.s{m}", "c.ce")
+        parts.append(f""",
+c0_{m} AS (SELECT vec_id AS cid, s{m} AS ce FROM sub WHERE vec_id < {_PQ_K}),
+a_{m} AS (
+  SELECT vec_id, cid FROM (
+    SELECT sub.vec_id, c.cid,
+           row_number() OVER (PARTITION BY sub.vec_id
+                              ORDER BY {d2}, c.cid) AS rn
+    FROM sub, c0_{m} c
+  ) WHERE rn = 1
+),
+s_{m} AS (
+  SELECT cid, list(cast(floor(cast(s AS double) / n + 0.5) AS bigint)
+                   ORDER BY i) AS ce
+  FROM (SELECT a.cid, i, sum(sub.s{m}[i]) AS s, count(*) AS n
+        FROM a_{m} a JOIN sub USING (vec_id),
+             unnest(range(1, {_PQ_DSUB + 1})) AS u(i)
+        GROUP BY a.cid, i)
+  GROUP BY cid
+),
+c1_{m} AS (SELECT c0.cid, coalesce(s.ce, c0.ce) AS ce
+           FROM c0_{m} c0 LEFT JOIN s_{m} s USING (cid)),
+enc_{m} AS (
+  SELECT vec_id, cid AS code FROM (
+    SELECT sub.vec_id, c.cid,
+           row_number() OVER (PARTITION BY sub.vec_id
+                              ORDER BY {d2}, c.cid) AS rn
+    FROM sub, c1_{m} c
+  ) WHERE rn = 1
+),
+lut_{m} AS (SELECT q.vec_id AS query_id, c.cid,
+                   {_pq_d2_sql(f"q.s{m}", "c.ce")} AS d2
+            FROM (SELECT * FROM sub WHERE vec_id < {_N_QUERIES}) q, c1_{m} c)""")
+    codes_join = " JOIN ".join(
+        ["enc_0"] + [f"enc_{m} USING (vec_id)" for m in m_range if m]
+    )
+    lut_on = " ".join(
+        f"JOIN lut_{m} l{m} ON l{m}.cid = cs.code{m}"
+        + ("" if m == 0 else f" AND l{m}.query_id = l0.query_id")
+        for m in m_range
+    )
+    parts.append(f""",
+codes AS (SELECT vec_id,
+                 {", ".join(f"enc_{m}.code AS code{m}" for m in m_range)}
+          FROM {codes_join}),
+score AS (
+  SELECT l0.query_id, cs.vec_id AS neighbor_id,
+         {" + ".join(f"l{m}.d2" for m in m_range)} AS approx_d2
+  FROM codes cs
+  {lut_on}
+  WHERE cs.vec_id <> l0.query_id
+),
+r AS (
+  SELECT query_id, neighbor_id, approx_d2,
+         cast(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY approx_d2, neighbor_id) AS bigint)
+           AS rank
+  FROM score
+)
+SELECT query_id, neighbor_id, approx_d2, rank
+FROM r WHERE rank <= {_TOPK}
+ORDER BY query_id, rank""")
+    return "".join(parts)
+
+
+def _pq_sub_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, s0..s{M-1}): the fixed-point grid sliced into the M
+    subspaces — PQ's working representation on both engines."""
+    emb = load_embeddings(spark, sf_dir)
+    quant = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * _CENTROID_SCALE + 0.5).cast("long"),
+    )
+    v = emb.select("vec_id", quant.alias("qe"))
+    return v.select(
+        "vec_id",
+        *[
+            F.slice("qe", m * _PQ_DSUB + 1, _PQ_DSUB).alias(f"s{m}")
+            for m in range(_PQ_M)
+        ],
+    )
+
+
+def _pq_d2_col(sub: Column, ce: list[int]) -> Column:
+    """Exact integer squared-L2 against a literal centroid: a direct
+    (x-c)² fold in bigint — same integer the oracle's three-dot double
+    form evaluates to."""
+    lit = F.array(*[F.lit(int(c)).cast("long") for c in ce])
+    return F.aggregate(
+        F.zip_with(sub, lit, lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_argmin(sub: Column, book: list[tuple[int, list[int]]]) -> Column:
+    """Scan-side argmin over the codebook LITERALS: the K candidate
+    (d2, cid, idx) structs sort by (d2 asc, cid asc) — the oracle's
+    window order — and the head's struct is returned (``idx`` is the
+    book position, the LUT index; ``cid`` the tie-break identity)."""
+    cands = F.array(
+        *[
+            F.struct(
+                _pq_d2_col(sub, ce).alias("d2"),
+                F.lit(int(cid)).cast("long").alias("cid"),
+                F.lit(idx).cast("int").alias("idx"),
+            )
+            for idx, (cid, ce) in enumerate(book)
+        ]
+    )
+    return F.element_at(
+        F.array_sort(
+            cands,
+            lambda l, r: F.when(l["d2"] < r["d2"], F.lit(-1))
+            .when(l["d2"] > r["d2"], F.lit(1))
+            .when(l["cid"] < r["cid"], F.lit(-1))
+            .otherwise(F.lit(1)),
+        ),
+        1,
+    )
+
+
+@register("ann_pq_topk", oracle=_pq_sql(), tags=("similarity", "quantization"))
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k by PRODUCT QUANTIZATION with asymmetric-distance (ADC)
+    lookup tables — the memory-side scale path of billion-vector
+    search (Jégou, Douze & Schmid, TPAMI 2011): each vector is held as
+    M codebook indices (here 4 bytes) instead of d floats (256 bytes),
+    and scoring a query is M table lookups per vector instead of d
+    multiplies.
+
+    EXACTLY verifiable because everything lives on the fixed-point
+    integer grid: subvectors are scale-1e6 bigints, codebook means are
+    grid-rounded, and every distance (training argmin, encoding, the
+    ADC entries) is an exact INTEGER — no float accumulation anywhere,
+    so the oracle's unrolled SQL replay hash-matches under any
+    partitioning. Codebooks seed at vec_id < K (the kmeans seeding
+    rule) with one Lloyd refinement; ties to the lower centroid id.
+
+    Scale shape: training streams the corpus once against K·M literal
+    centroids (scan-side argmin, no window) and exchanges only the
+    M·K·d_sub fixed-point sums (map-side combined); the driver holds
+    the K×M codebook model, exactly like kmeans_embeddings. Encoding +
+    scoring is ONE more scan: codes and ADC sums are computed in the
+    projection, the Q-row LUT frame arrives by broadcast, and the only
+    exchange after the scan carries (query_id, neighbor_id, approx_d2)
+    rows for the per-query ranking — the vectors themselves never
+    shuffle (plan-locked, tests/test_plan_shapes.py). At 100 TB the
+    resident index is codes-only (64× smaller than the raw vectors);
+    re-ranking survivors against full vectors composes with
+    ann_cosine_topk on the top-k ids."""
+    import math
+
+    sub = _pq_sub_frame(spark, sf_dir)
+    sub_cols = [f"s{m}" for m in range(_PQ_M)]
+    seeds = sorted(
+        sub.filter(F.col("vec_id") < _PQ_K).collect(), key=lambda r: r.vec_id
+    )
+    out_schema = (
+        "query_id bigint, neighbor_id bigint, approx_d2 bigint, rank bigint"
+    )
+    if not seeds:  # no valid seeds → no codebook → empty result
+        return spark.createDataFrame([], out_schema)
+    books = {
+        m: [(int(r.vec_id), list(r[f"s{m}"])) for r in seeds]
+        for m in range(_PQ_M)
+    }
+
+    # One Lloyd refinement: assignment is scan-side; the only exchange
+    # carries the (m, code)-keyed fixed-point sums.
+    assigned = sub.select(
+        "vec_id",
+        *sub_cols,
+        *[
+            _pq_argmin(F.col(f"s{m}"), books[m])["cid"].alias(f"a{m}")
+            for m in range(_PQ_M)
+        ],
+    )
+    stacked = assigned.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.col(f"a{m}").alias("code"),
+                        F.col(f"s{m}").alias("sv"),
+                    )
+                    for m in range(_PQ_M)
+                ]
+            )
+        ).alias("x")
+    ).select("x.m", "x.code", "x.sv")
+    sums = stacked.groupBy("m", "code").agg(
+        F.count("*").alias("n"),
+        *[F.sum(F.get("sv", i)).alias(f"t{i}") for i in range(_PQ_DSUB)],
+    ).collect()
+    means = {
+        (int(r.m), int(r.code)): [
+            int(math.floor(r[f"t{i}"] / r.n + 0.5)) for i in range(_PQ_DSUB)
+        ]
+        for r in sums
+    }
+    books = {
+        m: [(cid, means.get((m, cid), ce)) for cid, ce in books[m]]
+        for m in range(_PQ_M)
+    }
+
+    # ADC lookup tables for the Q=K seed queries: exact integer d2
+    # between each query subvector and each refined centroid, in book
+    # order (the encode struct's idx indexes straight into them).
+    def int_d2(a: list[int], b: list[int]) -> int:
+        return sum((x - c) * (x - c) for x, c in zip(a, b))
+
+    qrows = [r for r in seeds if r.vec_id < _N_QUERIES]
+    qdf = spark.createDataFrame(
+        [
+            (
+                int(r.vec_id),
+                [
+                    [int_d2(list(r[f"s{m}"]), ce) for _, ce in books[m]]
+                    for m in range(_PQ_M)
+                ],
+            )
+            for r in qrows
+        ],
+        "query_id bigint, lut array<array<bigint>>",
+    )
+
+    enc = sub.select(
+        "vec_id",
+        F.array(
+            *[
+                _pq_argmin(F.col(f"s{m}"), books[m])["idx"]
+                for m in range(_PQ_M)
+            ]
+        ).alias("codes"),
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"), F.col("lut"), lambda c, t: F.element_at(t, c + 1)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        enc.crossJoin(F.broadcast(qdf))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            adc.alias("approx_d2"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy("approx_d2", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _TOPK)
+        .orderBy("query_id", "rank")
+    )

@@ -38,6 +38,7 @@ QUERIES = [
     "ann_lsh_topk",
     "ann_lsh_buckets",
     "ann_ivf_topk",
+    "ann_pq_topk",
     "profile_embeddings",
     "dedup_semantic",
     "dedup_semantic_clustered",

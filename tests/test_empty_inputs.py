@@ -50,6 +50,7 @@ FAMILIES = [
     "bigram_perplexity",
     "exact_quantiles_orders",
     "ann_ivf_topk",
+    "ann_pq_topk",
 ]
 
 # row counts that are CONSTANT by design (parameter reports / per-dim

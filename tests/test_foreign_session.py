@@ -106,8 +106,9 @@ def test_all_parquet_timestamps_normalized_to_ltz(bare_session, sf_dir):
         "cohort_retention",
         "corpus_curation_multimodal",
         "sink_export_manifest",
-        # r6 addition
+        # r6 additions
         "exact_quantiles_orders",
+        "ann_pq_topk",
     ],
 )
 def test_events_queries_on_bare_session(bare_session, sf_dir, name):

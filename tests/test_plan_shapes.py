@@ -206,6 +206,18 @@ def test_ivf_corpus_assignment_scan_side(spark, sf_dir):
         assert keys != ["neighbor_id"], part
 
 
+def test_pq_vectors_never_shuffle(spark, sf_dir):
+    """PQ encode+score is one scan: the LUT frame broadcasts, codes
+    and ADC sums are scan-side projections, and the only hash exchange
+    after the scan carries the (query_id, neighbor_id, approx_d2)
+    ranking rows — never the subvector arrays."""
+    plan = _executed_plan(spark, sf_dir, "ann_pq_topk")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    for part in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "qe" not in part and not re.search(r"\bs[0-3]#", part), part
+
+
 def test_unigram_score_table_broadcast(spark, sf_dir):
     """Like the bigram lock: the unigram frequency table must reach
     the token stream by broadcast — no sort-merge join (which would
