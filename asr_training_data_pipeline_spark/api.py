@@ -86,13 +86,16 @@ _PRIORITY = (
     # integer ADC distances, oracle-backed. Slot funded by retiring
     # asr_scan_stub (rows-only, green r3+r4+r5; stays golden-tested).
     "ann_pq_topk",
+    # r6-new operator: Bloom-sketch incremental probe, oracle-backed.
+    # Slot funded by retiring streaming_stateful_totals (green
+    # r2..r5; the streaming family keeps five prefix reps).
+    "dedup_bloom_probe",
     "lcs_align_runs",
     "bridge_runs_sessions",
     "asr_pipeline_clips",
     "asr_pipeline_summary",
     "streaming_tumbling_counts",
     "streaming_session_window",
-    "streaming_stateful_totals",
     "streaming_dedup_exact",
     "acoustic_boundary_gate",
     # events-table block (ms_round_convert, json_extract_props,
@@ -127,10 +130,12 @@ _PRIORITY = (
 # exact_quantiles_orders in the prefix, every oracle-backed query in
 # the registry has either a driver CORRECTNESS row already or a slot
 # this round — the never-checked set is empty if r6 comes back green.
-# Next candidates to rotate IN: any r7-new operators first, then the
-# rows-only family never driver-run (mllib_tfidf_features,
-# mllib_brp_ann_topk, multimodal_frame_sample, vad_speech_segments),
-# then a third green for sessionize_events. Fund slots by retiring
+# Next candidates to rotate IN: any r7-new operators first, then
+# bloom_calibration (r6-new, oracle-backed, pytest-green, out of
+# prefix room this round), then the rows-only family never driver-run
+# (mllib_tfidf_features, mllib_brp_ann_topk, multimodal_frame_sample,
+# vad_speech_segments), then a third green for sessionize_events /
+# streaming_stateful_totals / asr_scan_stub. Fund slots by retiring
 # whichever r5-wave members CORRECTNESS_r06 confirms green a second
 # time (zorder_layout_events .. sink_training_shards above).
 

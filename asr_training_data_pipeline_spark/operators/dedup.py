@@ -1573,3 +1573,192 @@ def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels = connected_components(pairs, col_a="vec_a", col_b="vec_b")
     return cluster_output(labels, id_name="vec_id")
+
+
+# ---------------------------------------------------------------------
+# Bloom-filter incremental probe (sketch-side dedup, no corpus join)
+# ---------------------------------------------------------------------
+
+_BLOOM_BITS = 8192  # m: 256 words x 32 bits
+_BLOOM_MOD = 5  # doc_id % MOD == 0 -> the incoming batch (dedup_incremental's split)
+
+# Two independent positions from one md5: hex chars 1-15 and 17-31
+# (both 60-bit nonnegative), mod m — the engine-portable hash pair the
+# minhash/simhash portable variants use.
+_BLOOM_KEY_SQL = (
+    "CASE WHEN text IS NOT NULL"
+    " THEN array_to_string((string_split(text, ' '))[1:8], ' ') END"
+)
+
+_BLOOM_SQL = f"""
+WITH k AS (SELECT doc_id, {_BLOOM_KEY_SQL} AS h FROM documents),
+hp AS (
+  SELECT doc_id, h,
+         ('0x' || substr(md5(h), 1, 15))::BIGINT % {_BLOOM_BITS} AS p1,
+         ('0x' || substr(md5(h), 17, 15))::BIGINT % {_BLOOM_BITS} AS p2
+  FROM k),
+bm AS (
+  SELECT pos >> 5 AS w, bit_or(1::BIGINT << (pos & 31)) AS bits
+  FROM (SELECT p1 AS pos FROM hp WHERE doc_id % {_BLOOM_MOD} <> 0 AND h IS NOT NULL
+        UNION ALL
+        SELECT p2 FROM hp WHERE doc_id % {_BLOOM_MOD} <> 0 AND h IS NOT NULL)
+  GROUP BY 1),
+probe AS (SELECT doc_id, p1 >> 5 AS w1, p1 & 31 AS b1,
+                 p2 >> 5 AS w2, p2 & 31 AS b2
+          FROM hp WHERE doc_id % {_BLOOM_MOD} = 0)
+SELECT p.doc_id,
+       coalesce(((m1.bits >> p.b1) & 1) = 1, false)
+         AND coalesce(((m2.bits >> p.b2) & 1) = 1, false) AS maybe_dup
+FROM probe p
+LEFT JOIN bm m1 ON m1.w = p.w1
+LEFT JOIN bm m2 ON m2.w = p.w2
+ORDER BY p.doc_id
+"""
+
+
+def _bloom_frames(spark: SparkSession, sf_dir: str):
+    """(bitmap, probe) frames shared by the probe and calibration
+    queries: the ≤256-row (word, bits) Bloom sketch of the corpus
+    side's dedup keys, and the incoming batch with its two probe
+    positions pre-split into (word, bit)."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.when(
+        F.col("text").isNotNull(),
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 8)),
+    )
+    hx = F.md5(F.col("h"))
+    pos = [
+        F.pmod(
+            F.conv(F.substring(hx, start, 15), 16, 10).cast("long"),
+            F.lit(_BLOOM_BITS),
+        )
+        for start in (1, 17)
+    ]
+    hp = docs.select("doc_id", key.alias("h")).select(
+        "doc_id", "h", pos[0].alias("p1"), pos[1].alias("p2")
+    )
+    corpus = hp.filter(
+        (F.col("doc_id") % _BLOOM_MOD != 0) & F.col("h").isNotNull()
+    )
+    stacked = corpus.select(
+        F.explode(F.array("p1", "p2")).alias("pos")
+    ).select(
+        F.shiftright("pos", 5).alias("w"),
+        # shift-by-column needs the SQL form (F.shiftleft takes only a
+        # literal count)
+        F.expr("shiftleft(cast(1 AS bigint), pos & 31)").alias("mask"),
+    )
+    bitmap = stacked.groupBy("w").agg(F.bit_or("mask").alias("bits"))
+    probe = hp.filter(F.col("doc_id") % _BLOOM_MOD == 0).select(
+        "doc_id",
+        "h",
+        F.shiftright("p1", 5).alias("w1"),
+        F.col("p1").bitwiseAND(31).alias("b1"),
+        F.shiftright("p2", 5).alias("w2"),
+        F.col("p2").bitwiseAND(31).alias("b2"),
+    )
+    return bitmap, probe
+
+
+def _bloom_verdict_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bitmap, probe = _bloom_frames(spark, sf_dir)
+    m1 = bitmap.select(F.col("w").alias("w1"), F.col("bits").alias("bits1"))
+    m2 = bitmap.select(F.col("w").alias("w2"), F.col("bits").alias("bits2"))
+    # bit tests: shiftright by a COLUMN needs the SQL form
+    t1 = F.expr("coalesce(((bits1 >> b1) & 1) = 1, false)")
+    t2 = F.expr("coalesce(((bits2 >> b2) & 1) = 1, false)")
+    return (
+        probe.join(F.broadcast(m1), "w1", "left")
+        .join(F.broadcast(m2), "w2", "left")
+        .select("doc_id", "h", (t1 & t2).alias("maybe_dup"))
+    )
+
+
+@register("dedup_bloom_probe", oracle=_BLOOM_SQL, tags=("dedup", "sketch"))
+def dedup_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup by BLOOM SKETCH: the corpus side collapses to
+    an m-bit filter (here 8192 bits = 256 bigint words) over the same
+    dedup keys dedup_incremental joins on, and the incoming batch
+    probes the broadcast sketch — "definitely new" is certain (no
+    false negatives), "maybe duplicate" escalates to the exact path.
+
+    This is the shape that beats dedup_incremental at 100 TB ingest:
+    the corpus is never re-joined per batch — it streams ONCE into a
+    KB-sized bit_or aggregate (map-side combined, ≤256 rows exchanged)
+    that persists across batches, and each probe is two broadcast word
+    lookups. k=2 engine-portable hash positions per key (two 60-bit
+    md5 halves mod m, the minhash/simhash portable hash pair); NULL
+    text keys to NULL and probes as definitely-new on both engines.
+    The flagged subset (true dups + ~(fill)^k false positives —
+    measured by bloom_calibration) then runs exact confirmation at a
+    tiny fraction of the batch."""
+    return _bloom_verdict_frame(spark, sf_dir).select(
+        "doc_id", "maybe_dup"
+    ).orderBy("doc_id")
+
+
+_BLOOM_CAL_SQL = f"""
+WITH k AS (SELECT doc_id, {_BLOOM_KEY_SQL} AS h FROM documents),
+hp AS (
+  SELECT doc_id, h,
+         ('0x' || substr(md5(h), 1, 15))::BIGINT % {_BLOOM_BITS} AS p1,
+         ('0x' || substr(md5(h), 17, 15))::BIGINT % {_BLOOM_BITS} AS p2
+  FROM k),
+bm AS (
+  SELECT pos >> 5 AS w, bit_or(1::BIGINT << (pos & 31)) AS bits
+  FROM (SELECT p1 AS pos FROM hp WHERE doc_id % {_BLOOM_MOD} <> 0 AND h IS NOT NULL
+        UNION ALL
+        SELECT p2 FROM hp WHERE doc_id % {_BLOOM_MOD} <> 0 AND h IS NOT NULL)
+  GROUP BY 1),
+verdict AS (
+  SELECT p.doc_id, p.h,
+         coalesce(((m1.bits >> (p.p1 & 31)) & 1) = 1, false)
+           AND coalesce(((m2.bits >> (p.p2 & 31)) & 1) = 1, false) AS maybe_dup
+  FROM (SELECT * FROM hp WHERE doc_id % {_BLOOM_MOD} = 0) p
+  LEFT JOIN bm m1 ON m1.w = p.p1 >> 5
+  LEFT JOIN bm m2 ON m2.w = p.p2 >> 5),
+truth AS (SELECT DISTINCT h FROM hp
+          WHERE doc_id % {_BLOOM_MOD} <> 0 AND h IS NOT NULL)
+SELECT cast(count(*) AS bigint) AS n_probes,
+       cast(sum(CASE WHEN v.maybe_dup THEN 1 ELSE 0 END) AS bigint) AS n_flagged,
+       cast(sum(CASE WHEN t.h IS NOT NULL THEN 1 ELSE 0 END) AS bigint) AS n_true_dups,
+       cast(sum(CASE WHEN v.maybe_dup AND t.h IS NULL THEN 1 ELSE 0 END) AS bigint)
+         AS n_false_positives,
+       cast(sum(CASE WHEN NOT v.maybe_dup AND t.h IS NOT NULL THEN 1 ELSE 0 END) AS bigint)
+         AS n_false_negatives
+FROM verdict v LEFT JOIN truth t USING (h)
+"""
+
+
+@register("bloom_calibration", oracle=_BLOOM_CAL_SQL, tags=("dedup", "sketch", "calibration"))
+def bloom_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-probe quality report: flagged vs exact-join ground truth.
+    n_false_negatives must be 0 (the Bloom guarantee — asserted by
+    tests/test_bloom.py); n_false_positives calibrates the m/k choice
+    against the observed fill. The ground-truth join is hash-keyed
+    (never bodies) and runs on the BATCH only — this is the audit one
+    runs on a sample before trusting the sketch for an ingest cycle,
+    not the production path."""
+    verdict = _bloom_verdict_frame(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.when(
+        F.col("text").isNotNull(),
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 8)),
+    )
+    truth = (
+        docs.select("doc_id", key.alias("h"))
+        .filter((F.col("doc_id") % _BLOOM_MOD != 0) & F.col("h").isNotNull())
+        .select("h")
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    j = verdict.join(truth, "h", "left")
+    actual = F.col("_hit").isNotNull()
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return j.agg(
+        F.count("*").cast("bigint").alias("n_probes"),
+        one(F.col("maybe_dup")).alias("n_flagged"),
+        one(actual).alias("n_true_dups"),
+        one(F.col("maybe_dup") & ~actual).alias("n_false_positives"),
+        one(~F.col("maybe_dup") & actual).alias("n_false_negatives"),
+    )

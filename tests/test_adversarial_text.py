@@ -87,6 +87,10 @@ QUERIES = [
     # paths here
     "heavy_hitter_words",
     "bigram_perplexity",
+    # r6 new operators: NULL text must probe as definitely-new and
+    # contribute nothing to the sketch
+    "dedup_bloom_probe",
+    "bloom_calibration",
 ]
 
 

@@ -51,6 +51,8 @@ FAMILIES = [
     "exact_quantiles_orders",
     "ann_ivf_topk",
     "ann_pq_topk",
+    "dedup_bloom_probe",
+    "bloom_calibration",
 ]
 
 # row counts that are CONSTANT by design (parameter reports / per-dim
@@ -58,6 +60,7 @@ FAMILIES = [
 _EXPECTED_NONZERO = {
     "profile_embeddings": 64,  # per-dimension rows, null stats
     "curation_funnel": 5,  # the five stage rows, all counts zero
+    "bloom_calibration": 1,  # global aggregate: one all-zero row
 }
 
 

@@ -109,6 +109,8 @@ def test_all_parquet_timestamps_normalized_to_ltz(bare_session, sf_dir):
         # r6 additions
         "exact_quantiles_orders",
         "ann_pq_topk",
+        "dedup_bloom_probe",
+        "bloom_calibration",
     ],
 )
 def test_events_queries_on_bare_session(bare_session, sf_dir, name):
