@@ -29,6 +29,9 @@ QUERIES = [
     ("pack_sequences", "linear; single range partition"),
     ("train_test_split", "linear; scan-side hash, no shuffle"),
     ("exact_quantiles_orders", "linear; shuffle O(groups·buckets)"),
+    ("ann_pq_topk", "linear (n·M·K train + n·M score); shuffle O(M·K·d_sub) sums + scored scalars"),
+    ("dedup_bloom_probe", "linear; shuffle ≤256 sketch words + probe positions"),
+    ("bloom_calibration", "linear; sketch + batch-only hash join"),
 ]
 
 SFS = [
@@ -83,7 +86,10 @@ def main() -> None:
         f"{label} s / shuffle" for _, label in SFS
     ) + " | t ratio 100× | shuffle ratio 100× |")
     print("|---|---|" + "---|" * (len(SFS) + 2))
+    only = set(sys.argv[1:])
     for name, decl in QUERIES:
+        if only and name not in only:
+            continue
         fn = REGISTRY[name].fn
         cells, ts, ws = [], [], []
         for sf, _label in SFS:
