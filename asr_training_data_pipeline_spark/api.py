@@ -86,6 +86,11 @@ _PRIORITY = (
     # integer ADC distances, oracle-backed. Slot funded by retiring
     # asr_scan_stub (rows-only, green r3+r4+r5; stays golden-tested).
     "ann_pq_topk",
+    # r6-new operator: the two-stage ADC-shortlist + exact re-rank on
+    # the same PQ core, oracle-backed. Slot funded by retiring
+    # acoustic_boundary_gate (rows-only, green r2..r5; stays pinned by
+    # the DSP signal tests).
+    "ann_pq_rerank",
     # r6-new operator: Bloom-sketch incremental probe, oracle-backed.
     # Slot funded by retiring streaming_stateful_totals (green
     # r2..r5; the streaming family keeps five prefix reps).
@@ -97,7 +102,6 @@ _PRIORITY = (
     "streaming_tumbling_counts",
     "streaming_session_window",
     "streaming_dedup_exact",
-    "acoustic_boundary_gate",
     # events-table block (ms_round_convert, json_extract_props,
     # case_adaptive_guard, avg_confidence_coalesce, lag_lead_boundaries,
     # sequence_position, longest_span_top1, first_match_confidence,

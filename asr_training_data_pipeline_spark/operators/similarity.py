@@ -1154,12 +1154,13 @@ def _pq_d2_sql(a: str, b: str) -> str:
     )
 
 
-def _pq_sql() -> str:
-    """DuckDB oracle replaying the SAME deterministic PQ build: slice
-    the fixed-point grid into M subspaces, seed K codes from
-    vec_id < K, one Lloyd refinement with grid-rounded means, encode
-    by per-subspace argmin (ties to the lower centroid id), then ADC —
-    approximate distance = Σ_m lut[m][code_m], an exact bigint."""
+def _pq_cte() -> str:
+    """Shared oracle CTE chain replaying the SAME deterministic PQ
+    build: slice the fixed-point grid into M subspaces, seed K codes
+    from vec_id < K, one Lloyd refinement with grid-rounded means,
+    encode by per-subspace argmin (ties to the lower centroid id),
+    then ADC — approximate distance = Σ_m lut[m][code_m], an exact
+    bigint; ends at ``r`` (the per-query ADC ranking)."""
     m_range = range(_PQ_M)
     parts = [
         f"""WITH v AS (
@@ -1233,11 +1234,39 @@ r AS (
                                  ORDER BY approx_d2, neighbor_id) AS bigint)
            AS rank
   FROM score
-)
+)""")
+    return "".join(parts)
+
+
+def _pq_sql() -> str:
+    return _pq_cte() + f"""
 SELECT query_id, neighbor_id, approx_d2, rank
 FROM r WHERE rank <= {_TOPK}
-ORDER BY query_id, rank""")
-    return "".join(parts)
+ORDER BY query_id, rank"""
+
+
+_PQ_RERANK = 25  # ADC shortlist size fed to the exact re-rank
+
+
+def _pq_rerank_sql() -> str:
+    """Two-stage oracle: the shared PQ chain produces the ADC ranking;
+    the top-R shortlist joins back to the full fixed-point vectors for
+    an exact integer re-rank."""
+    return _pq_cte() + f""",
+shortlist AS (SELECT query_id, neighbor_id FROM r WHERE rank <= {_PQ_RERANK}),
+rr AS (
+  SELECT s.query_id, s.neighbor_id, {_pq_d2_sql("nv.qe", "qv.qe")} AS d2
+  FROM shortlist s
+  JOIN v nv ON nv.vec_id = s.neighbor_id
+  JOIN v qv ON qv.vec_id = s.query_id
+)
+SELECT query_id, neighbor_id, d2, rank FROM (
+  SELECT query_id, neighbor_id, d2,
+         cast(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY d2, neighbor_id) AS bigint) AS rank
+  FROM rr
+) WHERE rank <= {_TOPK}
+ORDER BY query_id, rank"""
 
 
 def _pq_sub_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1297,11 +1326,17 @@ def _pq_argmin(sub: Column, book: list[tuple[int, list[int]]]) -> Column:
     )
 
 
-@register("ann_pq_topk", oracle=_pq_sql(), tags=("similarity", "quantization"))
-def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k by PRODUCT QUANTIZATION with asymmetric-distance (ADC)
-    lookup tables — the memory-side scale path of billion-vector
-    search (Jégou, Douze & Schmid, TPAMI 2011): each vector is held as
+def _pq_scored(spark: SparkSession, sf_dir: str):
+    """The trained-and-scored PQ core shared by ann_pq_topk and
+    ann_pq_rerank — returns (sub, scored, queries): ``scored`` is the
+    full ADC score stream (query_id, neighbor_id, approx_d2),
+    ``queries`` the Q-row broadcastable frame carrying each query's
+    LUT and full fixed-point vector; (None, None, None) when the valid
+    domain has no seeds.
+
+    PRODUCT QUANTIZATION with asymmetric-distance (ADC) lookup
+    tables — the memory-side scale path of billion-vector search
+    (Jégou, Douze & Schmid, TPAMI 2011): each vector is held as
     M codebook indices (here 4 bytes) instead of d floats (256 bytes),
     and scoring a query is M table lookups per vector instead of d
     multiplies.
@@ -1333,11 +1368,8 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = sorted(
         sub.filter(F.col("vec_id") < _PQ_K).collect(), key=lambda r: r.vec_id
     )
-    out_schema = (
-        "query_id bigint, neighbor_id bigint, approx_d2 bigint, rank bigint"
-    )
     if not seeds:  # no valid seeds → no codebook → empty result
-        return spark.createDataFrame([], out_schema)
+        return None, None, None
     books = {
         m: [(int(r.vec_id), list(r[f"s{m}"])) for r in seeds]
         for m in range(_PQ_M)
@@ -1397,10 +1429,11 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     [int_d2(list(r[f"s{m}"]), ce) for _, ce in books[m]]
                     for m in range(_PQ_M)
                 ],
+                [int(x) for m in range(_PQ_M) for x in r[f"s{m}"]],
             )
             for r in qrows
         ],
-        "query_id bigint, lut array<array<bigint>>",
+        "query_id bigint, lut array<array<bigint>>, qqe array<bigint>",
     )
 
     enc = sub.select(
@@ -1420,7 +1453,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     scored = (
-        enc.crossJoin(F.broadcast(qdf))
+        enc.crossJoin(F.broadcast(qdf.select("query_id", "lut")))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -1428,9 +1461,68 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             adc.alias("approx_d2"),
         )
     )
+    return sub, scored, qdf
+
+
+@register("ann_pq_topk", oracle=_pq_sql(), tags=("similarity", "quantization"))
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k by product quantization — see ``_pq_scored`` for the full
+    design; this query ranks the ADC scores per query."""
+    _sub, scored, _q = _pq_scored(spark, sf_dir)
+    if scored is None:
+        return spark.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, approx_d2 bigint, rank bigint"
+        )
     w = W.partitionBy("query_id").orderBy("approx_d2", "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _TOPK)
+        .orderBy("query_id", "rank")
+    )
+
+
+@register("ann_pq_rerank", oracle=_pq_rerank_sql(), tags=("similarity", "quantization"))
+def ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval, the PRODUCTION deployment of PQ: the ADC
+    stream shortlists top-R (R = _PQ_RERANK = 25) per query, then ONLY
+    those R·Q survivors are re-ranked by exact distance against the
+    full fixed-point vectors — the accuracy of exact search at the
+    scan cost of the codes-only index.
+
+    Scale shape: stage 1 is ann_pq_topk's single codes scan; the
+    shortlist (R·Q id pairs, a few KB) broadcasts BACK to the corpus
+    scan, so fetching the survivors' full vectors is a broadcast hash
+    semi-probe — the corpus never shuffles, and the exact re-rank
+    window sees R·Q rows total. Every distance stays an exact bigint,
+    so the two-stage oracle replay hash-matches."""
+    sub, scored, qdf = _pq_scored(spark, sf_dir)
+    if scored is None:
+        return spark.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, d2 bigint, rank bigint"
+        )
+    w1 = W.partitionBy("query_id").orderBy("approx_d2", "neighbor_id")
+    shortlist = (
+        scored.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= _PQ_RERANK)
+        .select("query_id", "neighbor_id")
+    )
+    nv = sub.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.concat(*[F.col(f"s{m}") for m in range(_PQ_M)]).alias("nqe"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("nqe", "qqe", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    j = (
+        nv.join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(qdf.select("query_id", "qqe")), "query_id")
+        .select("query_id", "neighbor_id", d2.alias("d2"))
+    )
+    w2 = W.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    return (
+        j.withColumn("rank", F.row_number().over(w2).cast("bigint"))
         .filter(F.col("rank") <= _TOPK)
         .orderBy("query_id", "rank")
     )

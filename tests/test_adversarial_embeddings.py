@@ -39,6 +39,7 @@ QUERIES = [
     "ann_lsh_buckets",
     "ann_ivf_topk",
     "ann_pq_topk",
+    "ann_pq_rerank",
     "profile_embeddings",
     "dedup_semantic",
     "dedup_semantic_clustered",

@@ -51,6 +51,7 @@ FAMILIES = [
     "exact_quantiles_orders",
     "ann_ivf_topk",
     "ann_pq_topk",
+    "ann_pq_rerank",
     "dedup_bloom_probe",
     "bloom_calibration",
 ]

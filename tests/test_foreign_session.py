@@ -109,6 +109,7 @@ def test_all_parquet_timestamps_normalized_to_ltz(bare_session, sf_dir):
         # r6 additions
         "exact_quantiles_orders",
         "ann_pq_topk",
+        "ann_pq_rerank",
         "dedup_bloom_probe",
         "bloom_calibration",
     ],
