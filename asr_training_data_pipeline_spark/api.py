@@ -137,8 +137,9 @@ _PRIORITY = (
 # Next candidates to rotate IN: any r7-new operators first, then
 # bloom_calibration (r6-new, oracle-backed, pytest-green, out of
 # prefix room this round), then the rows-only family never driver-run
-# (mllib_tfidf_features, mllib_brp_ann_topk, multimodal_frame_sample,
-# vad_speech_segments), then a third green for sessionize_events /
+# (streaming_bloom_gate — r6-new, equality-pinned to the oracle-backed
+# batch probe —, mllib_tfidf_features, mllib_brp_ann_topk,
+# multimodal_frame_sample, vad_speech_segments), then a third green for sessionize_events /
 # streaming_stateful_totals / asr_scan_stub. Fund slots by retiring
 # whichever r5-wave members CORRECTNESS_r06 confirms green a second
 # time (zorder_layout_events .. sink_training_shards above).

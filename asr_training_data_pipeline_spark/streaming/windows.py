@@ -334,3 +334,71 @@ def streaming_curation_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_memory(gated, mode="append")
     return out.orderBy("doc_id")
+
+
+@register("streaming_bloom_gate", oracle=None, tags=("streaming", "dedup", "sketch"))
+def streaming_bloom_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom incremental probe ON A STREAM — sketch-gate-on-ingest:
+    the corpus sketch is built ONCE batch-side (operators.dedup's
+    ≤256-word bit_or aggregate), collected to the driver, and inlined
+    into the stream projection as a 256-element literal array, so each
+    arriving document is screened with two md5 positions and two array
+    lookups — pure stateless codegen, no state store, no join at all
+    (vs streaming_dedup_exact, whose seen-set state grows with the
+    corpus). "definitely new" documents bypass the exact path; flagged
+    ones escalate.
+
+    Registered without its own SQL oracle because the result must
+    EQUAL dedup_bloom_probe batch row-for-row (the stateless-plan
+    unification guarantee) — tests/test_bloom.py pins exactly that
+    frame equality, which transitively inherits the batch query's
+    DuckDB oracle.
+
+    The literal-sketch deployment is how a per-ingest-cycle filter
+    ships at 100 TB: the model is KBs, rebuilt per cycle batch-side
+    and pushed as a plan constant — no per-batch broadcast join, and
+    the gate runs at scan throughput."""
+    from ..operators.dedup import _BLOOM_BITS, _BLOOM_MOD, _bloom_frames
+
+    bitmap, _probe = _bloom_frames(spark, sf_dir)
+    bits = [0] * (_BLOOM_BITS // 32)
+    for r in bitmap.collect():  # ≤256 scalar rows — the sketch model
+        bits[int(r.w)] = int(r.bits)
+    sketch = F.array(*[F.lit(int(b)).cast("long") for b in bits])
+
+    raw = _probed_stream(spark, _stage_dir(sf_dir, "documents"))
+    key = F.when(
+        F.col("text").isNotNull(),
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 8)),
+    )
+    hx = F.md5(key)
+    # bit tests need the shift-by-column SQL form; stage pos/word into
+    # named columns first so the expression stays readable
+    gated = (
+        raw.filter(F.col("doc_id") % _BLOOM_MOD == 0)
+        .withColumn("_hx", hx)
+        .withColumn(
+            "_p1",
+            F.pmod(
+                F.conv(F.substring(F.col("_hx"), 1, 15), 16, 10).cast("long"),
+                F.lit(_BLOOM_BITS),
+            ),
+        )
+        .withColumn(
+            "_p2",
+            F.pmod(
+                F.conv(F.substring(F.col("_hx"), 17, 15), 16, 10).cast("long"),
+                F.lit(_BLOOM_BITS),
+            ),
+        )
+        .withColumn("_w1", F.element_at(sketch, (F.shiftright("_p1", 5) + 1).cast("int")))
+        .withColumn("_w2", F.element_at(sketch, (F.shiftright("_p2", 5) + 1).cast("int")))
+        .withColumn(
+            "maybe_dup",
+            F.expr("coalesce(((_w1 >> (_p1 & 31)) & 1) = 1, false)")
+            & F.expr("coalesce(((_w2 >> (_p2 & 31)) & 1) = 1, false)"),
+        )
+        .select("doc_id", "maybe_dup")
+    )
+    out = _run_to_memory(gated, mode="append")
+    return out.orderBy("doc_id")

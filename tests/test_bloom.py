@@ -63,3 +63,19 @@ def test_bloom_fill_bound(spark, sf_dir):
     bitmap, _ = _bloom_frames(spark, sf_dir)
     n_words = bitmap.count()
     assert n_words <= _BLOOM_BITS // 32
+
+
+def test_streaming_gate_equals_batch_probe(spark, sf_dir):
+    """The stateless streaming gate must emit EXACTLY the batch
+    probe's frame (the stateless-plan unification guarantee) — this
+    equality is the streaming query's oracle, transitively inheriting
+    dedup_bloom_probe's DuckDB check."""
+    import pandas as pd
+
+    stream = (
+        REGISTRY["streaming_bloom_gate"].fn(spark, sf_dir).toPandas()
+    )
+    batch = REGISTRY["dedup_bloom_probe"].fn(spark, sf_dir).toPandas()
+    pd.testing.assert_frame_equal(
+        stream.reset_index(drop=True), batch.reset_index(drop=True)
+    )

@@ -54,6 +54,7 @@ FAMILIES = [
     "ann_pq_rerank",
     "dedup_bloom_probe",
     "bloom_calibration",
+    "streaming_bloom_gate",
 ]
 
 # row counts that are CONSTANT by design (parameter reports / per-dim
