@@ -50,13 +50,17 @@ _PRIORITY = (
     "word_coverage",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "ann_cosine_topk",
     # wave-3 newcomers: text analysis (heavy_hitter_words and
     # bigram_perplexity are the r5-new operators — verification-debt
     # head per VERDICT r5 task 2)
     "heavy_hitter_words",
     "bigram_perplexity",
+    # r6-new operator: Count-Min sketch calibration, oracle-backed —
+    # slot funded by retiring dedup_simhash (rows-only, green r2..r5;
+    # the SimHash family keeps the exact-oracle portable variant in
+    # the prefix and the recall/mutation pytest pins)
+    "cms_word_counts",
     "vocab_coverage",
     "lang_id_confusion",
     # wave-3 newcomers: ANN / embeddings

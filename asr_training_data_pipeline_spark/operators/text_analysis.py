@@ -1194,3 +1194,134 @@ def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(avg), 4).alias("perplexity"),
         (F.col("sum_u") > F.col("n") * _BI_THRESH_U).alias("is_low_quality"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------
+# Count-Min sketch (approximate frequencies, exact integer replay)
+# ---------------------------------------------------------------------
+
+_CMS_D = 4  # hash rows
+_CMS_W = 16  # cells per row — sized to the fixture's 31-word vocab so
+#             collisions (and hence real overestimates) actually occur;
+#             production sizes w ≈ ⌈e/ε⌉ for an ε·N error bound
+_CMS_MIN = 5  # probe words with exact count ≥ MIN (calibration scope)
+
+# Row-j position: four disjoint 32-bit md5 chunks, mod width — the
+# engine-portable hash family (same md5-derivation trick as the
+# minhash/simhash/bloom portable paths).
+_CMS_OFFSETS = (1, 9, 17, 25)
+
+
+def _cms_pos_sql(expr: str, j: int) -> str:
+    off = _CMS_OFFSETS[j]
+    return f"('0x' || substr(md5({expr}), {off}, 8))::BIGINT % {_CMS_W}"
+
+
+_CMS_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+),
+cells AS (
+  SELECT w, j,
+         CASE j {" ".join(f"WHEN {j} THEN {_cms_pos_sql('w', j)}" for j in range(_CMS_D - 1))}
+                ELSE {_cms_pos_sql('w', _CMS_D - 1)} END AS p
+  FROM toks, unnest([{", ".join(str(j) for j in range(_CMS_D))}]) AS u(j)
+),
+counters AS (SELECT j, p, cast(count(*) AS bigint) AS c FROM cells GROUP BY j, p),
+exact AS (SELECT w, cast(count(*) AS bigint) AS exact_cnt FROM toks
+          GROUP BY w HAVING count(*) >= {_CMS_MIN}),
+probe AS (
+  SELECT e.w, e.exact_cnt, j,
+         CASE j {" ".join(f"WHEN {j} THEN {_cms_pos_sql('e.w', j)}" for j in range(_CMS_D - 1))}
+                ELSE {_cms_pos_sql('e.w', _CMS_D - 1)} END AS p
+  FROM exact e, unnest([{", ".join(str(j) for j in range(_CMS_D))}]) AS u(j)
+)
+SELECT p.w, p.exact_cnt, min(c.c) AS cms_est,
+       min(c.c) - p.exact_cnt AS overestimate
+FROM probe p JOIN counters c ON c.j = p.j AND c.p = p.p
+GROUP BY p.w, p.exact_cnt
+ORDER BY p.exact_cnt DESC, p.w
+"""
+
+
+def _cms_pos_col(w, j: int):
+    return F.pmod(
+        F.conv(F.substring(F.md5(w), _CMS_OFFSETS[j], 8), 16, 10).cast("long"),
+        F.lit(_CMS_W),
+    )
+
+
+@register("cms_word_counts", oracle=_CMS_SQL, tags=("text", "sketch", "calibration"))
+def cms_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN SKETCH over the corpus token stream (Cormode &
+    Muthukrishnan, J. Algorithms 2005) with its calibration report:
+    estimate = min over d hash rows of the (row, cell) counter; the
+    one-sided guarantee (estimate ≥ true count, overshoot ≤ ε·N w.h.p.)
+    is asserted row-by-row against the exact counts.
+
+    The sketch completes the repo's streaming-summary trio —
+    Misra-Gries answers "which items are heavy" EXACTLY,
+    dedup_bloom_probe answers "was this seen" with no false negatives,
+    CMS answers "about how often" for EVERY item in O(d·w) integers.
+    All-integer arithmetic on an md5-derived position family shared by
+    both engines, so the DuckDB replay hash-matches exactly.
+
+    Scale: the build is ONE aggregation whose key domain is the d·w
+    counter grid — map-side combine reduces every partition to ≤ d·w
+    partial rows, so shuffle volume is FLAT in corpus size (the same
+    thesis as heavy_hitter_words, measured in SCALING.md); the counter
+    table (≤ 64 rows here; KBs in production) broadcasts to the probe.
+    The exact-count side exists to MEASURE the sketch (this is the
+    audit one runs on a sample before trusting the estimates); the
+    production consumer reads the sketch alone."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    )
+    cells = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cms_pos_col(F.col("w"), j).alias("p"),
+                    )
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("x")
+    ).select("x.j", "x.p")
+    counters = cells.groupBy("j", "p").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    exact = (
+        toks.groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("exact_cnt"))
+        .filter(F.col("exact_cnt") >= _CMS_MIN)
+    )
+    probe = exact.select(
+        "w",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cms_pos_col(F.col("w"), j).alias("p"),
+                    )
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("x"),
+    ).select("w", "exact_cnt", "x.j", "x.p")
+    est = (
+        probe.join(F.broadcast(counters), ["j", "p"])
+        .groupBy("w", "exact_cnt")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return est.select(
+        "w",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).alias("overestimate"),
+    ).orderBy(F.col("exact_cnt").desc(), "w")

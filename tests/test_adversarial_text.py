@@ -91,6 +91,7 @@ QUERIES = [
     # contribute nothing to the sketch
     "dedup_bloom_probe",
     "bloom_calibration",
+    "cms_word_counts",
 ]
 
 

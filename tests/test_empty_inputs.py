@@ -55,6 +55,7 @@ FAMILIES = [
     "dedup_bloom_probe",
     "bloom_calibration",
     "streaming_bloom_gate",
+    "cms_word_counts",
 ]
 
 # row counts that are CONSTANT by design (parameter reports / per-dim
