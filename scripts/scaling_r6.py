@@ -32,6 +32,8 @@ QUERIES = [
     ("ann_pq_topk", "linear (n·M·K train + n·M score); shuffle O(M·K·d_sub) sums + scored scalars"),
     ("dedup_bloom_probe", "linear; shuffle ≤256 sketch words + probe positions"),
     ("bloom_calibration", "linear; sketch + batch-only hash join"),
+    ("ann_pq_rerank", "linear + R·Q rerank; shortlist broadcast back, corpus never shuffles"),
+    ("cms_word_counts", "linear; shuffle O(d·w) counter grid (flat)"),
 ]
 
 SFS = [

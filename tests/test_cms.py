@@ -58,3 +58,13 @@ def test_cms_rows_conserve_mass(spark, sf_dir):
                counters.groupBy("j").agg(F.sum("count").alias("s")).collect()}
     assert set(per_row) == set(range(_CMS_D))
     assert all(v == n for v in per_row.values())
+
+
+def test_cms_probe_joins_broadcast(spark, sf_dir):
+    """The counter grid must reach the probe by broadcast — a
+    sort-merge join here would shuffle the probe stream for a ≤ d·w
+    row table."""
+    df = REGISTRY["cms_word_counts"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
