@@ -1676,8 +1676,8 @@ def _bloom_verdict_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_bloom_probe", oracle=_BLOOM_SQL, tags=("dedup", "sketch"))
 def dedup_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental dedup by BLOOM SKETCH: the corpus side collapses to
-    an m-bit filter (here 8192 bits = 256 bigint words) over the same
+    """Incremental dedup by BLOOM SKETCH (Bloom, CACM 1970): the
+    corpus side collapses to an m-bit filter (here 8192 bits = 256 bigint words) over the same
     dedup keys dedup_incremental joins on, and the incoming batch
     probes the broadcast sketch — "definitely new" is certain (no
     false negatives), "maybe duplicate" escalates to the exact path.
