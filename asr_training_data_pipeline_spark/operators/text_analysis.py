@@ -1278,19 +1278,21 @@ def cms_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
     )
-    cells = toks.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("j"),
-                        _cms_pos_col(F.col("w"), j).alias("p"),
-                    )
-                    for j in range(_CMS_D)
-                ]
-            )
-        ).alias("x")
-    ).select("x.j", "x.p")
+    # md5 staged ONCE per token (its own projection — lambda/array
+    # bodies get no common-subexpression elimination, and 4× md5 per
+    # token measured 3× the whole query's wall at 27 M tokens); the
+    # d positions are then cheap substr+conv derivations, posexploded
+    # as plain ints with the array index AS the row id j.
+    hx = toks.select(F.md5("w").alias("hx"))
+    pos_of = lambda off: F.pmod(  # noqa: E731
+        F.conv(F.substring(F.col("hx"), off, 8), 16, 10).cast("long"),
+        F.lit(_CMS_W),
+    )
+    cells = hx.select(
+        F.posexplode(
+            F.array(*[pos_of(off) for off in _CMS_OFFSETS])
+        ).alias("j", "p")
+    )
     counters = cells.groupBy("j", "p").agg(
         F.count("*").cast("bigint").alias("c")
     )

@@ -68,3 +68,16 @@ def test_cms_probe_joins_broadcast(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_cms_build_stages_md5_once(spark, sf_dir):
+    """The token-stream build must compute md5 ONCE per token in its
+    own projection (lambda/array bodies get no CSE — unstaged, the 4
+    per-cell recomputations measured 7.5× the query wall at 27 M
+    tokens). The probe side may inline its md5s: it runs over the
+    ≤ vocab-sized exact-count frame."""
+    import re
+
+    df = REGISTRY["cms_word_counts"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"Project \[md5\(.*\) AS hx", plan), plan[:2000]
