@@ -61,6 +61,10 @@ _PRIORITY = (
     # the SimHash family keeps the exact-oracle portable variant in
     # the prefix and the recall/mutation pytest pins)
     "cms_word_counts",
+    # r6-new operator: BPE merge training (tokenizer induction),
+    # oracle-backed — slot funded by retiring streaming_tumbling_counts
+    # (green r2..r5; streaming keeps four prefix reps)
+    "bpe_merges",
     "vocab_coverage",
     "lang_id_confusion",
     # wave-3 newcomers: ANN / embeddings
@@ -103,7 +107,6 @@ _PRIORITY = (
     "bridge_runs_sessions",
     "asr_pipeline_clips",
     "asr_pipeline_summary",
-    "streaming_tumbling_counts",
     "streaming_session_window",
     "streaming_dedup_exact",
     # events-table block (ms_round_convert, json_extract_props,

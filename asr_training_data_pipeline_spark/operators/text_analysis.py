@@ -1327,3 +1327,133 @@ def cms_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_est",
         (F.col("cms_est") - F.col("exact_cnt")).alias("overestimate"),
     ).orderBy(F.col("exact_cnt").desc(), "w")
+
+
+# ---------------------------------------------------------------------
+# BPE merge training (tokenizer induction over the corpus)
+# ---------------------------------------------------------------------
+
+_BPE_N_MERGES = 8
+# tokenizer training domain: ascii word types (explicit class — both
+# engines' regex and char-splitting agree; outside ascii, Spark splits
+# UTF-16 code units where DuckDB splits code points)
+_BPE_WORD_RE = "^[a-z0-9]+$"
+
+
+def _bpe_sql() -> str:
+    """Unrolled-SQL oracle replaying the SAME deterministic BPE
+    training: char-spaced word types with counts, then per merge step
+    (i) count adjacent symbol pairs weighted by word count, (ii) pick
+    the (count desc, pair asc) argmax, (iii) apply it with sentinel-
+    delimited ``replace`` — leftmost non-overlapping, continue-after-
+    replacement on BOTH engines (probed: ' a a a a ' → ' aa a a ')."""
+    parts = [f"""WITH w0 AS (
+  SELECT w, cast(count(*) AS bigint) AS cnt FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+  WHERE regexp_matches(w, '{_BPE_WORD_RE}') AND len(w) >= 2
+  GROUP BY w
+),
+v0 AS (SELECT w, cnt,
+              ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS sp
+       FROM w0)"""]
+    for i in range(_BPE_N_MERGES):
+        parts.append(f""",
+p{i} AS (
+  SELECT s[k] || ' ' || s[k+1] AS pair, sum(cnt) AS c
+  FROM (SELECT cnt, string_split(trim(sp), ' ') AS s FROM v{i}),
+       unnest(range(1, len(s))) AS u(k)
+  GROUP BY 1
+),
+b{i} AS (SELECT pair, c FROM p{i} ORDER BY c DESC, pair LIMIT 1),
+v{i + 1} AS (
+  SELECT v.w, v.cnt,
+         CASE WHEN b.pair IS NULL THEN v.sp
+              ELSE replace(v.sp, ' ' || b.pair || ' ',
+                           ' ' || replace(b.pair, ' ', '') || ' ') END AS sp
+  FROM v{i} v LEFT JOIN b{i} b ON true
+)""")
+    finals = " UNION ALL ".join(
+        f"SELECT {i + 1} AS merge_rank, pair,"
+        f" replace(pair, ' ', '') AS merged, c AS pair_count FROM b{i}"
+        for i in range(_BPE_N_MERGES)
+    )
+    parts.append(f"""
+SELECT cast(merge_rank AS bigint) AS merge_rank, pair, merged,
+       cast(pair_count AS bigint) AS pair_count
+FROM ({finals}) ORDER BY merge_rank""")
+    return "".join(parts)
+
+
+@register("bpe_merges", oracle=_bpe_sql(), tags=("text", "tokenizer", "iterative"))
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER INDUCTION: learn the corpus's top byte-pair-encoding
+    merges (Sennrich, Haddow & Birch, ACL 2016) — the training step of
+    every subword tokenizer a training-data pipeline ships with. Each
+    round counts adjacent symbol pairs over the word-TYPE table
+    (weighted by word frequency), takes the deterministic argmax
+    (count desc, pair asc), and applies the merge; the learned merge
+    table IS the result, exactly as the centroid model is kmeans'.
+
+    Merge application uses sentinel-delimited ``replace`` — leftmost
+    non-overlapping with the scan continuing after each replacement,
+    identical on both engines (so a run like 'a a a a' becomes
+    'aa a a': greedy-sequential, replayed exactly by the oracle's
+    unrolled SQL; classic pairwise BPE would give 'aa aa' — the
+    docstring states the semantic so consumers aren't surprised).
+
+    Scale shape: the heavy reduction — corpus tokens → word types —
+    happens ONCE (map-side combined); every merge round then runs on
+    the VOCABULARY table (MBs at 100 TB corpus scale), exchanging only
+    (pair, count) partials, and the driver collects ONE row per round
+    (the argmax), holding the merge list as the model. This is how
+    production BPE trainers work: stream the corpus once into word
+    counts, iterate on the counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    )
+    w0 = (
+        toks.filter(F.col("w").rlike(_BPE_WORD_RE))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    sp = F.concat(F.lit(" "), F.concat_ws(" ", F.split(F.col("w"), "")), F.lit(" "))
+    v = w0.select("cnt", sp.alias("sp"))
+
+    merges: list[tuple[int, str, str, int]] = []
+    for i in range(_BPE_N_MERGES):
+        s = F.split(F.trim(F.col("sp")), " ")
+        pair_arr = F.when(
+            F.size(s) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(s) - 1),  # guarded: sequence
+                # with start > stop generates DESCENDING in Spark
+                lambda k: F.concat(
+                    F.element_at(s, k), F.lit(" "), F.element_at(s, k + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        top = (
+            v.select("cnt", F.explode(pair_arr).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.col("c").desc(), "pair")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, c = top[0].pair, int(top[0].c)
+        merged = pair.replace(" ", "")
+        merges.append((i + 1, pair, merged, c))
+        v = v.select(
+            "cnt",
+            F.replace(
+                F.col("sp"), F.lit(f" {pair} "), F.lit(f" {merged} ")
+            ).alias("sp"),
+        )
+    return spark.createDataFrame(
+        merges,
+        "merge_rank bigint, pair string, merged string, pair_count bigint",
+    ).orderBy("merge_rank")

@@ -92,6 +92,7 @@ QUERIES = [
     "dedup_bloom_probe",
     "bloom_calibration",
     "cms_word_counts",
+    "bpe_merges",
 ]
 
 

@@ -1,0 +1,42 @@
+"""BPE merge-training invariants beyond oracle parity: the argmax
+sequence must be structurally valid (max pair count non-increasing —
+a new pair can never beat the max that created it) and each merge must
+compose from the alphabet plus earlier merges."""
+
+from __future__ import annotations
+
+from asr_training_data_pipeline_spark.api import REGISTRY
+
+
+def _merges(spark, sf_dir):
+    return (
+        REGISTRY["bpe_merges"].fn(spark, sf_dir)
+        .orderBy("merge_rank")
+        .collect()
+    )
+
+
+def test_bpe_counts_non_increasing(spark, sf_dir):
+    rows = _merges(spark, sf_dir)
+    assert len(rows) > 0
+    counts = [r.pair_count for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(c > 0 for c in counts)
+
+
+def test_bpe_merges_compose(spark, sf_dir):
+    """merged = pair minus the space, and every symbol in a pair is a
+    single char or an earlier merge's output."""
+    rows = _merges(spark, sf_dir)
+    known: set[str] = set()
+    for r in rows:
+        a, b = r.pair.split(" ")
+        assert r.merged == a + b
+        for sym in (a, b):
+            assert len(sym) == 1 or sym in known, (r.merge_rank, sym)
+        known.add(r.merged)
+
+
+def test_bpe_ranks_dense(spark, sf_dir):
+    rows = _merges(spark, sf_dir)
+    assert [r.merge_rank for r in rows] == list(range(1, len(rows) + 1))

@@ -56,6 +56,7 @@ FAMILIES = [
     "bloom_calibration",
     "streaming_bloom_gate",
     "cms_word_counts",
+    "bpe_merges",
 ]
 
 # row counts that are CONSTANT by design (parameter reports / per-dim
