@@ -142,8 +142,10 @@ _PRIORITY = (
 # the registry has either a driver CORRECTNESS row already or a slot
 # this round — the never-checked set is empty if r6 comes back green.
 # Next candidates to rotate IN: any r7-new operators first, then
-# bloom_calibration (r6-new, oracle-backed, pytest-green, out of
-# prefix room this round), then the rows-only family never driver-run
+# bloom_calibration and bpe_vocab (r6-new, oracle-backed,
+# pytest-green, out of prefix room this round — bpe_vocab's training
+# core is driver-checked via bpe_merges), then the rows-only family
+# never driver-run
 # (streaming_bloom_gate — r6-new, equality-pinned to the oracle-backed
 # batch probe —, mllib_tfidf_features, mllib_brp_ann_topk,
 # multimodal_frame_sample, vad_speech_segments), then a third green for sessionize_events /

@@ -1340,13 +1340,14 @@ _BPE_N_MERGES = 8
 _BPE_WORD_RE = "^[a-z0-9]+$"
 
 
-def _bpe_sql() -> str:
-    """Unrolled-SQL oracle replaying the SAME deterministic BPE
+def _bpe_cte() -> str:
+    """Unrolled CTE chain replaying the SAME deterministic BPE
     training: char-spaced word types with counts, then per merge step
     (i) count adjacent symbol pairs weighted by word count, (ii) pick
     the (count desc, pair asc) argmax, (iii) apply it with sentinel-
     delimited ``replace`` — leftmost non-overlapping, continue-after-
-    replacement on BOTH engines (probed: ' a a a a ' → ' aa a a ')."""
+    replacement on BOTH engines (probed: ' a a a a ' → ' aa a a ').
+    Ends at v{N} (the fully-merged segmentation) and b0..b{N-1}."""
     parts = [f"""WITH w0 AS (
   SELECT w, cast(count(*) AS bigint) AS cnt FROM (
     SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
@@ -1372,16 +1373,41 @@ v{i + 1} AS (
                            ' ' || replace(b.pair, ' ', '') || ' ') END AS sp
   FROM v{i} v LEFT JOIN b{i} b ON true
 )""")
+    return "".join(parts)
+
+
+def _bpe_sql() -> str:
     finals = " UNION ALL ".join(
         f"SELECT {i + 1} AS merge_rank, pair,"
         f" replace(pair, ' ', '') AS merged, c AS pair_count FROM b{i}"
         for i in range(_BPE_N_MERGES)
     )
-    parts.append(f"""
+    return _bpe_cte() + f"""
 SELECT cast(merge_rank AS bigint) AS merge_rank, pair, merged,
        cast(pair_count AS bigint) AS pair_count
-FROM ({finals}) ORDER BY merge_rank""")
-    return "".join(parts)
+FROM ({finals}) ORDER BY merge_rank"""
+
+
+def _bpe_vocab_sql() -> str:
+    """The induced subword vocabulary: every symbol of the final
+    segmentation with its corpus token count (word count × per-word
+    occurrences) and whether it came from a merge."""
+    n = _BPE_N_MERGES
+    merged_set = " UNION ALL ".join(
+        f"SELECT replace(pair, ' ', '') AS m FROM b{i}" for i in range(n)
+    )
+    return _bpe_cte() + f""",
+sym AS (
+  SELECT s[k] AS symbol, sum(cnt) AS n_tokens
+  FROM (SELECT cnt, string_split(trim(sp), ' ') AS s FROM v{n}),
+       unnest(range(1, len(s) + 1)) AS u(k)
+  GROUP BY 1
+),
+mset AS (SELECT DISTINCT m FROM ({merged_set}))
+SELECT symbol, cast(n_tokens AS bigint) AS n_tokens,
+       (mset.m IS NOT NULL) AS is_merged
+FROM sym LEFT JOIN mset ON mset.m = sym.symbol
+ORDER BY n_tokens DESC, symbol"""
 
 
 @register("bpe_merges", oracle=_bpe_sql(), tags=("text", "tokenizer", "iterative"))
@@ -1408,6 +1434,16 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the argmax), holding the merge list as the model. This is how
     production BPE trainers work: stream the corpus once into word
     counts, iterate on the counts."""
+    merges, _v = _bpe_train(spark, sf_dir)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank bigint, pair string, merged string, pair_count bigint",
+    ).orderBy("merge_rank")
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """(merges, v_final): the shared training loop — v_final is the
+    word-type table with the fully-merged spaced segmentation."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
@@ -1453,7 +1489,26 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("sp"), F.lit(f" {pair} "), F.lit(f" {merged} ")
             ).alias("sp"),
         )
-    return spark.createDataFrame(
-        merges,
-        "merge_rank bigint, pair string, merged string, pair_count bigint",
-    ).orderBy("merge_rank")
+    return merges, v
+
+
+@register("bpe_vocab", oracle=_bpe_vocab_sql(), tags=("text", "tokenizer", "iterative"))
+def bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENCODE side of the induced tokenizer: the subword
+    vocabulary after applying all learned merges, with each symbol's
+    corpus token count (word frequency × per-word occurrences) and a
+    flag for merge-produced symbols. At 100 TB the segmentation pass
+    runs on the vocabulary table, never the corpus — the same scale
+    shape as bpe_merges."""
+    merges, v = _bpe_train(spark, sf_dir)
+    s = F.split(F.trim(F.col("sp")), " ")
+    sym = (
+        v.select("cnt", F.explode(s).alias("symbol"))
+        .groupBy("symbol")
+        .agg(F.sum("cnt").cast("bigint").alias("n_tokens"))
+    )
+    merged_set = {m for _, _, m, _ in merges}
+    is_merged = F.col("symbol").isin(list(merged_set)) if merged_set else F.lit(False)
+    return sym.select(
+        "symbol", "n_tokens", is_merged.alias("is_merged")
+    ).orderBy(F.col("n_tokens").desc(), "symbol")

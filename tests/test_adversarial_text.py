@@ -93,6 +93,7 @@ QUERIES = [
     "bloom_calibration",
     "cms_word_counts",
     "bpe_merges",
+    "bpe_vocab",
 ]
 
 

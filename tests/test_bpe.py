@@ -40,3 +40,29 @@ def test_bpe_merges_compose(spark, sf_dir):
 def test_bpe_ranks_dense(spark, sf_dir):
     rows = _merges(spark, sf_dir)
     assert [r.merge_rank for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_bpe_vocab_conserves_chars(spark, sf_dir):
+    """Merging never creates or destroys characters: Σ n_tokens·len(
+    symbol) over the vocabulary equals Σ cnt·len(word) over the
+    training word types."""
+    from pyspark.sql import functions as F
+
+    from asr_training_data_pipeline_spark.operators.text_analysis import (
+        _BPE_WORD_RE,
+    )
+    from asr_training_data_pipeline_spark.sources.tables import load_table
+
+    vocab = REGISTRY["bpe_vocab"].fn(spark, sf_dir).toPandas()
+    assert len(vocab) > 0
+    got = int((vocab.n_tokens * vocab.symbol.str.len()).sum())
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.col("w").rlike(_BPE_WORD_RE))
+        .filter(F.length("w") >= 2)
+    )
+    want = w.agg(F.sum(F.length("w"))).collect()[0][0]
+    assert got == int(want)
+    # and at least one merge-produced symbol survives in the corpus
+    assert bool(vocab.is_merged.any())

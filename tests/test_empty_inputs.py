@@ -57,6 +57,7 @@ FAMILIES = [
     "streaming_bloom_gate",
     "cms_word_counts",
     "bpe_merges",
+    "bpe_vocab",
 ]
 
 # row counts that are CONSTANT by design (parameter reports / per-dim
