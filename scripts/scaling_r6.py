@@ -34,6 +34,7 @@ QUERIES = [
     ("bloom_calibration", "linear; sketch + batch-only hash join"),
     ("ann_pq_rerank", "linear + R·Q rerank; shortlist broadcast back, corpus never shuffles"),
     ("cms_word_counts", "linear; shuffle O(d·w) counter grid (flat)"),
+    ("bpe_merges", "corpus reduced once to word types; N rounds × (pair,count) partials"),
 ]
 
 SFS = [
