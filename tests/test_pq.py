@@ -85,3 +85,46 @@ def test_rerank_d2_monotone_in_rank(spark, sf_dir):
         rs.sort(key=lambda r: r.rank)
         for a, b in zip(rs, rs[1:]):
             assert (a.d2, a.neighbor_id) < (b.d2, b.neighbor_id)
+
+
+def test_pq_argmin_float64_matches_integer_reference():
+    """The kernel's float64-BLAS d2 must pick the SAME centroid as
+    exact integer arithmetic with the (d2 asc, book-order asc)
+    tie-break, including engineered exact ties and domain-extreme
+    magnitudes (the docstring's sub-2^48-dot exactness claim, tested
+    directly rather than trusted)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from asr_training_data_pipeline_spark.operators.similarity import (
+        _PQ_DSUB,
+        _pq_argmin_np,
+    )
+
+    lim = 2_000_000  # fixed-point domain bound (scale·|x|max)
+    vec = st.lists(
+        st.integers(min_value=-lim, max_value=lim),
+        min_size=_PQ_DSUB, max_size=_PQ_DSUB,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        xs=st.lists(vec, min_size=1, max_size=6),
+        cs=st.lists(vec, min_size=1, max_size=8),
+        dup=st.booleans(),
+    )
+    def check(xs, cs, dup):
+        if dup:  # engineered exact tie: duplicate the first centroid
+            cs = [cs[0]] + cs
+        X = np.array(xs, dtype=np.int64)
+        C = np.array(cs, dtype=np.int64)
+        got = _pq_argmin_np(X, C)
+        for row, g in zip(xs, got):
+            d2s = [
+                sum((x - c) * (x - c) for x, c in zip(row, cv)) for cv in cs
+            ]
+            want = min(range(len(cs)), key=lambda k: (d2s[k], k))
+            assert int(g) == want, (d2s, int(g), want)
+
+    check()
