@@ -949,3 +949,80 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------
+# Snapshot diff (ingest-delta audit / CDC shape)
+# ---------------------------------------------------------------------
+
+# Simulated snapshots over the one fixture table: the CURRENT snapshot
+# drops doc_id % 11 == 0 (rows the new crawl lost → 'removed'), the
+# PREVIOUS lacked doc_id % 7 == 0 ('added') and carried a last-word-
+# truncated text for doc_id % 5 == 0 ('changed').
+_DIFF_SQL = """
+WITH cur AS (SELECT doc_id, md5(coalesce(text, '')) AS h
+             FROM documents WHERE doc_id % 11 <> 0),
+prev AS (
+  SELECT doc_id,
+         md5(coalesce(CASE WHEN doc_id % 5 = 0 AND text IS NOT NULL
+              THEN array_to_string(
+                     (string_split(text, ' '))[1:len(string_split(text, ' ')) - 1],
+                     ' ')
+              ELSE text END, '')) AS h
+  FROM documents WHERE doc_id % 7 <> 0
+)
+SELECT coalesce(c.doc_id, p.doc_id) AS doc_id,
+       CASE WHEN p.doc_id IS NULL THEN 'added'
+            WHEN c.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM cur c FULL OUTER JOIN prev p USING (doc_id)
+WHERE p.doc_id IS NULL OR c.doc_id IS NULL OR c.h <> p.h
+ORDER BY doc_id
+"""
+
+
+@register("snapshot_diff", oracle=_DIFF_SQL, tags=("curation", "audit"))
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-delta audit between two corpus snapshots — the CDC
+    primitive a periodically-refreshed training corpus runs before
+    promoting a crawl: every document keyed by id, content reduced to
+    a hash, and a single full-outer hash-compare join emitting only
+    the added / removed / changed rows.
+
+    Scale: both sides reduce scan-side to (id, 16-byte hash) — the
+    join shuffles keys and hashes, never bodies, and at 100 TB both
+    snapshots would be bucketed by id making the compare co-partitioned
+    and exchange-free. The fixture simulates the snapshots from the one
+    documents table (see _DIFF_SQL); production passes two real
+    directories through the same plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    cur = docs.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id", F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("h")
+    )
+    words = F.split(F.col("text"), " ")
+    prev_text = F.when(
+        (F.col("doc_id") % 5 == 0) & F.col("text").isNotNull(),
+        F.concat_ws(" ", F.slice(words, 1, F.size(words) - 1)),
+    ).otherwise(F.col("text"))
+    prev = docs.filter(F.col("doc_id") % 7 != 0).select(
+        F.col("doc_id").alias("p_id"),
+        F.md5(F.coalesce(prev_text, F.lit(""))).alias("ph"),
+    )
+    j = cur.join(prev, cur.doc_id == prev.p_id, "full_outer")
+    status = (
+        F.when(F.col("p_id").isNull(), F.lit("added"))
+        .when(F.col("doc_id").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        j.filter(
+            F.col("p_id").isNull()
+            | F.col("doc_id").isNull()
+            | (F.col("h") != F.col("ph"))
+        )
+        .select(
+            F.coalesce(F.col("doc_id"), F.col("p_id")).alias("doc_id"),
+            status.alias("status"),
+        )
+        .orderBy("doc_id")
+    )

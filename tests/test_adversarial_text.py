@@ -94,6 +94,7 @@ QUERIES = [
     "cms_word_counts",
     "bpe_merges",
     "bpe_vocab",
+    "snapshot_diff",
 ]
 
 

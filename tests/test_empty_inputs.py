@@ -58,6 +58,7 @@ FAMILIES = [
     "cms_word_counts",
     "bpe_merges",
     "bpe_vocab",
+    "snapshot_diff",
 ]
 
 # row counts that are CONSTANT by design (parameter reports / per-dim

@@ -116,6 +116,7 @@ def test_all_parquet_timestamps_normalized_to_ltz(bare_session, sf_dir):
         "cms_word_counts",
         "bpe_merges",
         "bpe_vocab",
+        "snapshot_diff",
     ],
 )
 def test_events_queries_on_bare_session(bare_session, sf_dir, name):
