@@ -142,7 +142,8 @@ _PRIORITY = (
 # the registry has either a driver CORRECTNESS row already or a slot
 # this round — the never-checked set is empty if r6 comes back green.
 # Next candidates to rotate IN: any r7-new operators first, then
-# bloom_calibration, bpe_vocab, and snapshot_diff (r6-new, oracle-backed,
+# bloom_calibration, bpe_vocab, snapshot_diff, and dedup_method_eval
+# (r6-new, oracle-backed,
 # pytest-green, out of prefix room this round — bpe_vocab's training
 # core is driver-checked via bpe_merges), then the rows-only family
 # never driver-run

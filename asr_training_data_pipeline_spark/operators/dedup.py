@@ -1762,3 +1762,100 @@ def bloom_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         one(F.col("maybe_dup") & ~actual).alias("n_false_positives"),
         one(~F.col("maybe_dup") & actual).alias("n_false_negatives"),
     )
+
+
+# ---------------------------------------------------------------------
+# Cross-method dedup evaluation (knob calibration report)
+# ---------------------------------------------------------------------
+
+
+def _method_eval_sql() -> str:
+    """Composes the EXISTING exact-oracle pipelines as subqueries
+    (each keeps its own WITH scope): ground truth = the exact-Jaccard
+    pair set, candidates = the portable MinHash and SimHash pipelines
+    at their production thresholds."""
+    return f"""
+WITH truth AS (SELECT doc_a, doc_b FROM ({_JACCARD_SQL})),
+m AS (
+  SELECT 'minhash' AS method, doc_a, doc_b FROM ({_minhash_portable_sql()})
+  UNION ALL
+  SELECT 'simhash' AS method, doc_a, doc_b FROM ({_simhash_portable_sql()})
+),
+per AS (
+  SELECT m.method,
+         cast(count(*) AS bigint) AS n_pairs,
+         cast(sum(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS bigint)
+           AS true_positives
+  FROM m LEFT JOIN truth t USING (doc_a, doc_b)
+  GROUP BY 1
+),
+tot AS (SELECT cast(count(*) AS bigint) AS n_truth FROM truth)
+SELECT method, n_pairs, n_truth, true_positives,
+       n_pairs - true_positives AS false_positives,
+       n_truth - true_positives AS false_negatives,
+       round(cast(true_positives AS double) / n_pairs, 6) AS precision,
+       CASE WHEN n_truth > 0
+            THEN round(cast(true_positives AS double) / n_truth, 6) END
+         AS recall
+FROM per, tot
+ORDER BY method"""
+
+
+@register("dedup_method_eval", oracle=_method_eval_sql(), tags=("dedup", "calibration"))
+def dedup_method_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Side-by-side evaluation of the approximate dedup methods
+    against the exact-Jaccard ground truth — the report one runs to
+    pick bands/thresholds before a 100 TB dedup pass: per method, the
+    candidate-pair count, true/false positives against exact J ≥ τ,
+    the misses, and precision/recall. (SimHash detects hamming
+    proximity of a token-multiset projection — a DIFFERENT notion of
+    near-dup than shingle Jaccard — so its agreement here is exactly
+    the information this report exists to surface.)
+
+    Composes the oracle-exact operators themselves (no
+    re-implementation): truth from dedup_ngram_jaccard, candidates
+    from the portable MinHash/SimHash pipelines. Scale: the evaluation
+    join is pair-keys only (two ids per row), grouped per method —
+    negligible next to the candidate generation it measures, and the
+    ground-truth side would run on a SAMPLE at 100 TB (exact Jaccard
+    over the full corpus is what the approximate methods avoid)."""
+    truth = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    found = None
+    for name, fn in (
+        ("minhash", dedup_minhash_portable),
+        ("simhash", dedup_simhash_portable),
+    ):
+        f = fn(spark, sf_dir).select(
+            F.lit(name).alias("method"), "doc_a", "doc_b"
+        )
+        found = f if found is None else found.unionAll(f)
+    j = found.join(
+        truth.withColumn("_t", F.lit(True)), ["doc_a", "doc_b"], "left"
+    )
+    per = j.groupBy("method").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("_t"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("true_positives"),
+    )
+    tot = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
+    out = per.crossJoin(F.broadcast(tot))
+    prec = F.round(
+        F.col("true_positives").cast("double") / F.col("n_pairs"), 6
+    )
+    rec = F.when(
+        F.col("n_truth") > 0,
+        F.round(
+            F.col("true_positives").cast("double") / F.col("n_truth"), 6
+        ),
+    )
+    return out.select(
+        "method",
+        "n_pairs",
+        "n_truth",
+        "true_positives",
+        (F.col("n_pairs") - F.col("true_positives")).alias("false_positives"),
+        (F.col("n_truth") - F.col("true_positives")).alias("false_negatives"),
+        prec.alias("precision"),
+        rec.alias("recall"),
+    ).orderBy("method")

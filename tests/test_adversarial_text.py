@@ -95,6 +95,7 @@ QUERIES = [
     "bpe_merges",
     "bpe_vocab",
     "snapshot_diff",
+    "dedup_method_eval",
 ]
 
 

@@ -59,6 +59,7 @@ FAMILIES = [
     "bpe_merges",
     "bpe_vocab",
     "snapshot_diff",
+    "dedup_method_eval",
 ]
 
 # row counts that are CONSTANT by design (parameter reports / per-dim
