@@ -100,8 +100,10 @@ _PRIORITY = (
     # the DSP signal tests).
     "ann_pq_rerank",
     # r6-new operator: Bloom-sketch incremental probe, oracle-backed.
-    # Slot funded by retiring streaming_stateful_totals (green
-    # r2..r5; the streaming family keeps five prefix reps).
+    # Slot funded by retiring streaming_stateful_totals (green r2..r5;
+    # streaming keeps prefix reps via session_window, dedup_exact,
+    # interval_join, and curation_gate after this round's two
+    # streaming retirements).
     "dedup_bloom_probe",
     "lcs_align_runs",
     "bridge_runs_sessions",
@@ -141,12 +143,11 @@ _PRIORITY = (
 # exact_quantiles_orders in the prefix, every oracle-backed query in
 # the registry has either a driver CORRECTNESS row already or a slot
 # this round — the never-checked set is empty if r6 comes back green.
-# Next candidates to rotate IN: any r7-new operators first, then
-# bloom_calibration, bpe_vocab, snapshot_diff, and dedup_method_eval
-# (r6-new, oracle-backed,
-# pytest-green, out of prefix room this round — bpe_vocab's training
-# core is driver-checked via bpe_merges), then the rows-only family
-# never driver-run
+# Next candidates to rotate IN: any r7-new operators first, then the
+# four r6-new oracle-backed queries that ran out of prefix room —
+# bloom_calibration, bpe_vocab, snapshot_diff, dedup_method_eval (all
+# pytest-oracle-green; bpe_vocab's training core is driver-checked via
+# bpe_merges) — then the rows-only family never driver-run
 # (streaming_bloom_gate — r6-new, equality-pinned to the oracle-backed
 # batch probe —, mllib_tfidf_features, mllib_brp_ann_topk,
 # multimodal_frame_sample, vad_speech_segments), then a third green for sessionize_events /
