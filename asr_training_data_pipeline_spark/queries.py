@@ -761,6 +761,88 @@ def first_match_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ---------------------------------------------------------------------
+# Referential-integrity audit (ingest validation over the star schema)
+# ---------------------------------------------------------------------
+
+_FK_RELS = (
+    # (name, child table, fk col, parent table, pk col)
+    ("orders.custkey", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer.nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+)
+
+_FK_SQL = " UNION ALL ".join(
+    f"""
+SELECT '{name}' AS relationship,
+       cast(count(*) AS bigint) AS n_rows,
+       cast(sum(CASE WHEN c.{fk} IS NULL THEN 1 ELSE 0 END) AS bigint)
+         AS n_null_fk,
+       cast(sum(CASE WHEN c.{fk} IS NOT NULL AND p.{pk} IS NULL
+                THEN 1 ELSE 0 END) AS bigint) AS n_orphans
+FROM {child} c LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p
+  ON c.{fk} = p.{pk}"""
+    for name, child, fk, parent, pk in _FK_RELS
+)
+_FK_SQL = f"""
+SELECT relationship, n_rows, n_null_fk, n_orphans,
+       (n_null_fk = 0 AND n_orphans = 0) AS ok
+FROM ({_FK_SQL})
+ORDER BY relationship
+"""
+
+
+@register("fk_integrity_audit", oracle=_FK_SQL, tags=("relational", "audit"))
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema — the ingest
+    validation a warehouse runs before promoting a load: per declared
+    FK relationship, the child row count, NULL foreign keys, and
+    orphans (non-NULL keys with no parent).
+
+    Scale: each check is child-scan + anti-probe against the DISTINCT
+    parent-key set — the dimension keys broadcast (nation/supplier/
+    part/customer), and the one fact-to-fact check (lineitem→orders)
+    shuffles bare keys with map-side distinct; counts aggregate to
+    five rows. No bodies move."""
+    import functools
+
+    outs = []
+    for name, child, fk, parent, pk in _FK_RELS:
+        c = load_table(spark, sf_dir, child).select(F.col(fk).alias("k"))
+        p = (
+            load_table(spark, sf_dir, parent)
+            .select(F.col(pk).alias("k"))
+            .distinct()
+            .withColumn("_p", F.lit(True))
+        )
+        j = c.join(p, "k", "left")
+        outs.append(
+            j.agg(
+                F.lit(name).alias("relationship"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_null_fk"),
+                F.sum(
+                    F.when(F.col("k").isNotNull() & F.col("_p").isNull(), 1)
+                    .otherwise(0)
+                )
+                .cast("bigint")
+                .alias("n_orphans"),
+            )
+        )
+    u = functools.reduce(lambda a, b: a.unionAll(b), outs)
+    return u.select(
+        "relationship",
+        "n_rows",
+        "n_null_fk",
+        "n_orphans",
+        ((F.col("n_null_fk") == 0) & (F.col("n_orphans") == 0)).alias("ok"),
+    ).orderBy("relationship")
+
 from .registry import bench_queries, oracles, queries  # noqa: E402,F401
 
 

@@ -17,7 +17,11 @@ from asr_training_data_pipeline_spark.api import REGISTRY, oracles
 from asr_training_data_pipeline_spark.testing import compare_frames, run_oracle
 
 _ORD_SQL = """
-SELECT o_orderkey, o_custkey, o_orderstatus,
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 101 = 0 THEN NULL
+            WHEN o_orderkey % 103 = 0 THEN o_custkey + 1000000
+            ELSE o_custkey END AS o_custkey,
+       o_orderstatus,
        CASE WHEN o_orderkey % 97 = 0 THEN NULL
             WHEN o_orderkey % 89 = 0 THEN -o_totalprice
             WHEN o_orderkey % 83 = 0 THEN 0.0
@@ -50,6 +54,9 @@ QUERIES = [
     "first_match_confidence",
     "group_concat_ordered",
     "avg_confidence_coalesce",
+    # r6: NULL and orphaned o_custkey rows (%101/%103 above) give the
+    # integrity audit real findings and stress every custkey join
+    "fk_integrity_audit",
 ]
 
 

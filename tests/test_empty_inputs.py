@@ -60,6 +60,7 @@ FAMILIES = [
     "bpe_vocab",
     "snapshot_diff",
     "dedup_method_eval",
+    "fk_integrity_audit",
 ]
 
 # row counts that are CONSTANT by design (parameter reports / per-dim
@@ -68,6 +69,7 @@ _EXPECTED_NONZERO = {
     "profile_embeddings": 64,  # per-dimension rows, null stats
     "curation_funnel": 5,  # the five stage rows, all counts zero
     "bloom_calibration": 1,  # global aggregate: one all-zero row
+    "fk_integrity_audit": 5,  # one all-zero row per declared FK
 }
 
 

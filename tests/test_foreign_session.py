@@ -118,6 +118,7 @@ def test_all_parquet_timestamps_normalized_to_ltz(bare_session, sf_dir):
         "bpe_vocab",
         "snapshot_diff",
         "dedup_method_eval",
+        "fk_integrity_audit",
     ],
 )
 def test_events_queries_on_bare_session(bare_session, sf_dir, name):
