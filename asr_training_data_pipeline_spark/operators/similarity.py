@@ -1574,3 +1574,84 @@ def ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOPK)
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------
+# Embedding drift monitor (encoder-version regression check)
+# ---------------------------------------------------------------------
+
+_DRIFT_THRESH = 0.01  # |Δ mean| per dimension flagged as drifted
+
+_DRIFT_SQL = f"""
+WITH v AS (SELECT vec_id,
+                  [cast(floor(x * {_CENTROID_SCALE} + 0.5) AS bigint)
+                   for x in cast(embedding AS double[])] AS qe
+           FROM embeddings WHERE {_FINITE_WHERE}),
+s AS (
+  SELECT i AS dim, vec_id % 2 AS half, sum(qe[i]) AS sq, count(*) AS n
+  FROM v, unnest(range(1, {_CENTROID_DIM + 1})) AS u(i)
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT dim,
+         max(CASE WHEN half = 0 THEN cast(sq AS double)
+                                     / (n * {_CENTROID_SCALE}.0) END) AS mean_a,
+         max(CASE WHEN half = 1 THEN cast(sq AS double)
+                                     / (n * {_CENTROID_SCALE}.0) END) AS mean_b
+  FROM s GROUP BY dim
+)
+SELECT cast(dim AS bigint) AS dim,
+       round(mean_a, 9) AS mean_a, round(mean_b, 9) AS mean_b,
+       round(mean_b - mean_a, 9) AS shift,
+       coalesce(abs(mean_b - mean_a) > {_DRIFT_THRESH}, false) AS is_drifted
+FROM m
+ORDER BY dim
+"""
+
+
+@register("embedding_drift", oracle=_DRIFT_SQL, tags=("similarity", "audit"))
+def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension drift between two embedding snapshots — the
+    regression check one runs when the upstream encoder changes (a new
+    checkpoint quietly shifting dimension means poisons every resident
+    ANN index built on the old geometry). Snapshots are simulated from
+    the one fixture table (vec_id parity); production passes two real
+    snapshot scans through the same plan.
+
+    Exactness: per-(dim, half) sums are FIXED-POINT bigints (order-
+    independent under any partitioning), the mean division and shift
+    are computed identically on both engines, and the flag compares
+    the unrounded shift. Scale: one pass per snapshot, 2·d aggregate
+    rows exchanged (map-side combined) — the vectors never shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        finite_embedding_pred()
+    )
+    quant = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * _CENTROID_SCALE + 0.5).cast("long"),
+    )
+    q = emb.select((F.col("vec_id") % 2).alias("half"), quant.alias("qe"))
+    s = (
+        q.select("half", F.posexplode("qe").alias("i0", "x"))
+        .groupBy("half", "i0")
+        .agg(F.sum("x").alias("sq"), F.count("*").alias("n"))
+    )
+    mean = F.col("sq").cast("double") / (F.col("n") * float(_CENTROID_SCALE))
+    m = (
+        s.select((F.col("i0") + 1).cast("bigint").alias("dim"), "half", mean.alias("mean"))
+        .groupBy("dim")
+        .agg(
+            F.max(F.when(F.col("half") == 0, F.col("mean"))).alias("mean_a"),
+            F.max(F.when(F.col("half") == 1, F.col("mean"))).alias("mean_b"),
+        )
+    )
+    shift = F.col("mean_b") - F.col("mean_a")
+    return m.select(
+        "dim",
+        F.round("mean_a", 9).alias("mean_a"),
+        F.round("mean_b", 9).alias("mean_b"),
+        F.round(shift, 9).alias("shift"),
+        F.coalesce(F.abs(shift) > _DRIFT_THRESH, F.lit(False)).alias(
+            "is_drifted"
+        ),
+    ).orderBy("dim")

@@ -41,6 +41,7 @@ QUERIES = [
     "ann_pq_topk",
     "ann_pq_rerank",
     "profile_embeddings",
+    "embedding_drift",
     "dedup_semantic",
     "dedup_semantic_clustered",
     "corpus_curation_multimodal",

@@ -61,6 +61,7 @@ FAMILIES = [
     "snapshot_diff",
     "dedup_method_eval",
     "fk_integrity_audit",
+    "embedding_drift",
 ]
 
 # row counts that are CONSTANT by design (parameter reports / per-dim

@@ -119,6 +119,7 @@ def test_all_parquet_timestamps_normalized_to_ltz(bare_session, sf_dir):
         "snapshot_diff",
         "dedup_method_eval",
         "fk_integrity_audit",
+        "embedding_drift",
     ],
 )
 def test_events_queries_on_bare_session(bare_session, sf_dir, name):
