@@ -35,6 +35,10 @@ QUERIES = [
     ("ann_pq_rerank", "linear + R·Q rerank; shortlist broadcast back, corpus never shuffles"),
     ("cms_word_counts", "linear; shuffle O(d·w) counter grid (flat)"),
     ("bpe_merges", "corpus reduced once to word types; N rounds × (pair,count) partials"),
+    ("snapshot_diff", "linear; (id, hash) full-outer compare, keys-only shuffle"),
+    ("fk_integrity_audit", "linear; distinct-parent anti-probe, bare-key shuffle"),
+    ("embedding_drift", "linear; 2·d fixed-point aggregate rows"),
+    ("dedup_method_eval", "candidate-gen dominated; eval join is pair-keys only"),
 ]
 
 SFS = [
