@@ -1026,3 +1026,166 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------
+# Closed-form distributed linear regression (one-pass GLM probe)
+# ---------------------------------------------------------------------
+
+_LINREG_SQL = """
+WITH f AS (
+  SELECT cast(n_chars AS bigint) AS y,
+         cast(len(string_split(text, ' ')) AS bigint) AS x1,
+         cast(len(list_filter(string_split(text, ' '), w -> len(w) > 5))
+           AS bigint) AS x2
+  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL
+),
+a AS (
+  SELECT cast(count(*) AS bigint) AS n,
+         cast(sum(x1) AS bigint) AS sx1, cast(sum(x2) AS bigint) AS sx2,
+         cast(sum(y) AS bigint) AS sy,
+         cast(sum(x1*x1) AS bigint) AS s11, cast(sum(x1*x2) AS bigint) AS s12,
+         cast(sum(x2*x2) AS bigint) AS s22,
+         cast(sum(x1*y) AS bigint) AS s1y, cast(sum(x2*y) AS bigint) AS s2y,
+         cast(sum(y*y) AS bigint) AS syy
+  FROM f
+),
+m AS (
+  SELECT *,
+    cast(n AS double) AS a11, cast(sx1 AS double) AS a12,
+    cast(sx2 AS double) AS a13, cast(s11 AS double) AS a22,
+    cast(s12 AS double) AS a23, cast(s22 AS double) AS a33,
+    cast(sy AS double) AS b1, cast(s1y AS double) AS b2,
+    cast(s2y AS double) AS b3
+  FROM a
+),
+d AS (
+  SELECT *,
+    a11*(a22*a33 - a23*a23) - a12*(a12*a33 - a23*a13)
+      + a13*(a12*a23 - a22*a13) AS det,
+    b1*(a22*a33 - a23*a23) - a12*(b2*a33 - a23*b3)
+      + a13*(b2*a23 - a22*b3) AS det0,
+    a11*(b2*a33 - a23*b3) - b1*(a12*a33 - a23*a13)
+      + a13*(a12*b3 - b2*a13) AS det1,
+    a11*(a22*b3 - b2*a23) - a12*(a12*b3 - b2*a13)
+      + b1*(a12*a23 - a22*a13) AS det2
+  FROM m
+)
+SELECT cast(n AS bigint) AS n_rows,
+       round(CASE WHEN det <> 0 THEN det0/det END, 6) AS beta0,
+       round(CASE WHEN det <> 0 THEN det1/det END, 6) AS beta1,
+       round(CASE WHEN det <> 0 THEN det2/det END, 6) AS beta2,
+       round(CASE WHEN det <> 0 AND (cast(syy AS double)
+               - cast(sy AS double)*cast(sy AS double)/cast(n AS double)) > 0
+         THEN 1.0 - (cast(syy AS double)
+                     - ((det0/det)*b1 + (det1/det)*b2 + (det2/det)*b3))
+                    / (cast(syy AS double)
+                       - cast(sy AS double)*cast(sy AS double)
+                         / cast(n AS double)) END, 6) AS r2
+FROM d
+"""
+
+
+@register("linreg_closed_form", oracle=_LINREG_SQL, tags=("curation", "ml", "stats"))
+def linreg_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed LINEAR REGRESSION in ONE aggregation pass — the
+    closed-form normal-equations path (X'X and X'y are plain sums, the
+    3×3 solve is Cramer's rule on the driverless aggregate row): how a
+    linear probe / quality-regression head actually trains at 100 TB,
+    where an iterative optimizer's per-step pass over the corpus is
+    the cost to avoid. Here: n_chars regressed on token count and
+    long-word count (R² ≈ 0.997 on the fixture — the label is nearly
+    linear in the features, which is the point of the smoke model).
+
+    Exactness: every moment (X'X, X'y, y'y entries) is an exact
+    BIGINT sum — order-independent under any partitioning; the Cramer
+    determinants and divisions are written with IDENTICAL association
+    on both engines, so the doubles agree bit-for-bit before the
+    6-dp round. Degenerate designs (det = 0) and constant targets
+    (SST ≤ 0) yield NULL coefficients/R² on both engines.
+
+    Scale: one scan, ten integer aggregates, one output row — no
+    shuffle beyond the map-side-combined partials. Production at
+    10^12 rows routes the sums through DECIMAL(38) (functions/exact
+    dsum) to dodge bigint overflow; the algebra is unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    f = docs.filter(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    ).select(
+        F.col("n_chars").cast("bigint").alias("y"),
+        F.size(words).cast("bigint").alias("x1"),
+        F.size(F.filter(words, lambda w: F.length(w) > 5))
+        .cast("bigint")
+        .alias("x2"),
+    )
+    a = f.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x1").cast("bigint").alias("sx1"),
+        F.sum("x2").cast("bigint").alias("sx2"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("bigint").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("bigint").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("bigint").alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).cast("bigint").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("bigint").alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    c = lambda name: F.col(name)  # noqa: E731
+    m = a.select(
+        "*",
+        c("n").cast("double").alias("a11"),
+        c("sx1").cast("double").alias("a12"),
+        c("sx2").cast("double").alias("a13"),
+        c("s11").cast("double").alias("a22"),
+        c("s12").cast("double").alias("a23"),
+        c("s22").cast("double").alias("a33"),
+        c("sy").cast("double").alias("b1"),
+        c("s1y").cast("double").alias("b2"),
+        c("s2y").cast("double").alias("b3"),
+    )
+    # Cramer determinants with the oracle's EXACT association
+    det = (
+        c("a11") * (c("a22") * c("a33") - c("a23") * c("a23"))
+        - c("a12") * (c("a12") * c("a33") - c("a23") * c("a13"))
+        + c("a13") * (c("a12") * c("a23") - c("a22") * c("a13"))
+    )
+    det0 = (
+        c("b1") * (c("a22") * c("a33") - c("a23") * c("a23"))
+        - c("a12") * (c("b2") * c("a33") - c("a23") * c("b3"))
+        + c("a13") * (c("b2") * c("a23") - c("a22") * c("b3"))
+    )
+    det1 = (
+        c("a11") * (c("b2") * c("a33") - c("a23") * c("b3"))
+        - c("b1") * (c("a12") * c("a33") - c("a23") * c("a13"))
+        + c("a13") * (c("a12") * c("b3") - c("b2") * c("a13"))
+    )
+    det2 = (
+        c("a11") * (c("a22") * c("b3") - c("b2") * c("a23"))
+        - c("a12") * (c("a12") * c("b3") - c("b2") * c("a13"))
+        + c("b1") * (c("a12") * c("a23") - c("a22") * c("a13"))
+    )
+    d = m.select(
+        "*",
+        det.alias("det"),
+        det0.alias("det0"),
+        det1.alias("det1"),
+        det2.alias("det2"),
+    )
+    nz = F.col("det") != 0
+    syy_d = c("syy").cast("double")
+    sst = syy_d - c("sy").cast("double") * c("sy").cast("double") / c("n").cast(
+        "double"
+    )
+    ssr_sub = (
+        (c("det0") / c("det")) * c("b1")
+        + (c("det1") / c("det")) * c("b2")
+    ) + (c("det2") / c("det")) * c("b3")
+    r2 = F.when(nz & (sst > 0), F.lit(1.0) - (syy_d - ssr_sub) / sst)
+    return d.select(
+        c("n").cast("bigint").alias("n_rows"),
+        F.round(F.when(nz, c("det0") / c("det")), 6).alias("beta0"),
+        F.round(F.when(nz, c("det1") / c("det")), 6).alias("beta1"),
+        F.round(F.when(nz, c("det2") / c("det")), 6).alias("beta2"),
+        F.round(r2, 6).alias("r2"),
+    )

@@ -96,6 +96,7 @@ QUERIES = [
     "bpe_vocab",
     "snapshot_diff",
     "dedup_method_eval",
+    "linreg_closed_form",
 ]
 
 

@@ -62,6 +62,7 @@ FAMILIES = [
     "dedup_method_eval",
     "fk_integrity_audit",
     "embedding_drift",
+    "linreg_closed_form",
 ]
 
 # row counts that are CONSTANT by design (parameter reports / per-dim
@@ -71,6 +72,7 @@ _EXPECTED_NONZERO = {
     "curation_funnel": 5,  # the five stage rows, all counts zero
     "bloom_calibration": 1,  # global aggregate: one all-zero row
     "fk_integrity_audit": 5,  # one all-zero row per declared FK
+    "linreg_closed_form": 1,  # global aggregate: one NULL-model row
 }
 
 

@@ -120,6 +120,7 @@ def test_all_parquet_timestamps_normalized_to_ltz(bare_session, sf_dir):
         "dedup_method_eval",
         "fk_integrity_audit",
         "embedding_drift",
+        "linreg_closed_form",
     ],
 )
 def test_events_queries_on_bare_session(bare_session, sf_dir, name):
