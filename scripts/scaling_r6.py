@@ -39,6 +39,7 @@ QUERIES = [
     ("fk_integrity_audit", "linear; distinct-parent anti-probe, bare-key shuffle"),
     ("embedding_drift", "linear; 2·d fixed-point aggregate rows"),
     ("dedup_method_eval", "candidate-gen dominated; eval join is pair-keys only"),
+    ("linreg_closed_form", "linear; one pass, ten integer aggregates, one row"),
 ]
 
 SFS = [
