@@ -146,7 +146,8 @@ _PRIORITY = (
 # Next candidates to rotate IN: any r7-new operators first, then the
 # four r6-new oracle-backed queries that ran out of prefix room —
 # bloom_calibration, bpe_vocab, snapshot_diff, dedup_method_eval,
-# fk_integrity_audit, embedding_drift, linreg_closed_form (all
+# fk_integrity_audit, embedding_drift, linreg_closed_form,
+# profile_events (all
 # pytest-oracle-green; bpe_vocab's training core is driver-checked via
 # bpe_merges) — then the rows-only family never driver-run
 # (streaming_bloom_gate — r6-new, equality-pinned to the oracle-backed

@@ -1512,3 +1512,87 @@ def bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sym.select(
         "symbol", "n_tokens", is_merged.alias("is_merged")
     ).orderBy(F.col("n_tokens").desc(), "symbol")
+
+
+# ---------------------------------------------------------------------
+# Event-stream profiling (time-series ingest report)
+# ---------------------------------------------------------------------
+
+_EVPROF_SQL = f"""
+WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+                  value, props FROM events)
+SELECT 'event_id' AS col, cast(count(*) AS bigint) AS n_rows,
+       cast(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_null,
+       cast(count(DISTINCT event_id) AS bigint) AS n_distinct,
+       cast(min(event_id) AS bigint) AS min_val,
+       cast(max(event_id) AS bigint) AS max_val
+FROM e
+UNION ALL
+SELECT 'ts_us', count(*),
+       cast(sum(CASE WHEN ts_us IS NULL THEN 1 ELSE 0 END) AS bigint),
+       cast(count(DISTINCT ts_us) AS bigint),
+       cast(min(ts_us) AS bigint), cast(max(ts_us) AS bigint)
+FROM e
+UNION ALL
+SELECT 'user_id', count(*),
+       cast(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS bigint),
+       cast(count(DISTINCT user_id) AS bigint),
+       cast(min(user_id) AS bigint), cast(max(user_id) AS bigint)
+FROM e
+UNION ALL
+SELECT 'event_type', count(*),
+       cast(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS bigint),
+       cast(count(DISTINCT event_type) AS bigint),
+       cast(min(len(event_type)) AS bigint), cast(max(len(event_type)) AS bigint)
+FROM e
+UNION ALL
+SELECT 'props', count(*),
+       cast(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS bigint),
+       cast(count(DISTINCT props) AS bigint),
+       cast(min(len(props)) AS bigint), cast(max(len(props)) AS bigint)
+FROM e
+ORDER BY col
+"""
+
+
+@register("profile_events", oracle=_EVPROF_SQL, tags=("text", "stats", "audit"))
+def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """profile_documents' ANALYZE report for the EVENT STREAM — the
+    ingest health check for time-series data: per-column null/distinct
+    counts, id and timestamp ranges (micros — gap/clock-skew triage),
+    and string-length extrema. Numeric columns report value ranges,
+    string columns length ranges, in one tall frame.
+
+    Scale: same as profile_documents — count(DISTINCT) carries the
+    only shuffle; 100 TB swaps it for approx_count_distinct with the
+    rest unchanged."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "props",
+    )
+
+    def prof(col: str, measure) -> DataFrame:
+        c = F.col(col)
+        return ev.agg(
+            F.lit(col).alias("col"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.when(c.isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_null"),
+            F.count_distinct(c).cast("bigint").alias("n_distinct"),
+            F.min(measure(c)).cast("bigint").alias("min_val"),
+            F.max(measure(c)).cast("bigint").alias("max_val"),
+        )
+
+    ident = lambda c: c  # noqa: E731
+    return (
+        prof("event_id", ident)
+        .union(prof("ts_us", ident))
+        .union(prof("user_id", ident))
+        .union(prof("event_type", F.length))
+        .union(prof("props", F.length))
+        .orderBy("col")
+    )

@@ -33,6 +33,7 @@ SELECT * FROM (VALUES
 
 QUERIES = [
     "sessionize_events",
+    "profile_events",
     "ms_round_convert",
     "json_extract_props",
     "case_adaptive_guard",

@@ -63,6 +63,7 @@ FAMILIES = [
     "fk_integrity_audit",
     "embedding_drift",
     "linreg_closed_form",
+    "profile_events",
 ]
 
 # row counts that are CONSTANT by design (parameter reports / per-dim
@@ -73,6 +74,7 @@ _EXPECTED_NONZERO = {
     "bloom_calibration": 1,  # global aggregate: one all-zero row
     "fk_integrity_audit": 5,  # one all-zero row per declared FK
     "linreg_closed_form": 1,  # global aggregate: one NULL-model row
+    "profile_events": 5,  # one row per profiled column
 }
 
 

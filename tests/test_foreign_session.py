@@ -121,6 +121,7 @@ def test_all_parquet_timestamps_normalized_to_ltz(bare_session, sf_dir):
         "fk_integrity_audit",
         "embedding_drift",
         "linreg_closed_form",
+        "profile_events",
     ],
 )
 def test_events_queries_on_bare_session(bare_session, sf_dir, name):
