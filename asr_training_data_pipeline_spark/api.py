@@ -124,19 +124,28 @@ _PRIORITY = (
     # (the r5 verdict's task-2 lesson) — exact distributed quantiles
     # via bucket histogram + targeted recount, oracle-backed
     "exact_quantiles_orders",
+    # late-r6 operators: the audit/eval/ML wave built after the wave-3
+    # rotation — same first-round-exposure rule. Six slots funded by
+    # deferring the second green of six once-green r5-wave members
+    # whose families keep prefix reps (pack_sequences,
+    # train_test_split, bottomk_sample_per_lang — curation keeps four
+    # reps; funnel_stages — events keeps anomalies + z-order;
+    # dedup_incremental — the bloom probe IS the incremental shape;
+    # sink_training_shards — sinks keep sink_export_manifest). All six
+    # retirees stay pytest-oracle-covered every run.
+    "dedup_method_eval",
+    "fk_integrity_audit",
+    "embedding_drift",
+    "linreg_closed_form",
+    "snapshot_diff",
+    "profile_events",
     # r5 rotation wave, kept for a second green (once-green in r5):
     "zorder_layout_events",
     "ann_sq8_topk",
     "kmeans_embeddings",
-    "pack_sequences",
-    "train_test_split",
-    "bottomk_sample_per_lang",
-    "funnel_stages",
     "event_rate_anomalies",
-    "dedup_incremental",
     "streaming_interval_join",
     "streaming_curation_gate",
-    "sink_training_shards",
 )
 
 # Rotation queue for the NEXT prefix refresh: with wave 3 plus
@@ -144,12 +153,13 @@ _PRIORITY = (
 # the registry has either a driver CORRECTNESS row already or a slot
 # this round — the never-checked set is empty if r6 comes back green.
 # Next candidates to rotate IN: any r7-new operators first, then the
-# four r6-new oracle-backed queries that ran out of prefix room —
-# bloom_calibration, bpe_vocab, snapshot_diff, dedup_method_eval,
-# fk_integrity_audit, embedding_drift, linreg_closed_form,
-# profile_events (all
-# pytest-oracle-green; bpe_vocab's training core is driver-checked via
-# bpe_merges) — then the rows-only family never driver-run
+# two r6-new oracle-backed queries still without a slot —
+# bloom_calibration and bpe_vocab (both pytest-oracle-green, and each
+# one's core is driver-checked via dedup_bloom_probe / bpe_merges) —
+# then second greens for the six r5-wave members deferred mid-r6
+# (pack_sequences, train_test_split, bottomk_sample_per_lang,
+# funnel_stages, dedup_incremental, sink_training_shards), then the
+# rows-only family never driver-run
 # (streaming_bloom_gate — r6-new, equality-pinned to the oracle-backed
 # batch probe —, mllib_tfidf_features, mllib_brp_ann_topk,
 # multimodal_frame_sample, vad_speech_segments), then a third green for sessionize_events /
