@@ -137,13 +137,13 @@ _PRIORITY = (
     "fk_integrity_audit",
     "embedding_drift",
     "linreg_closed_form",
+    "logreg_irls_probe",
     "snapshot_diff",
     "profile_events",
     # r5 rotation wave, kept for a second green (once-green in r5):
     "zorder_layout_events",
     "ann_sq8_topk",
     "kmeans_embeddings",
-    "event_rate_anomalies",
     "streaming_interval_join",
     "streaming_curation_gate",
 )
@@ -158,7 +158,9 @@ _PRIORITY = (
 # one's core is driver-checked via dedup_bloom_probe / bpe_merges) —
 # then second greens for the six r5-wave members deferred mid-r6
 # (pack_sequences, train_test_split, bottomk_sample_per_lang,
-# funnel_stages, dedup_incremental, sink_training_shards), then the
+# funnel_stages, dedup_incremental, sink_training_shards,
+# event_rate_anomalies — the last deferred for logreg_irls_probe),
+# then the
 # rows-only family never driver-run
 # (streaming_bloom_gate — r6-new, equality-pinned to the oracle-backed
 # batch probe —, mllib_tfidf_features, mllib_brp_ann_topk,

@@ -1189,3 +1189,242 @@ def linreg_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.when(nz, c("det2") / c("det")), 6).alias("beta2"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------
+# Logistic probe via two IRLS steps (classifier-training companion)
+# ---------------------------------------------------------------------
+
+_LOGREG_LABEL = 300  # y = (n_chars > LABEL) — near-median split
+
+
+def _cramer3_sql(prefix: str = "") -> str:
+    """The 3×3 Cramer determinant expressions over columns a11..b3 —
+    shared association with linreg_closed_form's solve."""
+    return f"""
+    a11*(a22*a33 - a23*a23) - a12*(a12*a33 - a23*a13)
+      + a13*(a12*a23 - a22*a13) AS {prefix}det,
+    b1*(a22*a33 - a23*a23) - a12*(b2*a33 - a23*b3)
+      + a13*(b2*a23 - a22*b3) AS {prefix}det0,
+    a11*(b2*a33 - a23*b3) - b1*(a12*a33 - a23*a13)
+      + a13*(a12*b3 - b2*a13) AS {prefix}det1,
+    a11*(a22*b3 - b2*a23) - a12*(a12*b3 - b2*a13)
+      + b1*(a12*a23 - a22*a13) AS {prefix}det2"""
+
+
+_LOGREG_SQL = f"""
+WITH f AS (
+  SELECT CASE WHEN cast(n_chars AS bigint) > {_LOGREG_LABEL} THEN 1 ELSE 0 END AS y,
+         cast(len(string_split(text, ' ')) AS bigint) AS x1,
+         cast(len(list_filter(string_split(text, ' '), w -> len(w) > 5))
+           AS bigint) AS x2
+  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL
+),
+m1 AS (
+  SELECT cast(count(*) AS double) AS a11,
+         cast(sum(x1) AS double) AS a12, cast(sum(x2) AS double) AS a13,
+         cast(sum(x1*x1) AS double) AS a22, cast(sum(x1*x2) AS double) AS a23,
+         cast(sum(x2*x2) AS double) AS a33,
+         cast(sum(4*y - 2) AS double) AS b1,
+         cast(sum(x1*(4*y - 2)) AS double) AS b2,
+         cast(sum(x2*(4*y - 2)) AS double) AS b3
+  FROM f
+),
+d1 AS (SELECT *, {_cramer3_sql()} FROM m1),
+g AS (SELECT det0/det AS g0, det1/det AS g1, det2/det AS g2
+      FROM d1 WHERE det <> 0),
+s2 AS (SELECT f.y, f.x1, f.x2, b.g0 + b.g1*f.x1 + b.g2*f.x2 AS eta FROM f, g b),
+q2 AS (
+  SELECT y, x1, x2, eta,
+         greatest(1, least(999,
+           cast(floor(1000.0/(1.0 + exp(-eta)) + 0.5) AS bigint))) AS pu
+  FROM s2
+),
+r2 AS (
+  SELECT y, x1, x2,
+         pu*(1000 - pu) AS wu,
+         cast(floor((eta + (1000*y - pu)*1000.0/(pu*(1000 - pu)))*1000.0 + 0.5)
+           AS bigint) AS zu
+  FROM q2
+),
+m2 AS (
+  SELECT cast(sum(wu) AS double) AS a11,
+         cast(sum(wu*x1) AS double) AS a12, cast(sum(wu*x2) AS double) AS a13,
+         cast(sum(wu*x1*x1) AS double) AS a22, cast(sum(wu*x1*x2) AS double) AS a23,
+         cast(sum(wu*x2*x2) AS double) AS a33,
+         cast(sum(wu*zu) AS double)/1000.0 AS b1,
+         cast(sum(wu*x1*zu) AS double)/1000.0 AS b2,
+         cast(sum(wu*x2*zu) AS double)/1000.0 AS b3
+  FROM r2
+),
+d2 AS (SELECT *, {_cramer3_sql()} FROM m2),
+b2c AS (SELECT det0/det AS c0, det1/det AS c1, det2/det AS c2
+        FROM d2 WHERE det <> 0),
+acc AS (
+  SELECT cast(count(*) AS bigint) AS n,
+         sum(CASE WHEN (b.c0 + b.c1*f.x1 + b.c2*f.x2 >= 0) = (f.y = 1)
+                  THEN 1 ELSE 0 END) AS hit
+  FROM f, b2c b
+)
+SELECT acc.n AS n_rows,
+       round(b.c0, 6) AS beta0, round(b.c1, 6) AS beta1,
+       round(b.c2, 6) AS beta2,
+       round(cast(acc.hit AS double) / acc.n, 6) AS train_accuracy
+FROM acc, b2c b
+"""
+
+
+@register("logreg_irls_probe", oracle=_LOGREG_SQL, tags=("curation", "ml", "iterative"))
+def logreg_irls_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOGISTIC-regression probe trained by TWO IRLS steps — the
+    classification companion to linreg_closed_form (quality-gate
+    classifiers train exactly like this at scale: each IRLS step is
+    one weighted-moment pass + a tiny solve). Step 1 from β=0 has
+    constant weights, so it IS the closed-form linear solve on
+    z = 4(y−½) — pure integer moments. Step 2 scores η per row,
+    micro-quantizes the sigmoid to the 1e-3 grid (clamped [.001,.999]
+    — standard IRLS guard), so the reweighted moments are again exact
+    INTEGERS under any partitioning; the working response rounds to
+    the same grid.
+
+    Cross-engine exactness rides on the JVM's and DuckDB's exp()
+    agreeing at each distinct η (the bigram-LM caveat: a 1-ulp libm
+    divergence exactly on a floor boundary would flip one pu) — the
+    parity suites, not this comment, are the guarantee. Everything
+    else (Cramer solves, accuracy pass) uses identical association.
+
+    Scale: two scans + one accuracy pass, each reducing to ≤10
+    aggregate values; the model crosses the cluster as a broadcast
+    1-row frame. No shuffle beyond map-side partials."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    f = docs.filter(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    ).select(
+        F.when(F.col("n_chars").cast("bigint") > _LOGREG_LABEL, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("y"),
+        F.size(words).cast("bigint").alias("x1"),
+        F.size(F.filter(words, lambda w: F.length(w) > 5))
+        .cast("bigint")
+        .alias("x2"),
+    )
+
+    c = F.col
+
+    def cramer(frame):
+        det = (
+            c("a11") * (c("a22") * c("a33") - c("a23") * c("a23"))
+            - c("a12") * (c("a12") * c("a33") - c("a23") * c("a13"))
+            + c("a13") * (c("a12") * c("a23") - c("a22") * c("a13"))
+        )
+        det0 = (
+            c("b1") * (c("a22") * c("a33") - c("a23") * c("a23"))
+            - c("a12") * (c("b2") * c("a33") - c("a23") * c("b3"))
+            + c("a13") * (c("b2") * c("a23") - c("a22") * c("b3"))
+        )
+        det1 = (
+            c("a11") * (c("b2") * c("a33") - c("a23") * c("b3"))
+            - c("b1") * (c("a12") * c("a33") - c("a23") * c("a13"))
+            + c("a13") * (c("a12") * c("b3") - c("b2") * c("a13"))
+        )
+        det2 = (
+            c("a11") * (c("a22") * c("b3") - c("b2") * c("a23"))
+            - c("a12") * (c("a12") * c("b3") - c("b2") * c("a13"))
+            + c("b1") * (c("a12") * c("a23") - c("a22") * c("a13"))
+        )
+        return frame.select(
+            "*",
+            det.alias("det"),
+            det0.alias("det0"),
+            det1.alias("det1"),
+            det2.alias("det2"),
+        )
+
+    m1 = f.agg(
+        F.count("*").cast("double").alias("a11"),
+        F.sum("x1").cast("double").alias("a12"),
+        F.sum("x2").cast("double").alias("a13"),
+        F.sum(c("x1") * c("x1")).cast("double").alias("a22"),
+        F.sum(c("x1") * c("x2")).cast("double").alias("a23"),
+        F.sum(c("x2") * c("x2")).cast("double").alias("a33"),
+        F.sum(4 * c("y") - 2).cast("double").alias("b1"),
+        F.sum(c("x1") * (4 * c("y") - 2)).cast("double").alias("b2"),
+        F.sum(c("x2") * (4 * c("y") - 2)).cast("double").alias("b3"),
+    )
+    g = (
+        cramer(m1)
+        .filter(c("det") != 0)
+        .select(
+            (c("det0") / c("det")).alias("g0"),
+            (c("det1") / c("det")).alias("g1"),
+            (c("det2") / c("det")).alias("g2"),
+        )
+    )
+    eta = c("g0") + c("g1") * c("x1") + c("g2") * c("x2")
+    s2 = f.crossJoin(F.broadcast(g)).select("y", "x1", "x2", eta.alias("eta"))
+    pu = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.least(
+            F.lit(999).cast("bigint"),
+            F.floor(
+                F.lit(1000.0) / (F.lit(1.0) + F.exp(-c("eta"))) + F.lit(0.5)
+            ).cast("bigint"),
+        ),
+    )
+    q2 = s2.select("y", "x1", "x2", "eta", pu.alias("pu"))
+    zu = F.floor(
+        (
+            c("eta")
+            + (1000 * c("y") - c("pu"))
+            * F.lit(1000.0)
+            / (c("pu") * (1000 - c("pu")))
+        )
+        * F.lit(1000.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    r2 = q2.select(
+        "y",
+        "x1",
+        "x2",
+        (c("pu") * (1000 - c("pu"))).alias("wu"),
+        zu.alias("zu"),
+    )
+    m2 = r2.agg(
+        F.sum("wu").cast("double").alias("a11"),
+        F.sum(c("wu") * c("x1")).cast("double").alias("a12"),
+        F.sum(c("wu") * c("x2")).cast("double").alias("a13"),
+        F.sum(c("wu") * c("x1") * c("x1")).cast("double").alias("a22"),
+        F.sum(c("wu") * c("x1") * c("x2")).cast("double").alias("a23"),
+        F.sum(c("wu") * c("x2") * c("x2")).cast("double").alias("a33"),
+        (F.sum(c("wu") * c("zu")).cast("double") / 1000.0).alias("b1"),
+        (F.sum(c("wu") * c("x1") * c("zu")).cast("double") / 1000.0).alias("b2"),
+        (F.sum(c("wu") * c("x2") * c("zu")).cast("double") / 1000.0).alias("b3"),
+    )
+    b2c = (
+        cramer(m2)
+        .filter(c("det") != 0)
+        .select(
+            (c("det0") / c("det")).alias("c0"),
+            (c("det1") / c("det")).alias("c1"),
+            (c("det2") / c("det")).alias("c2"),
+        )
+    )
+    pred_ok = (
+        (c("c0") + c("c1") * c("x1") + c("c2") * c("x2") >= 0) == (c("y") == 1)
+    )
+    acc = (
+        f.crossJoin(F.broadcast(b2c))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.when(pred_ok, 1).otherwise(0)).alias("hit"),
+        )
+    )
+    return acc.crossJoin(F.broadcast(b2c)).select(
+        c("n").alias("n_rows"),
+        F.round("c0", 6).alias("beta0"),
+        F.round("c1", 6).alias("beta1"),
+        F.round("c2", 6).alias("beta2"),
+        F.round(c("hit").cast("double") / c("n"), 6).alias("train_accuracy"),
+    )

@@ -40,6 +40,7 @@ QUERIES = [
     ("embedding_drift", "linear; 2·d fixed-point aggregate rows"),
     ("dedup_method_eval", "candidate-gen dominated; eval join is pair-keys only"),
     ("linreg_closed_form", "linear; one pass, ten integer aggregates, one row"),
+    ("logreg_irls_probe", "linear; 2 IRLS passes + accuracy pass, broadcast 1-row model"),
 ]
 
 SFS = [

@@ -97,6 +97,7 @@ QUERIES = [
     "snapshot_diff",
     "dedup_method_eval",
     "linreg_closed_form",
+    "logreg_irls_probe",
 ]
 
 

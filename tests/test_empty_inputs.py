@@ -64,6 +64,7 @@ FAMILIES = [
     "embedding_drift",
     "linreg_closed_form",
     "profile_events",
+    "logreg_irls_probe",
 ]
 
 # row counts that are CONSTANT by design (parameter reports / per-dim

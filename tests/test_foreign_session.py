@@ -122,6 +122,7 @@ def test_all_parquet_timestamps_normalized_to_ltz(bare_session, sf_dir):
         "embedding_drift",
         "linreg_closed_form",
         "profile_events",
+        "logreg_irls_probe",
     ],
 )
 def test_events_queries_on_bare_session(bare_session, sf_dir, name):

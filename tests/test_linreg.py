@@ -53,3 +53,30 @@ def test_linreg_degenerate_design_yields_nulls(spark, tmp_path):
     assert row.n_rows == 20
     assert row.beta0 is None and row.beta1 is None and row.beta2 is None
     assert row.r2 is None
+
+
+def test_logreg_probe_fits_and_is_sane(spark, sf_dir):
+    row = REGISTRY["logreg_irls_probe"].fn(spark, sf_dir).collect()[0]
+    assert row.n_rows > 0
+    assert row.train_accuracy is not None and row.train_accuracy > 0.9
+    for b in (row.beta0, row.beta1, row.beta2):
+        assert b is not None and abs(b) < 1e6
+
+
+def test_logreg_degenerate_design_yields_empty(spark, tmp_path):
+    """Constant features make step 1 singular: the model frame is
+    empty and the query returns zero rows (same as the oracle's empty
+    cross join), never an ANSI division error."""
+    import os
+
+    import duckdb
+
+    d = str(tmp_path / "degen_lr")
+    os.makedirs(d, exist_ok=True)
+    duckdb.sql(
+        "COPY (SELECT g AS doc_id, 'aaaaaaaa bb' AS text, 'en' AS lang,"
+        " 'src' AS source, CASE WHEN g % 2 = 0 THEN 100 ELSE 400 END AS n_chars"
+        " FROM unnest(range(20)) u(g))"
+        f" TO '{d}/documents.parquet' (FORMAT PARQUET)"
+    )
+    assert REGISTRY["logreg_irls_probe"].fn(spark, d).count() == 0
