@@ -66,3 +66,44 @@ def test_bpe_vocab_conserves_chars(spark, sf_dir):
     assert got == int(want)
     # and at least one merge-produced symbol survives in the corpus
     assert bool(vocab.is_merged.any())
+
+
+def test_bpe_replace_semantics_match_reference(spark):
+    """The documented merge semantic — leftmost, non-overlapping,
+    continue-after-replacement over the sentinel-delimited spaced form
+    — pinned against a pure-Python reference on hypothesis-generated
+    words (runs of one char are the hard case: 'a a a a' must become
+    'aa a a', not 'aa aa')."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    def py_merge(spaced: str, pair: str) -> str:
+        # str.replace IS leftmost/non-overlapping/continue-after
+        return spaced.replace(f" {pair} ", f" {pair.replace(' ', '')} ")
+
+    words = st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=6), min_size=1, max_size=5
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(ws=words, pa=st.sampled_from(["a", "b", "ab"]),
+           pb=st.sampled_from(["a", "b", "ba"]))
+    def check(ws, pa, pb):
+        pair = f"{pa} {pb}"
+        spaced = [" " + " ".join(w) + " " for w in ws]
+        want = [py_merge(s, pair) for s in spaced]
+        df = spark.createDataFrame([(s,) for s in spaced], "sp string")
+        got = [
+            r.m
+            for r in df.select(
+                F.replace(
+                    F.col("sp"),
+                    F.lit(f" {pair} "),
+                    F.lit(" " + pair.replace(" ", "") + " "),
+                ).alias("m")
+            ).collect()
+        ]
+        assert sorted(got) == sorted(want)
+
+    check()
