@@ -227,3 +227,31 @@ def test_unigram_score_table_broadcast(spark, sf_dir):
     plan = _executed_plan(spark, sf_dir, "unigram_perplexity")
     assert plan.count("SortMergeJoin") == 0
     assert "BroadcastHashJoin" in plan
+
+
+def test_fk_audit_dimensions_broadcast(spark, sf_dir):
+    """The four dimension-keyed checks must probe by broadcast; no
+    exchange may carry anything but bare keys (the one fact-fact
+    check's shuffle)."""
+    plan = _executed_plan(spark, sf_dir, "fk_integrity_audit")
+    assert "BroadcastHashJoin" in plan
+    for part in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        cols = [k.strip().split("#")[0] for k in part.split(",")[:-1]]
+        assert all(c in ("k",) for c in cols), part
+
+
+def test_snapshot_diff_shuffles_hashes_only(spark, sf_dir):
+    """The full-outer compare exchanges ids and 32-char hashes —
+    never the text bodies."""
+    plan = _executed_plan(spark, sf_dir, "snapshot_diff")
+    for part in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in part, part
+
+
+def test_glm_probes_have_no_shuffle_joins(spark, sf_dir):
+    """Both probes reduce to global aggregates plus broadcast 1-row
+    model frames: a SortMergeJoin anywhere means the model frame
+    stopped broadcasting."""
+    for q in ("linreg_closed_form", "logreg_irls_probe"):
+        plan = _executed_plan(spark, sf_dir, q)
+        assert "SortMergeJoin" not in plan, q
