@@ -153,7 +153,8 @@ _PRIORITY = (
 # the registry has either a driver CORRECTNESS row already or a slot
 # this round — the never-checked set is empty if r6 comes back green.
 # Next candidates to rotate IN: any r7-new operators first, then the
-# two r6-new oracle-backed queries still without a slot —
+# r6-new oracle-backed queries still without a slot —
+# langid_trained (Cavnar-Trenkle rank-profile classifier),
 # bloom_calibration and bpe_vocab (both pytest-oracle-green, and each
 # one's core is driver-checked via dedup_bloom_probe / bpe_merges) —
 # then second greens for the six r5-wave members deferred mid-r6

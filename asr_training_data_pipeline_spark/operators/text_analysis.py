@@ -8,7 +8,7 @@ order, so equality is exact.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -1595,4 +1595,158 @@ def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(prof("event_type", F.length))
         .union(prof("props", F.length))
         .orderBy("col")
+    )
+
+
+# ---------------------------------------------------------------------
+# Trained character-trigram language ID (Cavnar–Trenkle)
+# ---------------------------------------------------------------------
+
+_CT_K = 30       # profile size (top-K trigrams)
+_CT_TRAIN_MOD = 5  # doc_id % MOD != 0 trains; == 0 scores
+
+_CT_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang, lower(text) AS t FROM documents
+  WHERE text IS NOT NULL AND lang IS NOT NULL
+    AND regexp_matches(text, '^[ -~]+$')
+),
+tg AS (
+  SELECT doc_id, lang, substring(t, i, 3) AS g
+  FROM d, unnest(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3
+),
+prof AS (
+  SELECT lang, g, rank FROM (
+    SELECT lang, g, row_number() OVER (PARTITION BY lang
+             ORDER BY count(*) DESC, g) AS rank
+    FROM tg WHERE doc_id % {_CT_TRAIN_MOD} <> 0
+    GROUP BY lang, g)
+  WHERE rank <= {_CT_K}
+),
+dprof AS (
+  SELECT doc_id, g, rank FROM (
+    SELECT doc_id, g, row_number() OVER (PARTITION BY doc_id
+             ORDER BY count(*) DESC, g) AS rank
+    FROM tg WHERE doc_id % {_CT_TRAIN_MOD} = 0
+    GROUP BY doc_id, g)
+  WHERE rank <= {_CT_K}
+),
+langs AS (SELECT DISTINCT lang FROM prof),
+dist AS (
+  SELECT dp.doc_id, l.lang,
+         cast(sum(CASE WHEN p.rank IS NULL THEN {_CT_K}
+                  ELSE abs(dp.rank - p.rank) END) AS bigint) AS d
+  FROM dprof dp CROSS JOIN langs l
+  LEFT JOIN prof p ON p.lang = l.lang AND p.g = dp.g
+  GROUP BY 1, 2
+),
+pred AS (
+  SELECT doc_id, lang AS predicted, d AS rank_distance FROM (
+    SELECT doc_id, lang, d,
+           row_number() OVER (PARTITION BY doc_id ORDER BY d, lang) AS rn
+    FROM dist) WHERE rn = 1
+)
+SELECT p.doc_id, p.predicted, d.lang AS actual, p.rank_distance,
+       (p.predicted = d.lang) AS correct
+FROM pred p JOIN d ON d.doc_id = p.doc_id
+ORDER BY p.doc_id
+"""
+
+
+@register("langid_trained", oracle=_CT_SQL, tags=("text", "langid", "iterative"))
+def langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED language ID by character-trigram rank profiles (Cavnar
+    & Trenkle, SDAIR 1994) — the classic pre-neural langid: per
+    language, the top-K trigrams of the training split ranked by
+    frequency; a held-out document is classified to the language
+    minimizing the out-of-place rank distance (missing trigram costs
+    K). Deterministic ties everywhere ((count desc, trigram asc) for
+    ranks, (distance, lang) for the argmin), integer distances → the
+    SQL oracle hash-matches exactly.
+
+    The fixture's lang labels are assigned independently of the text
+    (every doc is the same English-ish word salad), so CHANCE-level
+    accuracy is the expected, honest result here — the machinery, not
+    the fixture's score, is what the oracle checks (lang_id_confusion
+    documents the same property for the heuristic).
+
+    Scale: training reduces the corpus to L·K profile rows (trigram
+    counts map-side combined, one lang-keyed window over vocab-sized
+    groups); each scored doc reduces to ≤K profile rows; the distance
+    join probes the broadcast L·K profile, and the per-doc argmin
+    window sees L rows per doc. ASCII-printable text only (explicit
+    class — the engines' substring units agree there)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.filter(
+        F.col("text").isNotNull()
+        & F.col("lang").isNotNull()
+        & F.col("text").rlike("^[ -~]+$")
+    ).select("doc_id", "lang", F.lower("text").alias("t"))
+    # substring-by-column needs the SQL form; the length guard matters
+    # because Spark's sequence(start, stop) generates DESCENDING when
+    # start > stop
+    grams = F.when(
+        F.length("t") >= 3,
+        F.expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))"),
+    ).otherwise(F.array().cast("array<string>"))
+    tg = d.select("doc_id", "lang", F.explode(grams).alias("g"))
+
+    w_lang = W.partitionBy("lang").orderBy(F.col("cnt").desc(), "g")
+    prof = (
+        tg.filter(F.col("doc_id") % _CT_TRAIN_MOD != 0)
+        .groupBy("lang", "g")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rank", F.row_number().over(w_lang))
+        .filter(F.col("rank") <= _CT_K)
+        .select("lang", "g", "rank")
+    )
+    w_doc = W.partitionBy("doc_id").orderBy(F.col("cnt").desc(), "g")
+    dprof = (
+        tg.filter(F.col("doc_id") % _CT_TRAIN_MOD == 0)
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rank", F.row_number().over(w_doc))
+        .filter(F.col("rank") <= _CT_K)
+        .select("doc_id", "g", F.col("rank").alias("drank"))
+    )
+    langs = prof.select("lang").distinct()
+    dist = (
+        dprof.crossJoin(F.broadcast(langs))
+        .join(
+            F.broadcast(prof.select("lang", "g", F.col("rank").alias("prank"))),
+            ["lang", "g"],
+            "left",
+        )
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(
+                F.when(F.col("prank").isNull(), _CT_K).otherwise(
+                    F.abs(F.col("drank") - F.col("prank"))
+                )
+            )
+            .cast("bigint")
+            .alias("d")
+        )
+    )
+    w_pred = W.partitionBy("doc_id").orderBy("d", "lang")
+    pred = (
+        dist.withColumn("rn", F.row_number().over(w_pred))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("lang").alias("predicted"),
+            F.col("d").alias("rank_distance"),
+        )
+    )
+    return (
+        pred.join(d.select("doc_id", F.col("lang").alias("actual")), "doc_id")
+        .select(
+            "doc_id",
+            "predicted",
+            "actual",
+            "rank_distance",
+            (F.col("predicted") == F.col("actual")).alias("correct"),
+        )
+        .orderBy("doc_id")
     )

@@ -98,6 +98,7 @@ QUERIES = [
     "dedup_method_eval",
     "linreg_closed_form",
     "logreg_irls_probe",
+    "langid_trained",
 ]
 
 

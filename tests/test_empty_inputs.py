@@ -65,6 +65,7 @@ FAMILIES = [
     "linreg_closed_form",
     "profile_events",
     "logreg_irls_probe",
+    "langid_trained",
 ]
 
 # row counts that are CONSTANT by design (parameter reports / per-dim

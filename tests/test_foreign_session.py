@@ -123,6 +123,7 @@ def test_all_parquet_timestamps_normalized_to_ltz(bare_session, sf_dir):
         "linreg_closed_form",
         "profile_events",
         "logreg_irls_probe",
+        "langid_trained",
     ],
 )
 def test_events_queries_on_bare_session(bare_session, sf_dir, name):
