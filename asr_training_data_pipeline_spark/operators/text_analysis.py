@@ -1334,10 +1334,22 @@ def cms_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------
 
 _BPE_N_MERGES = 8
-# tokenizer training domain: ascii word types (explicit class — both
-# engines' regex and char-splitting agree; outside ascii, Spark splits
-# UTF-16 code units where DuckDB splits code points)
-_BPE_WORD_RE = "^[a-z0-9]+$"
+
+# ASCII-only casefold (r7, VERDICT r6 task 1): full Unicode lower() is
+# engine-divergent (Spark maps U+0130 İ -> 'i'+combining-dot, DuckDB ->
+# plain 'i'; Spark emits final sigma 'ς' where DuckDB keeps 'σ' — both
+# probed on this toolchain), so the trained text operators fold ONLY
+# [A-Z] via translate (identical on both engines, probed incl.
+# fullwidth/CJK/emoji) and preserve case outside ASCII — which is also
+# what production subword tokenizers do (Sennrich BPE is
+# case-sensitive). Every other primitive these operators use —
+# substring/length, empty-separator split, binary string ORDER BY —
+# is codepoint-exact and engine-identical (probed on CJK, combining
+# marks, and supplementary-plane emoji; Spark 4's UTF8String and
+# DuckDB both index CODE POINTS, not UTF-16 units).
+_ASCII_UP = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LO = "abcdefghijklmnopqrstuvwxyz"
+_FOLD_SQL = f"translate(text, '{_ASCII_UP}', '{_ASCII_LO}')"
 
 
 def _bpe_cte() -> str:
@@ -1350,8 +1362,8 @@ def _bpe_cte() -> str:
     Ends at v{N} (the fully-merged segmentation) and b0..b{N-1}."""
     parts = [f"""WITH w0 AS (
   SELECT w, cast(count(*) AS bigint) AS cnt FROM (
-    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
-  WHERE regexp_matches(w, '{_BPE_WORD_RE}') AND len(w) >= 2
+    SELECT unnest(string_split({_FOLD_SQL}, ' ')) AS w FROM documents)
+  WHERE len(w) >= 2
   GROUP BY w
 ),
 v0 AS (SELECT w, cnt,
@@ -1433,7 +1445,15 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pair, count) partials, and the driver collects ONE row per round
     (the argmax), holding the merge list as the model. This is how
     production BPE trainers work: stream the corpus once into word
-    counts, iterate on the counts."""
+    counts, iterate on the counts.
+
+    Unicode (r7): the word domain is ANY space-delimited token of ≥2
+    code points — CJK, diacritics, combining marks, and emoji all
+    train (symbols are code points; split('')/length are
+    codepoint-exact and engine-identical, probed). Casefold is
+    ASCII-only (see _FOLD_SQL) because full Unicode lower() is
+    engine-divergent — and real subword tokenizers are case-sensitive
+    anyway."""
     merges, _v = _bpe_train(spark, sf_dir)
     return spark.createDataFrame(
         merges,
@@ -1446,11 +1466,12 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
     word-type table with the fully-merged spaced segmentation."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
-        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+        F.explode(
+            F.split(F.translate("text", _ASCII_UP, _ASCII_LO), " ")
+        ).alias("w")
     )
     w0 = (
-        toks.filter(F.col("w").rlike(_BPE_WORD_RE))
-        .filter(F.length("w") >= 2)
+        toks.filter(F.length("w") >= 2)
         .groupBy("w")
         .agg(F.count("*").cast("bigint").alias("cnt"))
     )
@@ -1607,9 +1628,8 @@ _CT_TRAIN_MOD = 5  # doc_id % MOD != 0 trains; == 0 scores
 
 _CT_SQL = f"""
 WITH d AS (
-  SELECT doc_id, lang, lower(text) AS t FROM documents
+  SELECT doc_id, lang, {_FOLD_SQL} AS t FROM documents
   WHERE text IS NOT NULL AND lang IS NOT NULL
-    AND regexp_matches(text, '^[ -~]+$')
 ),
 tg AS (
   SELECT doc_id, lang, substring(t, i, 3) AS g
@@ -1675,14 +1695,18 @@ def langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts map-side combined, one lang-keyed window over vocab-sized
     groups); each scored doc reduces to ≤K profile rows; the distance
     join probes the broadcast L·K profile, and the per-doc argmin
-    window sees L rows per doc. ASCII-printable text only (explicit
-    class — the engines' substring units agree there)."""
+    window sees L rows per doc.
+
+    Unicode: trigrams are CODE POINTS on both engines (substring/
+    length probed codepoint-exact on CJK, combining marks, emoji), so
+    any script classifies; only the casefold is ASCII-restricted (see
+    _FOLD_SQL — full Unicode lower() is engine-divergent on İ/ς)."""
     docs = load_table(spark, sf_dir, "documents")
     d = docs.filter(
-        F.col("text").isNotNull()
-        & F.col("lang").isNotNull()
-        & F.col("text").rlike("^[ -~]+$")
-    ).select("doc_id", "lang", F.lower("text").alias("t"))
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    ).select(
+        "doc_id", "lang", F.translate("text", _ASCII_UP, _ASCII_LO).alias("t")
+    )
     # substring-by-column needs the SQL form; the length guard matters
     # because Spark's sequence(start, stop) generates DESCENDING when
     # start > stop

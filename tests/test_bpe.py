@@ -49,7 +49,8 @@ def test_bpe_vocab_conserves_chars(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from asr_training_data_pipeline_spark.operators.text_analysis import (
-        _BPE_WORD_RE,
+        _ASCII_LO,
+        _ASCII_UP,
     )
     from asr_training_data_pipeline_spark.sources.tables import load_table
 
@@ -58,8 +59,11 @@ def test_bpe_vocab_conserves_chars(spark, sf_dir):
     got = int((vocab.n_tokens * vocab.symbol.str.len()).sum())
     docs = load_table(spark, sf_dir, "documents")
     w = (
-        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
-        .filter(F.col("w").rlike(_BPE_WORD_RE))
+        docs.select(
+            F.explode(
+                F.split(F.translate("text", _ASCII_UP, _ASCII_LO), " ")
+            ).alias("w")
+        )
         .filter(F.length("w") >= 2)
     )
     want = w.agg(F.sum(F.length("w"))).collect()[0][0]
