@@ -47,10 +47,36 @@ _PRIORITY = (
     # (dedup_exact, ann_lsh_topk, dedup_components, lang_id_heuristic,
     # token_count — green r2..r5). Every retiree stays
     # pytest-oracle-covered on every suite run.
+    # r7 rotation wave 4 (VERDICT r6 task 2): zero the verification
+    # debt — the 3 oracle-backed queries built after the r6 driver ran
+    # (bloom_calibration, bpe_vocab, langid_trained) and the 5
+    # rows-only queries never driver-run (streaming_bloom_gate,
+    # vad_speech_segments, mllib_tfidf_features, mllib_brp_ann_topk,
+    # multimodal_frame_sample) rotate IN; with them, every one of the
+    # registered queries has a driver CORRECTNESS row at least once.
+    # Eight slots funded by retiring eight twice-or-more-green members
+    # whose families keep prefix reps: dedup_ngram_jaccard (pass
+    # r2..r6 — dedup keeps minhash_lsh/simhash_portable/substring/
+    # cluster_stats/bloom/method_eval), streaming_session_window (pass
+    # r3..r6 — streaming keeps dedup_exact/interval_join/curation_gate
+    # + the new bloom gate), zorder_layout_events / ann_sq8_topk /
+    # kmeans_embeddings (pass r5+r6), and three four-times-green
+    # rows-only composites whose operators stay driver-exercised
+    # inside asr_pipeline_clips and pytest-pinned (lcs_align_runs —
+    # difflib golden, bridge_runs_sessions — sessionize oracle,
+    # multimodal_audio_features — frame-exact tests; multimodal keeps
+    # image_resize + the new frame_sample).
     "word_coverage",
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
+    "bpe_vocab",
+    "langid_trained",
+    "bloom_calibration",
+    "streaming_bloom_gate",
+    "vad_speech_segments",
+    "mllib_tfidf_features",
+    "mllib_brp_ann_topk",
+    "multimodal_frame_sample",
     # wave-3 newcomers: text analysis (heavy_hitter_words and
     # bigram_perplexity are the r5-new operators — verification-debt
     # head per VERDICT r5 task 2)
@@ -86,7 +112,6 @@ _PRIORITY = (
     "cohort_retention",
     "corpus_curation_multimodal",
     "sink_export_manifest",
-    "multimodal_audio_features",
     "multimodal_image_resize",
     # reference pipeline / alignment / streaming
     # r6-new operator (same first-round-exposure rule as
@@ -105,11 +130,8 @@ _PRIORITY = (
     # interval_join, and curation_gate after this round's two
     # streaming retirements).
     "dedup_bloom_probe",
-    "lcs_align_runs",
-    "bridge_runs_sessions",
     "asr_pipeline_clips",
     "asr_pipeline_summary",
-    "streaming_session_window",
     "streaming_dedup_exact",
     # events-table block (ms_round_convert, json_extract_props,
     # case_adaptive_guard, avg_confidence_coalesce, lag_lead_boundaries,
@@ -140,35 +162,23 @@ _PRIORITY = (
     "logreg_irls_probe",
     "snapshot_diff",
     "profile_events",
-    # r5 rotation wave, kept for a second green (once-green in r5):
-    "zorder_layout_events",
-    "ann_sq8_topk",
-    "kmeans_embeddings",
+    # r5 rotation wave members kept for a third green (zorder /
+    # ann_sq8 / kmeans retired after their second in r6):
     "streaming_interval_join",
     "streaming_curation_gate",
 )
 
-# Rotation queue for the NEXT prefix refresh: with wave 3 plus
-# exact_quantiles_orders in the prefix, every oracle-backed query in
-# the registry has either a driver CORRECTNESS row already or a slot
-# this round — the never-checked set is empty if r6 comes back green.
-# Next candidates to rotate IN: any r7-new operators first, then the
-# r6-new oracle-backed queries still without a slot —
-# langid_trained (Cavnar-Trenkle rank-profile classifier),
-# bloom_calibration and bpe_vocab (both pytest-oracle-green, and each
-# one's core is driver-checked via dedup_bloom_probe / bpe_merges) —
-# then second greens for the six r5-wave members deferred mid-r6
+# Rotation queue for the NEXT prefix refresh: with wave 4 in the
+# prefix, EVERY registered query has a driver CORRECTNESS row at
+# least once once r7 comes back green — the never-checked set is
+# empty. Next candidates to rotate IN: any r8-new operators first,
+# then second greens for the r5-wave members deferred mid-r6
 # (pack_sequences, train_test_split, bottomk_sample_per_lang,
 # funnel_stages, dedup_incremental, sink_training_shards,
-# event_rate_anomalies — the last deferred for logreg_irls_probe),
-# then the
-# rows-only family never driver-run
-# (streaming_bloom_gate — r6-new, equality-pinned to the oracle-backed
-# batch probe —, mllib_tfidf_features, mllib_brp_ann_topk,
-# multimodal_frame_sample, vad_speech_segments), then a third green for sessionize_events /
-# streaming_stateful_totals / asr_scan_stub. Fund slots by retiring
-# whichever r5-wave members CORRECTNESS_r06 confirms green a second
-# time (zorder_layout_events .. sink_training_shards above).
+# event_rate_anomalies) and for the wave-4 newcomers once green, then
+# third greens for the long-retired r2/r3 blocks. Fund slots by
+# retiring whichever wave-3 members CORRECTNESS_r07 confirms green a
+# second time (heavy_hitter_words .. profile_events above).
 
 
 def _reorder_registry() -> None:
