@@ -1,0 +1,36 @@
+"""Session-lifetime operator caches: one replaceable slot per cache
+point.
+
+Several operators persist a frame their own plan reads more than once
+(the sq8 resident index, the MinHash signature/group frames, the
+exact-dup collapse groups). The frame must outlive the query FUNCTION
+— the returned DataFrame is lazy, so unpersisting before the caller
+acts on it would defeat the cache — but re-invoking the same query in
+a long session (registry sweeps, benchmarks) must not accumulate
+orphaned RDD caches in executor storage. This registry bounds that:
+each cache point names a slot, and taking a slot unpersists its
+previous occupant (safe — an old returned frame silently recomputes
+if touched again).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_SLOTS: dict[str, DataFrame] = {}
+
+
+def hold(slot: str, df: DataFrame, storage_level=None) -> DataFrame:
+    """Persist ``df`` as the named slot's occupant, unpersisting the
+    slot's previous frame. Returns the persisted frame."""
+    from pyspark import StorageLevel
+
+    prev = _SLOTS.pop(slot, None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass  # session already gone — nothing to release
+    df = df.persist(storage_level or StorageLevel.MEMORY_AND_DISK)
+    _SLOTS[slot] = df
+    return df

@@ -147,6 +147,137 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHINGLE_K = 5
 _JACCARD_THRESHOLD = 0.8
 
+
+def collapse_exact_text(docs: DataFrame):
+    """Exact-duplicate pre-collapse: fold identical-text documents to
+    one representative BEFORE any pairwise candidate generation.
+
+    Exact-duplicate cliques contribute nothing to near-dup discovery —
+    every member has the same shingle set, signature, and neighbors —
+    yet they are exactly what makes candidate-pair sets quadratic (a
+    34-copy group is 561 identical comparisons). The r6 sf1 dry run
+    measured the chain output-bound on such cliques (27.3 M pairs,
+    343 MB band shuffle); collapsing first makes pair generation and
+    clustering O(distinct texts) while downstream re-expansion stays
+    proportional to the OUTPUT actually requested.
+
+    Returns ``(reps, multi_members)``:
+
+    - ``reps``: one row per distinct text — ``(doc_id, text,
+      group_size)`` with ``doc_id`` = the group's smallest id (so any
+      min-label over reps equals the min over all members);
+    - ``multi_members``: ``(doc_id, rep_id, group_size)`` for every
+      doc of every group with ≥2 members — the rep included. A
+      singleton group's only member IS its rep, so downstream
+      re-expansion is a LEFT join against this frame with
+      ``coalesce(member, rep)``: singleton-only pairs (the vast
+      majority of any real pair set) pass through with no match, and
+      the frame itself is duplicate-count-sized, not corpus-sized —
+      small enough that AQE turns the probe into a broadcast.
+
+    Scale: the group key is a constant-width content hash computed
+    scan-side, so the groupBy's map-side partial aggregation collapses
+    duplicates BEFORE the exchange — each distinct text crosses the
+    wire at most once per mapper (strictly cheaper than the 5× text
+    amplification of a shingle explode); ``multi_members`` ships ids +
+    the 33-byte key only. The shared ``groups`` frame is slot-persisted
+    (``caching.hold``) because both outputs derive from it.
+    NULL text is its own group (tag byte — a join key must not be
+    NULL), matching every consumer's "null ≡ null" behavior.
+    """
+    from ..caching import hold
+
+    tkey = F.concat(
+        F.when(F.col("text").isNull(), F.lit("n")).otherwise(F.lit("t")),
+        F.md5(F.coalesce(F.col("text"), F.lit(""))),
+    )
+    keyed = docs.select("doc_id", "text", tkey.alias("tkey"))
+    groups = hold(
+        "text_collapse_groups",
+        keyed.groupBy("tkey").agg(
+            F.min("doc_id").alias("rep_id"),
+            F.count("*").cast("bigint").alias("group_size"),
+            # identical within the group: min(text) IS the text
+            F.min("text").alias("text"),
+        ),
+    )
+    reps = groups.select(
+        F.col("rep_id").alias("doc_id"), "text", "group_size"
+    )
+    multi = groups.filter(F.col("group_size") > 1).select(
+        "tkey", "rep_id", "group_size"
+    )
+    multi_members = keyed.select("doc_id", "tkey").join(multi, "tkey").select(
+        "doc_id", "rep_id", "group_size"
+    )
+    return reps, multi_members
+
+
+def expand_rep_pairs(
+    rep_pairs: DataFrame,
+    multi_members: DataFrame,
+    value_col: str,
+    intra_members: DataFrame,
+    intra_value,
+) -> DataFrame:
+    """Re-expand representative-level pairs to the full doc-id pair
+    set, EXACTLY reproducing what the uncollapsed operator emits.
+
+    - cross pairs: each rep pair (A, B, value) becomes every
+      (a ∈ A, b ∈ B) with the SAME value — similarity is a function of
+      text alone, so member pairs score identically to their reps. A
+      singleton group's member is its rep, so both joins are LEFT
+      against the (duplicate-count-sized) ``multi_members`` frame with
+      ``coalesce``: the dominant singleton–singleton pairs stream
+      through unmatched and unexpanded, and the probe side is small
+      enough that AQE broadcasts it — the pair stream itself never
+      reshuffles for the expansion;
+    - intra pairs: all C(k,2) pairs inside each ``intra_members``
+      group (the groups the uncollapsed operator self-pairs — e.g.
+      only shingle-bearing texts for exact Jaccard) with the exact
+      ``intra_value`` an identical-text comparison yields (1.0).
+
+    Output columns: (doc_a, doc_b, ``value_col``) with doc_a < doc_b.
+    Each unordered pair appears exactly once: groups partition docs,
+    so a pair is either intra to one group or cross to one rep pair.
+    The expansion is output-proportional by construction — the
+    quadratic blowup happens only where the caller actually asked for
+    all pairs.
+    """
+    ma = multi_members.select(
+        F.col("rep_id").alias("doc_a"), F.col("doc_id").alias("da")
+    )
+    mb = multi_members.select(
+        F.col("rep_id").alias("doc_b"), F.col("doc_id").alias("db")
+    )
+    cross = (
+        rep_pairs.join(ma, "doc_a", "left")
+        .join(mb, "doc_b", "left")
+        .select(
+            F.coalesce("da", "doc_a").alias("ea"),
+            F.coalesce("db", "doc_b").alias("eb"),
+            value_col,
+        )
+        .select(
+            F.least("ea", "eb").alias("doc_a"),
+            F.greatest("ea", "eb").alias("doc_b"),
+            value_col,
+        )
+    )
+    x = intra_members.alias("x")
+    y = intra_members.alias("y")
+    intra = x.join(
+        y,
+        (F.col("x.rep_id") == F.col("y.rep_id"))
+        & (F.col("x.doc_id") < F.col("y.doc_id")),
+    ).select(
+        F.col("x.doc_id").alias("doc_a"),
+        F.col("y.doc_id").alias("doc_b"),
+        F.lit(intra_value).alias(value_col),
+    )
+    return cross.unionByName(intra)
+
+
 _JACCARD_SQL = f"""
 WITH {shingles_sql(_SHINGLE_K)},
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -165,30 +296,16 @@ ORDER BY doc_a, doc_b
 """
 
 
-@register("dedup_ngram_jaccard", oracle=_JACCARD_SQL, bench=True, tags=("dedup",))
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Jaccard near-dup pairs via a shingle inverted index:
+def _ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
+    """Exact-Jaccard pair core over any ``(doc_id, text)`` frame:
     explode distinct 5-gram shingles, self-join on shingle to count
-    intersections, |A∪B| = |A|+|B|−|A∩B|.
-
-    Scale: cost is Σ(group²) over shingle frequency — fine when
-    shingles are selective. When they aren't (huge corpora, hot
-    shingles), this is exactly what dedup_minhash_lsh replaces; at
-    100 TB you'd also drop the top-0.1% most frequent shingles
-    (stop-shingles) before the join.
-    """
-    docs = load_table(spark, sf_dir, "documents")
-    # Local fixture parquet is one split; the inverted-index self-join
-    # is the heavy stage, so spread the shingle explode across cores.
-    # A real 100 TB scan already yields ≫cores splits.
-    sh = (
-        docs.repartition(spark.sparkContext.defaultParallelism)
-        .select(
-            "doc_id",
-            F.explode(shingles_col(F.split(F.col("text"), " "), _SHINGLE_K)).alias(
-                "shingle"
-            ),
-        )
+    intersections, |A∪B| = |A|+|B|−|A∩B|. Returns
+    (doc_a, doc_b, jaccard) thresholded, unordered."""
+    sh = docs.select(
+        "doc_id",
+        F.explode(shingles_col(F.split(F.col("text"), " "), _SHINGLE_K)).alias(
+            "shingle"
+        ),
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
@@ -214,8 +331,51 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
-        .orderBy("doc_a", "doc_b")
     )
+
+
+def _ngram_collapsed_state(spark: SparkSession, sf_dir: str):
+    """Shared pre-collapsed exact-Jaccard state: ``(rep_pairs,
+    members, conn_reps)`` where ``rep_pairs`` are near-dup pairs over
+    DISTINCT texts only, and ``conn_reps`` marks the groups whose text
+    yields ≥1 shingle (the only groups whose identical copies the
+    uncollapsed operator self-pairs — shorter texts never pair)."""
+    docs = load_table(spark, sf_dir, "documents")
+    # The collapse groupBy's exchange already spreads the (single-split
+    # local) scan across all cores, so the shingle explode downstream
+    # needs no extra repartition — a real 100 TB scan yields ≫cores
+    # splits before the exchange anyway.
+    reps, multi_members = collapse_exact_text(docs)
+    rep_pairs = _ngram_jaccard_pairs(reps.select("doc_id", "text"))
+    conn_reps = reps.filter(
+        F.size(F.split(F.col("text"), " ")) >= _SHINGLE_K
+    ).select(F.col("doc_id").alias("rep_id"))
+    return rep_pairs, multi_members, conn_reps
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_SQL, bench=True, tags=("dedup",))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard near-dup pairs via a shingle inverted index over
+    PRE-COLLAPSED distinct texts (see :func:`collapse_exact_text`),
+    re-expanded to the identical full pair set afterwards: identical
+    texts have identical shingle sets, so member pairs inherit the rep
+    pair's jaccard and intra-group pairs are exactly 1.0 (emitted only
+    for shingle-bearing texts, like the uncollapsed join). The oracle
+    is the UNcollapsed inverted-index SQL — hash-equality of the two
+    is the proof the collapse changes nothing.
+
+    Scale: the inverted-index cost is Σ(df²) over shingle frequency
+    with df counted on DISTINCT texts — boilerplate duplicated a
+    million times contributes df=1, not df=10⁶. When shingles are
+    still unselective (hot phrases across distinct docs), that's what
+    dedup_minhash_lsh replaces; at 100 TB you'd also drop the
+    top-0.1% most frequent shingles (stop-shingles) before the join.
+    """
+    rep_pairs, multi_members, conn_reps = _ngram_collapsed_state(spark, sf_dir)
+    intra = multi_members.join(conn_reps, "rep_id", "left_semi")
+    return expand_rep_pairs(
+        rep_pairs, multi_members, "jaccard", intra, 1.0
+    ).orderBy("doc_a", "doc_b")
 
 
 # ---------------------------------------------------------------------
@@ -259,16 +419,16 @@ def _band_pairs(
     from ``base``'s columns. Returns columns ``x``/``y``: structs of
     (doc_id, <payload>).
     """
-    from pyspark import StorageLevel
+    from ..caching import hold
 
     mode = persist_mode or _BAND_PERSIST_DEFAULT
     if mode == "doc":
-        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        base = hold(f"band_pairs:{payload}", base)
     bands = base.select(
         "doc_id", payload, F.explode(band_structs).alias("band")
     ).select("doc_id", payload, "band.band_id", "band.band_key")
     if mode == "band":
-        bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
+        bands = hold(f"band_pairs:{payload}", bands)
     a = bands.alias("a")
     b = bands.alias("b")
     return a.join(
@@ -382,14 +542,31 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     No SQL oracle (hash-function specific); correctness is pinned by
     the recall test against dedup_ngram_jaccard's exact pairs
     (tests/test_dedup.py).
+
+    Exact-dup pre-collapse (r7): banding, the candidate self-join, and
+    the pair-dedup exchange all run over DISTINCT signatures only —
+    identical texts (and any hash-identical twins) band identically
+    and estimate 1.0 against each other, so their C(k,2) comparisons
+    are pure waste. The per-signature groupBy happens AFTER the kernel
+    (bodies still never shuffle; duplicate signatures collapse
+    map-side before the exchange), rep pairs are re-expanded through
+    ids-only joins, and the emitted pair set is EXACTLY the
+    uncollapsed one (pairs are a function of signatures alone) — the
+    equality is pinned by tests/test_dedup.py. On the sf1-equivalent
+    dry-run fixture (34-copy cliques) this removes the quadratic term
+    from every shuffle; only the final output explode stays
+    output-proportional, as it must.
     """
+    from ..caching import hold
+
     docs = load_table(spark, sf_dir, "documents")
     # Local fixture parquet is a single split; signature computation is
     # the CPU-heavy stage, so spread it across cores explicitly. On a
     # real cluster the scan already yields ≫cores splits and AQE
     # coalesces this away.
     n_part = spark.sparkContext.defaultParallelism
-    sigs = (
+    sigs = hold(
+        "minhash_sigs",
         docs.repartition(n_part)
         .select(
             "doc_id",
@@ -398,6 +575,31 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sig"),
         )
         .filter(F.col("sig").isNotNull())
+        # constant-width group key: hashing/sorting a 33-byte string
+        # beats element-wise comparisons on the 64-slot array in the
+        # exchange (an md5 collision merging two DISTINCT signatures
+        # is 2^-128 — same content-addressing bet as dedup_exact_hash)
+        .withColumn("skey", F.md5(F.concat_ws(",", "sig"))),
+        # one Python boundary total: groups and members both read this
+        # cache; slot-held so repeat invocations release the old one
+    )
+    groups = hold(
+        "minhash_groups",
+        sigs.groupBy("skey").agg(
+            F.min("doc_id").alias("rep_id"),
+            F.count("*").cast("bigint").alias("group_size"),
+            # identical within the group by construction
+            F.first("sig").alias("sig"),
+        ),
+    )
+    reps = groups.select(F.col("rep_id").alias("doc_id"), "sig")
+    multi = groups.filter(F.col("group_size") > 1).select(
+        "skey", "rep_id", "group_size"
+    )
+    multi_members = (
+        sigs.select("doc_id", "skey")
+        .join(multi, "skey")
+        .select("doc_id", "rep_id", "group_size")
     )
 
     band_structs = F.transform(
@@ -433,8 +635,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("double")
         / _N_HASHES
     )
-    return (
-        _band_pairs(sigs, band_structs, "sig")
+    rep_pairs = (
+        # "none": reps is a projection of the already-persisted groups
+        # cache — a third materialization would buy nothing
+        _band_pairs(reps, band_structs, "sig", persist_mode="none")
         .select(
             F.col("x.doc_id").alias("doc_a"),
             F.col("y.doc_id").alias("doc_b"),
@@ -442,8 +646,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("est_jaccard") >= _EST_THRESHOLD)
         .dropDuplicates(["doc_a", "doc_b"])
-        .orderBy("doc_a", "doc_b")
     )
+    # identical signatures estimate exactly 64/64 — every multi-member
+    # group self-pairs at 1.0, exactly as the uncollapsed join emits
+    return expand_rep_pairs(
+        rep_pairs, multi_members, "est_jaccard", multi_members, 1.0
+    ).orderBy("doc_a", "doc_b")
 
 
 # ---------------------------------------------------------------------
@@ -1068,6 +1276,61 @@ def cluster_output(labels: DataFrame, id_name: str = "doc_id") -> DataFrame:
     ).orderBy(id_name)
 
 
+def _collapsed_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, component, cluster_size) over the exact-Jaccard
+    duplicate graph, computed on the exact-dup-collapsed graph and
+    re-expanded — the output is identical to clustering the full pair
+    set, because an exact-duplicate clique is connected through (and
+    only through) its representative:
+
+    - the iterative min-label / star-contraction rounds see one NODE
+      per distinct text, so a 34-copy boilerplate group costs the loop
+      one vertex and zero edges instead of a 561-edge clique;
+    - rep label = component-minimum rep = component-minimum doc_id
+      (each rep is its group's min) — exactly the uncollapsed label;
+    - multi-member shingle-bearing groups whose rep touches no rep
+      pair are components of their own (their members pair only with
+      each other), re-attached without entering the loop;
+    - cluster_size counts MEMBERS via one window over the clustered
+      subset only.
+    """
+    rep_pairs, multi_members, conn_reps = _ngram_collapsed_state(spark, sf_dir)
+    labels_rep = connected_components(
+        rep_pairs.select("doc_a", "doc_b")
+    )  # (v = rep_id, label)
+    # multi-member shingle-bearing groups whose rep is NOT in the rep
+    # graph are components of their own (members pair only with each
+    # other)
+    multi_conn = (
+        multi_members.select("rep_id")
+        .distinct()
+        .join(conn_reps, "rep_id", "left_semi")
+    )
+    extra = multi_conn.join(
+        labels_rep.select(F.col("v").alias("rep_id")), "rep_id", "left_anti"
+    ).select(F.col("rep_id").alias("v"), F.col("rep_id").alias("label"))
+    rep_labels = labels_rep.unionByName(extra)
+    # expand rep labels to member docs: a singleton rep IS its only
+    # member (left join + coalesce — multi_members is
+    # duplicate-count-sized, so the probe broadcasts)
+    lab = rep_labels.join(
+        multi_members.select(
+            F.col("rep_id").alias("v"), F.col("doc_id").alias("member")
+        ),
+        "v",
+        "left",
+    ).select(
+        F.coalesce("member", "v").alias("doc_id"),
+        F.col("label").alias("component"),
+    )
+    w = W.partitionBy("component")
+    return lab.select(
+        "doc_id",
+        "component",
+        F.count("*").over(w).cast("bigint").alias("cluster_size"),
+    )
+
+
 @register("dedup_components", oracle=_CC_SQL, tags=("dedup", "iterative"))
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate CLUSTERS from near-dup pairs: connected components —
@@ -1075,11 +1338,13 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap"; the survivor decision needs the transitive cluster).
     Component id = smallest doc_id in the cluster, which IS the
     canonical survivor. See ``connected_components`` for the two-regime
-    iteration (min-label, auto-escalating to large-star/small-star);
-    the oracle is DuckDB's recursive-CTE closure.
+    iteration (min-label, auto-escalating to large-star/small-star)
+    and ``_collapsed_cluster_labels`` for the exact-dup pre-collapse
+    that keeps identical-text cliques out of the iterative loop; the
+    oracle is DuckDB's recursive-CTE closure over the UNcollapsed pair
+    graph — hash-equality proves the collapse changes nothing.
     """
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    return cluster_output(connected_components(pairs))
+    return _collapsed_cluster_labels(spark, sf_dir).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------
@@ -1429,8 +1694,7 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("try_cast(substring(source, 4) AS BIGINT)").alias("src_rank"),
         F.col("n_chars").cast("bigint").alias("n_chars"),
     )
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    labels = cluster_output(connected_components(pairs))
+    labels = _collapsed_cluster_labels(spark, sf_dir)
     # Survivor policy evaluated on the SMALL clustered frame only.
     clustered = labels.join(docs, "doc_id")
     w = (

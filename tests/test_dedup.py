@@ -422,3 +422,111 @@ def test_minhash_portable_recall_and_agreement(spark, sf_dir):
     inter = len(fast & portable)
     union = len(fast | portable)
     assert union and inter / union > 0.9, (inter, union)
+
+
+# ---------------------------------------------------------------------
+# r7 exact-dup pre-collapse: output-equality pins
+# ---------------------------------------------------------------------
+
+
+def test_minhash_collapse_equals_bruteforce_banding(spark, tmp_path):
+    """The collapsed LSH pipeline must emit EXACTLY the pair set the
+    per-doc definition implies: (a, b, est) for every doc pair that
+    shares ≥1 of 16 signature bands with est = equal-slots/64 ≥ 0.5.
+    Adversarial fixture: two exact-dup cliques (one spanning a near-dup
+    bridge to a distinct text), null texts, empty texts, and sub-k
+    short docs — the latter three all collapse into the shared
+    identity-signature group and must pairwise emit est 1.0, exactly
+    as uncollapsed banding does."""
+    import itertools
+
+    import duckdb
+
+    from asr_training_data_pipeline_spark.operators.dedup import (
+        _EST_THRESHOLD,
+        _N_BANDS,
+        _ROWS_PER_BAND,
+        _SHINGLE_K,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    near = base.replace("today", "tonight")
+    other = "completely different words about spark shuffles and parquet column pruning here"
+    rows = (
+        [(i, base) for i in range(1, 6)]          # 5-copy clique
+        + [(10 + i, near) for i in range(3)]      # 3-copy clique, near-dup of base
+        + [(20, other), (21, other)]              # 2-copy distinct clique
+        + [(30, None), (31, None)]                # null texts
+        + [(40, ""), (41, "tiny doc")]            # below shingle floor
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    con.execute(
+        "COPY (SELECT doc_id, text, 'en' AS lang, 'src1' AS source,"
+        " coalesce(length(text), 0) AS n_chars FROM d)"
+        f" TO '{tmp_path}/documents.parquet' (FORMAT PARQUET)"
+    )
+
+    got = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in REGISTRY["dedup_minhash_lsh"].fn(spark, str(tmp_path)).collect()
+    }
+
+    sigs = {
+        r.doc_id: tuple(r.sig)
+        for r in spark.read.parquet(f"{tmp_path}/documents.parquet")
+        .select(
+            "doc_id",
+            minhash_signature_col(
+                shingles_col(F.split(F.col("text"), " "), _SHINGLE_K)
+            ).alias("sig"),
+        )
+        .collect()
+    }
+    want = {}
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        sa, sb = sigs[a], sigs[b]
+        bands = any(
+            sa[i * _ROWS_PER_BAND : (i + 1) * _ROWS_PER_BAND]
+            == sb[i * _ROWS_PER_BAND : (i + 1) * _ROWS_PER_BAND]
+            for i in range(_N_BANDS)
+        )
+        est = sum(x == y for x, y in zip(sa, sb)) / 64.0
+        if bands and est >= _EST_THRESHOLD:
+            want[(a, b)] = est
+    # the identity-signature group (nulls + empties + short) must be
+    # present, or the fixture lost its adversarial point
+    assert (30, 31) in want and (30, 40) in want
+    assert (1, 2) in want and want[(1, 2)] == 1.0
+    assert got == want
+
+
+def test_ngram_collapse_reps_shrink_pair_join(spark, tmp_path):
+    """The collapsed exact-Jaccard graph hands connected components a
+    rep-level graph: a 6-copy clique must reach the iterative loop as
+    ONE vertex (the pre-pass is the point), while the public outputs
+    still carry every member."""
+    import duckdb
+
+    from asr_training_data_pipeline_spark.operators.dedup import (
+        _ngram_collapsed_state,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, text) for i in range(6)] + [(10, "one two three four five six")]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    con.execute(
+        "COPY (SELECT doc_id, text, 'en' AS lang, 'src1' AS source,"
+        " length(text) AS n_chars FROM d)"
+        f" TO '{tmp_path}/documents.parquet' (FORMAT PARQUET)"
+    )
+    rep_pairs, members, conn = _ngram_collapsed_state(spark, str(tmp_path))
+    assert rep_pairs.count() == 0  # no cross-text near dups → no edges
+    comps = REGISTRY["dedup_components"].fn(spark, str(tmp_path)).toPandas()
+    assert sorted(comps.doc_id) == list(range(6))
+    assert set(comps.component) == {0} and set(comps.cluster_size) == {6}
+    pairs = REGISTRY["dedup_ngram_jaccard"].fn(spark, str(tmp_path)).toPandas()
+    assert len(pairs) == 15 and set(pairs.jaccard) == {1.0}

@@ -26,17 +26,26 @@ def test_word_coverage_scan_prunes_to_text(spark, sf_dir):
 
 
 def test_minhash_signature_computed_once(spark, sf_dir):
-    """The LSH band self-join must reference the PERSISTED band
-    projection on both sides — one ArrowEvalPython (the signature
-    kernel) in the cache-fill subtree, two InMemoryTableScans, and no
-    second Python boundary."""
+    """The signature kernel must live ONLY inside the persisted
+    per-doc signature cache (one Python boundary total — every
+    consumer reads the cache), and the r7 exact-dup pre-collapse must
+    be in the plan: a signature-keyed exchange (the groupBy that folds
+    duplicate signatures map-side) and a final Union (rep-pair
+    expansion + intra-group pairs)."""
     plan = _executed_plan(spark, sf_dir, "dedup_minhash_lsh")
-    assert plan.count("InMemoryTableScan") == 2, plan.count("InMemoryTableScan")
-    # InMemoryRelation prints its (single) fill plan under each scan;
-    # what must NOT exist is an ArrowEvalPython OUTSIDE the cached
-    # subtree — that would mean the signature kernel re-executes.
+    # No Python boundary among the TOP-LEVEL streaming operators (the
+    # text before the first cached-relation print): the kernel would
+    # otherwise re-execute per consumer. InMemoryRelation repeats its
+    # fill plan under each scan, so occurrences INSIDE are expected.
     outside = plan.split("InMemoryRelation", 1)[0]
     assert "ArrowEvalPython" not in outside
+    assert "InMemoryTableScan" in plan
+    # the collapse: duplicate signatures fold in an exchange keyed by
+    # the constant-width signature hash
+    exchange_keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert any(k.lstrip().startswith("skey#") for k in exchange_keys), exchange_keys
+    # the re-expansion: cross (rep-pair × members²) ∪ intra pairs
+    assert "Union" in plan
 
 
 def test_corpus_curation_single_exchange(spark, sf_dir):
@@ -255,3 +264,22 @@ def test_glm_probes_have_no_shuffle_joins(spark, sf_dir):
     for q in ("linreg_closed_form", "logreg_irls_probe"):
         plan = _executed_plan(spark, sf_dir, q)
         assert "SortMergeJoin" not in plan, q
+
+
+def test_sq8_staged_max_survives_collapse_project(spark, sf_dir):
+    """sq8_index_frame stages the per-row |x| max into its OWN Project
+    (a monotonically_increasing_id barrier blocks CollapseProject);
+    lambda bodies get no common-subexpression elimination, so if a
+    Catalyst change ever substitutes the max back into the quantize
+    lambda the per-row cost silently becomes O(d²). Pin the staged
+    shape: the quantize lambda (FLOOR) must reference the max through
+    a plain column, never compute array_max inline."""
+    plan = _executed_plan(spark, sf_dir, "ann_sq8_topk")
+    lines = plan.split("\n")
+    quantize = [l for l in lines if "FLOOR" in l and "127.0" in l]
+    assert quantize, "quantize projection not found in plan"
+    for l in quantize:
+        assert "array_max" not in l, l
+    assert any(
+        "array_max" in l and re.search(r"\) AS mx#\d+", l) for l in lines
+    ), "staged max projection missing"
