@@ -961,15 +961,15 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ranking fidelity vs the float top-k is pinned in
     tests/test_similarity.py.
     """
-    from pyspark import StorageLevel
+    from ..caching import hold
 
     emb = load_embeddings(spark, sf_dir)
     # build the quantized index ONCE and keep it resident — this is
     # the 4×-compressed structure production holds in memory; both the
     # query projection and the streamed side read the same
-    # materialization (same precedent as minhash's persisted
-    # signature frame)
-    q8 = sq8_index_frame(emb).persist(StorageLevel.MEMORY_AND_DISK)
+    # materialization. Slot-held: a repeat invocation releases the
+    # previous index instead of accreting executor storage.
+    q8 = hold("sq8_index", sq8_index_frame(emb))
     q = F.broadcast(
         q8.filter(F.col("vec_id") < _N_QUERIES).select(
             F.col("vec_id").alias("query_id"),
@@ -1142,6 +1142,33 @@ _PQ_M = 4  # subspaces
 _PQ_DSUB = _EMB_DIM // _PQ_M  # dims per subspace
 _PQ_K = 8  # codes per subspace; codebooks seeded at vec_id < K
 
+# PQ-specific magnitude gate (tighter than _MAG_BOUND): the integer
+# exactness of the whole PQ chain rests on every list_dot_product /
+# BLAS product staying an exact float64 integer. With |x| ≤ 2 each
+# fixed-point element is ≤ 2·scale + ½ ≈ 2²¹, so a d_sub=16 dot is
+# < 2^47, the three-dot d2 identity's intermediates are < 2^49, and
+# the M-subspace ADC sum is < 2^51 — all comfortably below 2^53, so
+# BOTH engines compute bit-identical integers regardless of summation
+# order. The general _MAG_BOUND (1e6) admits elements whose dots
+# exceed 2^53, where the two engines' different summation orders can
+# legitimately disagree — such rows are excluded from the PQ domain
+# by BOTH scans (this is the enforced precondition, not an assumed
+# one; tests/test_pq.py probes the ±2e6 fixed-point boundary).
+_PQ_MAG_BOUND = 2.0
+
+_PQ_VALID_WHERE = (
+    f"({_VALID_WHERE}"
+    " AND len(list_filter(cast(embedding AS double[]),"
+    f" x -> NOT (abs(x) <= {_PQ_MAG_BOUND}))) = 0)"
+)
+
+
+def pq_valid_embedding_pred() -> Column:
+    """Spark mirror of ``_PQ_VALID_WHERE``."""
+    ed = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    n_big = F.size(F.filter(ed, lambda x: ~(F.abs(x) <= _PQ_MAG_BOUND)))
+    return valid_embedding_pred() & (n_big == 0)
+
 
 def _pq_d2_sql(a: str, b: str) -> str:
     """Integer squared-L2 between two fixed-point subvectors via the
@@ -1167,7 +1194,7 @@ def _pq_cte() -> str:
   SELECT vec_id,
          [cast(floor(x * {_CENTROID_SCALE} + 0.5) AS bigint)
           for x in cast(embedding AS double[])] AS qe
-  FROM embeddings WHERE {_VALID_WHERE}),
+  FROM embeddings WHERE {_PQ_VALID_WHERE}),
 sub AS (SELECT vec_id, """
         + ", ".join(
             f"qe[{m * _PQ_DSUB + 1}:{(m + 1) * _PQ_DSUB}] AS s{m}"
@@ -1271,8 +1298,13 @@ ORDER BY query_id, rank"""
 
 def _pq_sub_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, s0..s{M-1}): the fixed-point grid sliced into the M
-    subspaces — PQ's working representation on both engines."""
-    emb = load_embeddings(spark, sf_dir)
+    subspaces — PQ's working representation on both engines. The scan
+    enforces the PQ-specific |x| ≤ {_PQ_MAG_BOUND} gate (see
+    ``_PQ_VALID_WHERE``) so every downstream dot stays an exact
+    float64 integer on both engines."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        pq_valid_embedding_pred()
+    )
     quant = F.transform(
         "embedding",
         lambda x: F.floor(x.cast("double") * _CENTROID_SCALE + 0.5).cast("long"),

@@ -128,3 +128,45 @@ def test_pq_argmin_float64_matches_integer_reference():
             assert int(g) == want, (d2s, int(g), want)
 
     check()
+
+
+def test_pq_magnitude_gate_excludes_overflow_rows(spark, sf_dir, tmp_path):
+    """Elements inside the general embedding domain (|x| ≤ 1e6) but
+    outside the PQ window (|x| ≤ 2) would push fixed-point dots past
+    2^53, where float64 summation order makes the two engines
+    legitimately diverge — so BOTH scans must exclude such rows, and
+    with the gate in place the oracle comparison must stay hash-exact
+    even with an adversarial near-1e6 row injected."""
+    import shutil
+
+    import duckdb
+
+    from asr_training_data_pipeline_spark.api import REGISTRY, oracles
+    from asr_training_data_pipeline_spark.operators.similarity import (
+        _EMB_DIM,
+    )
+    from asr_training_data_pipeline_spark.testing import (
+        compare_frames,
+        run_oracle,
+    )
+
+    d = tmp_path / "pqgate"
+    d.mkdir()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents"):
+        shutil.copyfile(f"{sf_dir}/{t}.parquet", d / f"{t}.parquet")
+    con = duckdb.connect()
+    con.sql(f"""
+COPY (
+  SELECT * FROM '{sf_dir}/embeddings.parquet'
+  UNION ALL
+  SELECT 999999 AS vec_id,
+         [CASE WHEN i % 2 = 0 THEN 999983.0 ELSE -999983.0 END::FLOAT
+          for i in range({_EMB_DIM})] AS embedding,
+         'adv' AS label
+) TO '{d}/embeddings.parquet' (FORMAT PARQUET)
+""")
+    for name in ("ann_pq_topk", "ann_pq_rerank"):
+        spdf = REGISTRY[name].fn(spark, str(d)).toPandas()
+        compare_frames(spdf, run_oracle(oracles()[name], str(d)), name)
+        assert 999999 not in set(spdf.neighbor_id)

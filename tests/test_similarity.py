@@ -223,3 +223,20 @@ def test_profile_embeddings_matches_numpy(spark, sf_dir):
     np.testing.assert_array_equal(
         p.sort_values("dim")["max_val"].to_numpy(), mat.max(axis=0)
     )
+
+
+def test_repeat_invocations_do_not_accrete_caches(spark, sf_dir):
+    """Session-lifetime operator caches are slot-held (caching.hold):
+    re-invoking a persisting query must REPLACE its cached frames, not
+    stack new ones — a long session sweeping the registry repeatedly
+    would otherwise leak executor storage (r6 ADVICE)."""
+    from asr_training_data_pipeline_spark.api import REGISTRY
+
+    def n_cached() -> int:
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    for name in ("ann_sq8_topk", "dedup_minhash_lsh"):
+        REGISTRY[name].fn(spark, sf_dir).count()
+        first = n_cached()
+        REGISTRY[name].fn(spark, sf_dir).count()
+        assert n_cached() <= first, name
