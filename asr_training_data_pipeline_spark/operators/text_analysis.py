@@ -981,9 +981,13 @@ _BI_THRESH_U = 7_500_000  # mean -ln p > 7.5 nats → low quality
 # Cross-engine equality additionally relies on the JVM's and DuckDB's
 # libm agreeing on ln() at each distinct input: a 1-ulp divergence
 # landing exactly on a floor(x·S + ½) boundary would shift that key's
-# table entry by one micro-nat. Both libms agree on every fixture
-# input (pinned by the oracle-parity suite); the suite, not this
-# comment, is the cross-engine guarantee.
+# table entry by one micro-nat. tests/test_libm_boundaries.py audits
+# this directly: every distinct quantization input on the driver
+# fixtures lands ≥1e-6 grid units from a boundary — ~500× any libm's
+# 1-ulp error — so identical flooring is a PROVEN property of these
+# fixtures, not an observed one. (On a fixture that fails the audit,
+# the guarantee narrows to "exact within each engine"; widen the
+# driver-facing sum by ±1 micro-nat/term there.)
 _BIGRAM_SQL = f"""
 WITH train AS (
   SELECT string_split(lower(text), ' ') AS t FROM documents

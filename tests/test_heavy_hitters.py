@@ -125,3 +125,27 @@ def test_mg_ingest_survival_under_any_batching(items, capacity, cuts):
     for k, c in Counter(items).items():
         if c * (capacity + 1) > n:
             assert k in counters, (k, c, n, capacity, bounds)
+
+
+def test_mg_ingest_peak_memory_bounded():
+    """The documented bound: the counter dict never exceeds
+    8·capacity(+1 for the just-inserted key) DURING ingest, even on an
+    all-distinct adversarial stream — the in-loop compression trigger,
+    not just the end-of-batch one (r6 ADVICE)."""
+    from asr_training_data_pipeline_spark.operators.text_analysis import (
+        _mg_ingest,
+    )
+
+    capacity = 64
+    counters: dict = {}
+    peak = 0
+
+    def stream():
+        nonlocal peak
+        for i in range(100_000):
+            peak = max(peak, len(counters))
+            yield (f"k{i}", 1)
+
+    _mg_ingest(counters, stream(), capacity)
+    assert peak <= 8 * capacity + 1, peak
+    assert len(counters) <= capacity
