@@ -1697,14 +1697,23 @@ def langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: training reduces the corpus to L·K profile rows (trigram
     counts map-side combined, one lang-keyed window over vocab-sized
-    groups); each scored doc reduces to ≤K profile rows; the distance
-    join probes the broadcast L·K profile, and the per-doc argmin
-    window sees L rows per doc.
+    groups); the driver then holds the L·K model — the
+    kmeans-centroid/BPE-argmax precedent — and SCORING is one
+    scan-side Arrow kernel per document (trigram counts, top-K rank
+    profile, out-of-place distance to each language, argmin), so the
+    scored split never enters an exchange at all. The r6 shape built
+    per-doc rank profiles with a groupBy+window over the exploded
+    trigram stream, which shuffled ~2× the scored text (291 MB at
+    500k docs — measured, scripts/scaling_r7_late.py); the kernel
+    emits five scalars per doc and shuffles nothing.
 
-    Unicode: trigrams are CODE POINTS on both engines (substring/
-    length probed codepoint-exact on CJK, combining marks, emoji), so
-    any script classifies; only the casefold is ASCII-restricted (see
-    _FOLD_SQL — full Unicode lower() is engine-divergent on İ/ς)."""
+    Unicode: trigrams are CODE POINTS on both engines — and in the
+    kernel, where Python strings index code points by definition
+    (substring/length probed codepoint-exact on CJK, combining marks,
+    emoji; Python string comparison = code-point order = both
+    engines' binary string ORDER BY); only the casefold is
+    ASCII-restricted (see _FOLD_SQL — full Unicode lower() is
+    engine-divergent on İ/ς)."""
     docs = load_table(spark, sf_dir, "documents")
     d = docs.filter(
         F.col("text").isNotNull() & F.col("lang").isNotNull()
@@ -1718,63 +1727,70 @@ def langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("t") >= 3,
         F.expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))"),
     ).otherwise(F.array().cast("array<string>"))
-    tg = d.select("doc_id", "lang", F.explode(grams).alias("g"))
 
     w_lang = W.partitionBy("lang").orderBy(F.col("cnt").desc(), "g")
     prof = (
-        tg.filter(F.col("doc_id") % _CT_TRAIN_MOD != 0)
+        d.filter(F.col("doc_id") % _CT_TRAIN_MOD != 0)
+        .select("lang", F.explode(grams).alias("g"))
         .groupBy("lang", "g")
         .agg(F.count("*").alias("cnt"))
         .withColumn("rank", F.row_number().over(w_lang))
         .filter(F.col("rank") <= _CT_K)
         .select("lang", "g", "rank")
     )
-    w_doc = W.partitionBy("doc_id").orderBy(F.col("cnt").desc(), "g")
-    dprof = (
-        tg.filter(F.col("doc_id") % _CT_TRAIN_MOD == 0)
-        .groupBy("doc_id", "g")
-        .agg(F.count("*").alias("cnt"))
-        .withColumn("rank", F.row_number().over(w_doc))
-        .filter(F.col("rank") <= _CT_K)
-        .select("doc_id", "g", F.col("rank").alias("drank"))
+    # The model: L·K (lang, trigram, rank) rows on the driver.
+    profile: dict[str, dict[str, int]] = {}
+    for r in prof.collect():
+        profile.setdefault(r.lang, {})[r.g] = r.rank
+    langs = sorted(profile)
+
+    out_schema = (
+        "doc_id bigint, predicted string, actual string,"
+        " rank_distance bigint, correct boolean"
     )
-    langs = prof.select("lang").distinct()
-    dist = (
-        dprof.crossJoin(F.broadcast(langs))
-        .join(
-            F.broadcast(prof.select("lang", "g", F.col("rank").alias("prank"))),
-            ["lang", "g"],
-            "left",
-        )
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.sum(
-                F.when(F.col("prank").isNull(), _CT_K).otherwise(
-                    F.abs(F.col("drank") - F.col("prank"))
+    scored = d.filter(F.col("doc_id") % _CT_TRAIN_MOD == 0)
+    if not langs:
+        # empty training split → no profiles → no scored rows (the
+        # oracle's dist CTE is empty too)
+        return scored.select(
+            F.col("doc_id"),
+            F.lit(None).cast("string").alias("predicted"),
+            F.col("lang").alias("actual"),
+            F.lit(None).cast("bigint").alias("rank_distance"),
+            F.lit(None).cast("boolean").alias("correct"),
+        ).filter(F.lit(False))
+
+    def classify(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, actual, t in zip(pdf.doc_id, pdf.lang, pdf.t):
+                if len(t) < 3:
+                    continue  # no trigrams → absent, like the SQL's tg
+                counts = Counter(t[i : i + 3] for i in range(len(t) - 2))
+                top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+                dprof = [(g, i + 1) for i, (g, _c) in enumerate(top[:_CT_K])]
+                best = min(
+                    (
+                        sum(
+                            abs(dr - p[g]) if g in p else _CT_K
+                            for g, dr in dprof
+                        ),
+                        lang,
+                    )
+                    for lang, p in ((lang, profile[lang]) for lang in langs)
                 )
+                rows.append(
+                    (doc_id, best[1], actual, best[0], best[1] == actual)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "predicted", "actual", "rank_distance", "correct",
+                ],
             )
-            .cast("bigint")
-            .alias("d")
-        )
-    )
-    w_pred = W.partitionBy("doc_id").orderBy("d", "lang")
-    pred = (
-        dist.withColumn("rn", F.row_number().over(w_pred))
-        .filter(F.col("rn") == 1)
-        .select(
-            "doc_id",
-            F.col("lang").alias("predicted"),
-            F.col("d").alias("rank_distance"),
-        )
-    )
-    return (
-        pred.join(d.select("doc_id", F.col("lang").alias("actual")), "doc_id")
-        .select(
-            "doc_id",
-            "predicted",
-            "actual",
-            "rank_distance",
-            (F.col("predicted") == F.col("actual")).alias("correct"),
-        )
-        .orderBy("doc_id")
-    )
+
+    return scored.mapInPandas(classify, out_schema).orderBy("doc_id")
