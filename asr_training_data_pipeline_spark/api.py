@@ -4,7 +4,7 @@ registry (each operator module registers its queries on import)."""
 from __future__ import annotations
 
 from . import queries as core_queries  # noqa: F401  (relational/window/scalar core)
-from .operators import asof, curation, dedup, dsp, layout, mllib_fe, multimodal, similarity, text_analysis  # noqa: F401
+from .operators import asof, curation, dedup, dsp, layout, mllib_fe, multimodal, similarity, sketches, text_analysis  # noqa: F401
 from .plans import pipeline  # noqa: F401
 from .registry import REGISTRY, bench_queries, oracles, queries  # noqa: F401
 from .sinks import exports  # noqa: F401
@@ -91,12 +91,26 @@ _PRIORITY = (
     # oracle-backed — slot funded by retiring streaming_tumbling_counts
     # (green r2..r5; streaming keeps four prefix reps)
     "bpe_merges",
-    "vocab_coverage",
-    "lang_id_confusion",
+    # r7-new operators (first-round-exposure rule): the distinct-count
+    # sketch layer — portable HyperLogLog per-lang calibration, its
+    # shard-merge losslessness proof, K-minimum-values corpus overlap,
+    # PMI collocation mining, and the streaming HLL register window.
+    # Five slots funded by deferring the second green of once-green
+    # wave-3 members whose families keep prefix reps
+    # (vocab_coverage, lang_id_confusion — text keeps heavy_hitter/
+    # bigram_ppl/cms/bpe×2/langid_trained; embedding_centroids —
+    # embeddings keep profile/validate + the ANN block) and by
+    # retiring the two third-green holdovers (streaming_interval_join,
+    # streaming_curation_gate — green r5+r6; streaming keeps
+    # dedup_exact + bloom_gate + the new distinct_hll).
+    "hll_distinct",
+    "hll_merge_shards",
+    "kmv_corpus_overlap",
+    "pmi_collocations",
+    "streaming_distinct_hll",
     # wave-3 newcomers: ANN / embeddings
     "ann_ivf_topk",
     "ann_lsh_buckets",
-    "embedding_centroids",
     "profile_embeddings",
     "validate_embeddings",
     # wave-3 newcomers: dedup
@@ -162,23 +176,20 @@ _PRIORITY = (
     "logreg_irls_probe",
     "snapshot_diff",
     "profile_events",
-    # r5 rotation wave members kept for a third green (zorder /
-    # ann_sq8 / kmeans retired after their second in r6):
-    "streaming_interval_join",
-    "streaming_curation_gate",
 )
 
-# Rotation queue for the NEXT prefix refresh: with wave 4 in the
-# prefix, EVERY registered query has a driver CORRECTNESS row at
-# least once once r7 comes back green — the never-checked set is
-# empty. Next candidates to rotate IN: any r8-new operators first,
-# then second greens for the r5-wave members deferred mid-r6
-# (pack_sequences, train_test_split, bottomk_sample_per_lang,
-# funnel_stages, dedup_incremental, sink_training_shards,
-# event_rate_anomalies) and for the wave-4 newcomers once green, then
-# third greens for the long-retired r2/r3 blocks. Fund slots by
-# retiring whichever wave-3 members CORRECTNESS_r07 confirms green a
-# second time (heavy_hitter_words .. profile_events above).
+# Rotation queue for the NEXT prefix refresh: after CORRECTNESS_r07,
+# the never-checked set is the five r7-new sketch/PMI queries' FIRST
+# rows (in the prefix above) — every other registered query has a
+# driver row at least once. Next candidates to rotate IN: any
+# r8-new operators first, then second greens for the deferred
+# once-green members (vocab_coverage, lang_id_confusion,
+# embedding_centroids, pack_sequences, train_test_split,
+# bottomk_sample_per_lang, funnel_stages, dedup_incremental,
+# sink_training_shards, event_rate_anomalies) and for the wave-4
+# newcomers once green, then third greens for the long-retired r2/r3
+# blocks. Fund slots by retiring whichever wave-3/wave-4 members
+# CORRECTNESS_r07 confirms green a second time.
 
 
 def _reorder_registry() -> None:

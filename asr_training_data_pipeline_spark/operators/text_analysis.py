@@ -1794,3 +1794,97 @@ def langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return scored.mapInPandas(classify, out_schema).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------
+# PMI collocations (association mining over adjacent token pairs)
+# ---------------------------------------------------------------------
+
+_PMI_MIN = 5  # minimum pair count (PMI is noise below small supports)
+_PMI_TOPK = 50
+
+_PMI_SQL = f"""
+WITH docs_t AS (
+  SELECT string_split(lower(text), ' ') AS t FROM documents
+  WHERE text IS NOT NULL
+),
+pairs AS (
+  SELECT w1, w2, count(*) AS c
+  FROM (
+    SELECT unnest([struct_pack(w1 := t[i], w2 := t[i + 1])
+                   for i in range(1, len(t))], recursive := true)
+    FROM docs_t
+  ) GROUP BY w1, w2
+),
+tot AS (SELECT sum(c)::HUGEINT AS n FROM pairs),
+c1 AS (SELECT w1, sum(c) AS c1 FROM pairs GROUP BY w1),
+c2 AS (SELECT w2, sum(c) AS c2 FROM pairs GROUP BY w2)
+SELECT p.w1, p.w2,
+       CAST(p.c AS BIGINT) AS pair_count,
+       CAST(c1.c1 AS BIGINT) AS w1_count,
+       CAST(c2.c2 AS BIGINT) AS w2_count,
+       CAST(1000000::HUGEINT * p.c * tot.n // (c1.c1::HUGEINT * c2.c2)
+            AS BIGINT) AS lift_ppm
+FROM pairs p
+JOIN c1 ON c1.w1 = p.w1
+JOIN c2 ON c2.w2 = p.w2
+CROSS JOIN tot
+WHERE p.c >= {_PMI_MIN}
+ORDER BY lift_ppm DESC, p.w1, p.w2
+LIMIT {_PMI_TOPK}
+"""
+
+
+@register("pmi_collocations", oracle=_PMI_SQL, tags=("text", "stats"))
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLOCATION MINING by pointwise mutual information (Church &
+    Hanks, Computational Linguistics 1990) over adjacent token pairs:
+    rank pairs by lift = p(xy) / (p1(x)·p2(y)) where p1/p2 are the
+    first/second-slot marginals of the bigram table — the association
+    score whose log is PMI. The score is emitted as an EXACT integer
+    (ppm, hugeint/decimal floor division — no logarithm anywhere), so
+    the ranking is the PMI ranking (log is monotone) and the DuckDB
+    replay is hash-exact with no libm caveat. The min-support filter
+    (c ≥ {_PMI_MIN}) is the standard guard against PMI's low-count
+    noise bias.
+
+    Scale: everything flows from ONE pair-count aggregation (map-side
+    combined, bigram-vocabulary-sized shuffle — the same exchange the
+    BPE trainer and bigram LM already pay); marginals re-aggregate the
+    compact pair table, the scalar total broadcasts, and the top-k is
+    TakeOrderedAndProject (k rows per partition). The 10^6·c·N product
+    runs in decimal(38,0)/HUGEINT so the arithmetic window holds at
+    any corpus size, not just the fixtures'."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.filter(F.col("text").isNotNull()).select(
+        F.split(F.lower(F.col("text")), " ").alias("t")
+    )
+    pairs = (
+        toks.select(F.explode(_bigram_structs(F.col("t"))).alias("b"))
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = pairs.agg(F.sum("c").cast("decimal(38,0)").alias("n"))
+    c1 = pairs.groupBy("w1").agg(F.sum("c").alias("c1"))
+    c2 = pairs.groupBy("w2").agg(F.sum("c").alias("c2"))
+    scored = (
+        pairs.filter(F.col("c") >= _PMI_MIN)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").cast("bigint").alias("pair_count"),
+            F.col("c1").cast("bigint").alias("w1_count"),
+            F.col("c2").cast("bigint").alias("w2_count"),
+            F.expr(
+                "cast((cast(1000000 as decimal(38,0)) * c * n)"
+                " div (cast(c1 as decimal(38,0)) * c2) as bigint)"
+            ).alias("lift_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift_ppm").desc(), "w1", "w2"
+    ).limit(_PMI_TOPK)

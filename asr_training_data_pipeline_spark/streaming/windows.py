@@ -22,6 +22,7 @@ from pyspark.sql import types as T
 
 from ..functions.exact import dsum, dsum_sql
 from ..registry import register
+from ..sources.tables import load_table
 
 def _probed_stream(spark: SparkSession, d: str) -> DataFrame:
     """Parquet stream whose schema comes from a one-off batch probe of
@@ -402,3 +403,116 @@ def streaming_bloom_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_memory(gated, mode="append")
     return out.orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------
+# Streaming HLL: per-window distinct-user estimate from register state
+# ---------------------------------------------------------------------
+
+def _hll_stream_sql() -> str:
+    from ..operators.sketches import _BUCKET_OFF, _HLL_M, _RHO_OFF, _rho_case
+
+    hx = "md5(CAST(user_id AS VARCHAR))"
+    return f"""
+WITH cells AS (
+  SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+         ('0x' || substr(hx, {_BUCKET_OFF}, 8))::BIGINT % {_HLL_M} AS b,
+         {_rho_case(f"('0x' || substr(hx, {_RHO_OFF}, 8))::BIGINT")} AS rho,
+         user_id
+  FROM (SELECT ts, user_id, {hx} AS hx FROM events)
+),
+regs AS (
+  SELECT window_start_us, b, MAX(rho) AS m
+  FROM cells GROUP BY window_start_us, b
+),
+fin AS (
+  SELECT window_start_us,
+         CAST(COUNT(*) AS BIGINT) AS live_registers,
+         SUM(1::BIGINT << (33 - m)) + ({_HLL_M} - COUNT(*))::BIGINT
+           * (1::BIGINT << 33) AS s,
+         {_HLL_M} - COUNT(*) AS v
+  FROM regs GROUP BY window_start_us
+),
+exact AS (
+  SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM events GROUP BY 1
+)
+SELECT f.window_start_us, f.live_registers, e.exact_users,
+       CAST(CASE WHEN v > 0 AND {_HLL_NUM} // s <= {_HLL_LC_THRESH_MILLI}
+                 THEN (list_extract([{_LC_LIST}], CAST(v AS INT))) // 1000
+                 ELSE {_HLL_NUM} // (1000 * s) END AS BIGINT) AS hll_users
+FROM fin f JOIN exact e ON e.window_start_us = f.window_start_us
+ORDER BY f.window_start_us
+"""
+
+
+# placeholders resolved at import so the CTE above stays one f-string
+from ..operators.sketches import (  # noqa: E402
+    _HLL_LC_THRESH_MILLI,
+    _HLL_M,
+    _HLL_NUM,
+    _LC_MILLI,
+)
+
+_LC_LIST = ", ".join(str(x) for x in _LC_MILLI[1:])
+
+
+@register(
+    "streaming_distinct_hll", oracle=_hll_stream_sql(), tags=("streaming", "sketch")
+)
+def streaming_distinct_hll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour DISTINCT-USER estimate maintained as streaming HLL
+    register state: the streaming plan keeps only (window, bucket) →
+    max(rho) — 64 integers per open window, merged incrementally by
+    max as micro-batches arrive — where streaming COUNT(DISTINCT) is
+    unsupported precisely because its state is the distinct set
+    itself. Finalization (64 rows per window → one estimate) runs on
+    the materialized register table; the watermark bounds state for
+    late data exactly as in the tumbling-counts query.
+
+    The oracle replays registers + finalization in batch SQL — the
+    sketch is deterministic integer arithmetic end-to-end (md5-chunk
+    bucket/rank ladder, precomputed linear-counting table), so the
+    streaming result is hash-exact against DuckDB, not approximately
+    checked. Calibration column: exact COUNT(DISTINCT) per window from
+    the same bounded replay."""
+    from ..operators.sketches import _hll_cols, _hll_estimate_cols, _rho_case
+
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    hashed = ev.select(
+        "ts", F.md5(F.col("user_id").cast("string")).alias("hx")
+    )
+    b, v = _hll_cols(F.col("hx"))
+    cells = hashed.withColumn("b", b).withColumn("v", v).select(
+        "ts", "b", F.expr(_rho_case("v")).alias("rho")
+    )
+    regs = cells.groupBy(F.window("ts", "1 hour"), "b").agg(
+        F.max("rho").alias("m")
+    )
+    out = _run_to_memory(regs, mode="complete")
+    # finalize sparse registers: empty buckets contribute 2^33 to S and
+    # count into V without materializing the dense grid
+    agg = out.groupBy("window").agg(
+        F.count("*").cast("bigint").alias("live_registers"),
+        (
+            F.sum(F.expr("shiftleft(cast(1 as bigint), 33 - cast(m as int))"))
+            + (F.lit(_HLL_M) - F.count("*")) * F.lit(1 << 33)
+        ).alias("s"),
+        (F.lit(_HLL_M) - F.count("*")).cast("bigint").alias("v"),
+    )
+    _, est = _hll_estimate_cols("s", "v")
+    fin = agg.select(
+        F.unix_micros(F.col("window.start")).alias("window_start_us"),
+        "live_registers",
+        est.alias("hll_users"),
+    )
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("exact_users"))
+        .select(F.unix_micros(F.col("h")).alias("window_start_us"), "exact_users")
+    )
+    return fin.join(exact, "window_start_us").select(
+        "window_start_us", "live_registers", "exact_users", "hll_users"
+    ).orderBy("window_start_us")
