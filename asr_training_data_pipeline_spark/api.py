@@ -108,6 +108,12 @@ _PRIORITY = (
     "kmv_corpus_overlap",
     "pmi_collocations",
     "streaming_distinct_hll",
+    # sixth r7 newcomer: the one-scan multi-column distinct profile
+    # (ANALYZE shape) on the same HLL core — slot funded by retiring
+    # streaming_dedup_exact (pass r3..r6, four greens; streaming keeps
+    # bloom_gate + distinct_hll in the prefix and every retiree stays
+    # pytest-oracle-covered each run)
+    "hll_column_profile",
     # wave-3 newcomers: ANN / embeddings
     "ann_ivf_topk",
     "ann_lsh_buckets",
@@ -146,7 +152,6 @@ _PRIORITY = (
     "dedup_bloom_probe",
     "asr_pipeline_clips",
     "asr_pipeline_summary",
-    "streaming_dedup_exact",
     # events-table block (ms_round_convert, json_extract_props,
     # case_adaptive_guard, avg_confidence_coalesce, lag_lead_boundaries,
     # sequence_position, longest_span_top1, first_match_confidence,

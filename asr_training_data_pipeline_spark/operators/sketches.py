@@ -515,3 +515,81 @@ def kmv_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# Multi-column distinct profile from one scan (ANALYZE at scale)
+# ---------------------------------------------------------------------
+
+_PROFILE_COLS = ("user_id", "event_type", "props")
+
+_HLL_PROFILE_SQL = f"""
+WITH stacked AS (
+  {" UNION ALL ".join(
+      f"SELECT '{c}' AS col_name, CAST({c} AS VARCHAR) AS w FROM events WHERE {c} IS NOT NULL"
+      for c in _PROFILE_COLS
+  )}
+),
+regs AS ({_hll_regs_sql('stacked', 'col_name', 'stacked')}),
+fin AS ({_hll_finalize_sql('regs', 'col_name')}),
+exact AS (SELECT col_name, CAST(COUNT(DISTINCT w) AS BIGINT) AS exact_distinct
+          FROM stacked GROUP BY col_name)
+SELECT e.col_name, e.exact_distinct, f.zero_registers, f.raw_est_milli,
+       f.hll_est,
+       CAST(abs(f.hll_est - e.exact_distinct) * 1000000 // e.exact_distinct
+            AS BIGINT) AS err_ppm
+FROM fin f JOIN exact e ON e.col_name = f.col_name
+ORDER BY e.col_name
+"""
+
+
+@register(
+    "hll_column_profile",
+    oracle=_HLL_PROFILE_SQL,
+    tags=("sketch", "stats", "audit"),
+)
+def hll_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-COLUMN distinct profile from ONE scan: the ANALYZE-style
+    cardinality report (user_id / event_type / props of the event
+    stream) that feeds join-planning and partitioning decisions. The
+    row is read once, stack()-unpivoted to (col_name, value), and every
+    column's HLL registers build inside the same constant-width
+    aggregation — where per-column COUNT(DISTINCT) either runs one
+    expand (c× the scan in one pass) or c separate jobs, and ships
+    each distinct set through an exchange. At 100 TB this is the
+    difference between a metadata sweep and a shuffle the size of the
+    key domain.
+
+    Same deterministic register/finalization core as hll_distinct
+    (md5-chunk ladder, integer floor division, precomputed LC table);
+    exact COUNT(DISTINCT) per column rides along as the calibration
+    audit."""
+    ev = load_table(spark, sf_dir, "events")
+    stack_expr = ", ".join(
+        f"'{c}', cast({c} as string)" for c in _PROFILE_COLS
+    )
+    stacked = ev.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_expr}) as (col_name, w)"
+        )
+    ).filter(F.col("w").isNotNull())
+    hashed = stacked.select("col_name", F.md5("w").alias("hx"))
+    fin = _finalize(_dense_registers(hashed, ["col_name"]), ["col_name"])
+    exact = stacked.groupBy("col_name").agg(
+        F.countDistinct("w").cast("bigint").alias("exact_distinct")
+    )
+    return (
+        fin.join(exact, "col_name")
+        .select(
+            "col_name",
+            "exact_distinct",
+            "zero_registers",
+            "raw_est_milli",
+            "hll_est",
+            F.expr(
+                "cast(abs(hll_est - exact_distinct) * 1000000"
+                " div exact_distinct as bigint)"
+            ).alias("err_ppm"),
+        )
+        .orderBy("col_name")
+    )

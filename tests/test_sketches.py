@@ -209,3 +209,13 @@ def test_kmv_bottomk_is_take_ordered(spark, sf_dir):
     plan = _executed_plan(spark, sf_dir, "kmv_corpus_overlap")
     assert "TakeOrderedAndProject" in plan
     assert "RunningWindowFunction" not in plan and "Window" not in plan
+
+
+def test_column_profile_covers_all_columns(spark, sf_dir):
+    rows = {r["col_name"]: r for r in
+            REGISTRY["hll_column_profile"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {"user_id", "event_type", "props"}
+    for r in rows.values():
+        assert abs(r["hll_est"] - r["exact_distinct"]) <= max(
+            0.4 * r["exact_distinct"], 10
+        ), dict(r.asDict())
