@@ -219,3 +219,107 @@ def test_column_profile_covers_all_columns(spark, sf_dir):
         assert abs(r["hll_est"] - r["exact_distinct"]) <= max(
             0.4 * r["exact_distinct"], 10
         ), dict(r.asDict())
+
+
+def test_hll_registers_match_reference_on_random_corpora(spark):
+    """Hypothesis: for arbitrary word multisets (including unicode and
+    collision-prone short strings), the Spark register frame and
+    integer estimate equal the hashlib/Python-int reference — pinning
+    bucketing, the rho ladder, and finalization against drift."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    words = st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_characters=[" "]
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=60,
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(ws=words)
+    def check(ws):
+        df = spark.createDataFrame([(w,) for w in ws], "w string").select(
+            F.lit("x").alias("lang"), F.md5("w").alias("hx")
+        )
+        regs = {
+            int(r["b"]): int(r["m"])
+            for r in _dense_registers(df, ["lang"]).collect()
+        }
+        py_regs, py_est = _py_hll(ws)
+        assert [regs[b] for b in range(_HLL_M)] == py_regs
+        fin = _finalize(_dense_registers(df, ["lang"]), ["lang"]).collect()[0]
+        assert int(fin["hll_est"]) == py_est
+
+    check()
+
+
+def test_pmi_matches_bruteforce_on_random_corpora(spark, tmp_path):
+    """Hypothesis: lift_ppm equals a collections.Counter brute force
+    for random small corpora (min-support floor lowered by density:
+    short alphabets force repeated pairs)."""
+    import collections
+
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from asr_training_data_pipeline_spark.operators.text_analysis import (
+        _PMI_MIN,
+        pmi_collocations,
+    )
+
+    docs = st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c"]), min_size=2, max_size=12
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+
+    counter = [0]
+
+    @settings(max_examples=10, deadline=None)
+    @given(texts=docs)
+    def check(texts):
+        counter[0] += 1
+        d = tmp_path / f"pmi_hyp_{counter[0]}"
+        d.mkdir()
+        pd.DataFrame(
+            {
+                "doc_id": range(len(texts)),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["s"] * len(texts),
+                "n_chars": [len(t) for t in texts],
+            }
+        ).to_parquet(d / "documents.parquet")
+        got = {
+            (r["w1"], r["w2"]): r["lift_ppm"]
+            for r in pmi_collocations(spark, str(d)).collect()
+        }
+        pairs = collections.Counter()
+        for t in texts:
+            ws = t.split(" ")
+            pairs.update(zip(ws, ws[1:]))
+        n = sum(pairs.values())
+        c1 = collections.Counter()
+        c2 = collections.Counter()
+        for (a, b), c in pairs.items():
+            c1[a] += c
+            c2[b] += c
+        want = {
+            (a, b): 1000000 * c * n // (c1[a] * c2[b])
+            for (a, b), c in pairs.items()
+            if c >= _PMI_MIN
+        }
+        # pmi query returns top-50; the random corpora stay below 50
+        # qualifying pairs so the sets must match exactly
+        assert got == want
+
+    check()
