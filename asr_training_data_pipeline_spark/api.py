@@ -4,7 +4,7 @@ registry (each operator module registers its queries on import)."""
 from __future__ import annotations
 
 from . import queries as core_queries  # noqa: F401  (relational/window/scalar core)
-from .operators import asof, curation, dedup, dsp, layout, mllib_fe, multimodal, similarity, sketches, text_analysis  # noqa: F401
+from .operators import asof, associations, curation, dedup, dsp, layout, mllib_fe, multimodal, similarity, sketches, text_analysis  # noqa: F401
 from .plans import pipeline  # noqa: F401
 from .registry import REGISTRY, bench_queries, oracles, queries  # noqa: F401
 from .sinks import exports  # noqa: F401
@@ -68,7 +68,6 @@ _PRIORITY = (
     # image_resize + the new frame_sample).
     "word_coverage",
     "dedup_minhash_lsh",
-    "ann_cosine_topk",
     "bpe_vocab",
     "langid_trained",
     "bloom_calibration",
@@ -114,11 +113,25 @@ _PRIORITY = (
     # bloom_gate + distinct_hll in the prefix and every retiree stays
     # pytest-oracle-covered each run)
     "hll_column_profile",
+    # late-r7 operators (first-round-exposure rule): a-priori
+    # market-basket lift, sorted-neighborhood blocking on the
+    # distributed two-level rank, and monoid-merge incremental
+    # aggregate refresh — all exact-oracle. Three slots funded by
+    # retiring ann_cosine_topk (green r2..r6, five rows; ANN keeps
+    # ivf/lsh_buckets/pq_topk/pq_rerank in the prefix and the
+    # brute-force flagship stays bench-pinned + pytest-oracle-covered)
+    # and deferring the second green of two once-green wave-3 members
+    # whose families keep prefix reps (validate_embeddings —
+    # embeddings keep profile_embeddings + embedding_drift;
+    # cohort_retention — curation keeps signals_fused,
+    # length_filter_adaptive, mixture_weights, multimodal).
+    "basket_lift",
+    "sorted_neighborhood_pairs",
+    "incremental_agg_refresh",
     # wave-3 newcomers: ANN / embeddings
     "ann_ivf_topk",
     "ann_lsh_buckets",
     "profile_embeddings",
-    "validate_embeddings",
     # wave-3 newcomers: dedup
     "dedup_simhash_portable",
     "dedup_substring_spans",
@@ -129,7 +142,6 @@ _PRIORITY = (
     "curation_signals_fused",
     "length_filter_adaptive",
     "mixture_weights",
-    "cohort_retention",
     "corpus_curation_multimodal",
     "sink_export_manifest",
     "multimodal_image_resize",
@@ -184,17 +196,19 @@ _PRIORITY = (
 )
 
 # Rotation queue for the NEXT prefix refresh: after CORRECTNESS_r07,
-# the never-checked set is the five r7-new sketch/PMI queries' FIRST
-# rows (in the prefix above) — every other registered query has a
-# driver row at least once. Next candidates to rotate IN: any
-# r8-new operators first, then second greens for the deferred
-# once-green members (vocab_coverage, lang_id_confusion,
-# embedding_centroids, pack_sequences, train_test_split,
-# bottomk_sample_per_lang, funnel_stages, dedup_incremental,
-# sink_training_shards, event_rate_anomalies) and for the wave-4
-# newcomers once green, then third greens for the long-retired r2/r3
-# blocks. Fund slots by retiring whichever wave-3/wave-4 members
-# CORRECTNESS_r07 confirms green a second time.
+# the never-checked set is the nine r7-new queries' FIRST rows (the
+# sketch/PMI wave + basket_lift / sorted_neighborhood_pairs /
+# incremental_agg_refresh, all in the prefix above) — every other
+# registered query has a driver row at least once. Next candidates to
+# rotate IN: any r8-new operators first, then second greens for the
+# deferred once-green members (vocab_coverage, lang_id_confusion,
+# embedding_centroids, validate_embeddings, cohort_retention,
+# pack_sequences, train_test_split, bottomk_sample_per_lang,
+# funnel_stages, dedup_incremental, sink_training_shards,
+# event_rate_anomalies) and for the wave-4 newcomers once green, then
+# third greens for the long-retired r2/r3 blocks. Fund slots by
+# retiring whichever wave-3/wave-4 members CORRECTNESS_r07 confirms
+# green a second time.
 
 
 def _reorder_registry() -> None:

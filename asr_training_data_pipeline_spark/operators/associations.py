@@ -1,0 +1,404 @@
+"""Association / blocking / incremental-maintenance operators:
+market-basket 2-itemset mining (a-priori), sorted-neighborhood dedup
+blocking on a distributed rank, and monoid-merge aggregate refresh.
+
+Why these exist in a 100 TB engine:
+
+* **basket_lift** — co-occurrence mining ("parts ordered together")
+  is the relational cousin of PMI collocations (`pmi_collocations`):
+  the naive pair self-join is quadratic in basket size and linear in
+  baskets, so the scalable shape is the A-PRIORI prune — drop items
+  below the pair-support threshold BEFORE generating pairs (lossless
+  by support monotonicity: a pair occurring >= s times implies each
+  member occurs >= s times). The surviving item-count table is tiny
+  and broadcast; the only big shuffle keys on the basket id.
+  Reference: Agrawal & Srikant, "Fast Algorithms for Mining
+  Association Rules" (VLDB 1994).
+
+* **sorted_neighborhood_pairs** — the third classic dedup-blocking
+  family (after LSH banding and inverted-index shingles): sort the
+  corpus by a normalized key and compare each record only to its W
+  sort-neighbors. The scale problem is the GLOBAL RANK — a
+  row_number() over one unpartitioned window serializes the corpus
+  through a single task. Here the rank is two-level: a per-bucket
+  window (bucket = a PREFIX of the sort key, so bucket order is
+  consistent with key order) plus bucket-count offsets from a tiny
+  aggregate — the same distributed-rank shape Spark's own
+  zipWithIndex uses, but deterministic (a pure function of the data,
+  never of partitioning), which is what makes the DuckDB replay
+  hash-exact. Reference: Hernández & Stolfo, "The merge/purge problem
+  for large databases" (SIGMOD 1995).
+
+* **incremental_agg_refresh** — materialized-aggregate maintenance:
+  count/sum per group form a commutative monoid, so a stored
+  aggregate is refreshed by aggregating ONLY the change log and
+  merging with a full-outer coalesce — the base fact table is never
+  rescanned. Negative weights express retractions. At 100 TB this is
+  the difference between a refresh proportional to the day's delta
+  and one proportional to the corpus.
+
+The arithmetic is exact-integer end to end (ppm / milli units via
+bigint floor division; event values in the ms fixed-point convention
+of `queries.py`), so every operator here carries an exact DuckDB
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import load_table
+from .shingles import shingles_col, shingles_sql
+
+# ---------------------------------------------------------------------
+# Market-basket 2-itemsets (a-priori prune, exact-integer lift)
+# ---------------------------------------------------------------------
+
+_MIN_PAIR_SUPPORT = 3  # absolute pair-count threshold
+_TOP_PAIRS = 100
+
+_BASKET_SQL = f"""
+WITH baskets AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem),
+n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_baskets FROM baskets),
+items AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt FROM baskets GROUP BY item),
+freq AS (SELECT item, cnt FROM items WHERE cnt >= {_MIN_PAIR_SUPPORT}),
+pruned AS (SELECT b.ok, b.item, f.cnt FROM baskets b JOIN freq f ON f.item = b.item),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b,
+         CAST(COUNT(*) AS BIGINT) AS pair_cnt,
+         MAX(a.cnt) AS cnt_a, MAX(b.cnt) AS cnt_b
+  FROM pruned a JOIN pruned b ON a.ok = b.ok AND a.item < b.item
+  GROUP BY a.item, b.item
+  HAVING COUNT(*) >= {_MIN_PAIR_SUPPORT})
+SELECT item_a, item_b, pair_cnt, cnt_a, cnt_b,
+       CAST(pair_cnt * 1000000 // n.n_baskets AS BIGINT) AS support_ppm,
+       CAST(pair_cnt * 1000000 // cnt_a AS BIGINT) AS conf_ab_ppm,
+       CAST(pair_cnt * 1000000 // cnt_b AS BIGINT) AS conf_ba_ppm,
+       CAST(pair_cnt * n.n_baskets * 1000 // (cnt_a * cnt_b) AS BIGINT) AS lift_milli
+FROM pairs, n
+ORDER BY lift_milli DESC, item_a, item_b
+LIMIT {_TOP_PAIRS}
+"""
+
+
+@register("basket_lift", oracle=_BASKET_SQL, tags=("association", "events"))
+def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-PRIORI 2-itemset association mining over order baskets: the
+    top co-ordered part pairs by lift, with exact-integer
+    support/confidence/lift (ppm / milli units, bigint floor
+    division — no float ratios, so the oracle compare is hash-exact).
+
+    Scale shape (Agrawal-Srikant a-priori, VLDB 1994): items below
+    the pair-support threshold are pruned BEFORE pair generation —
+    lossless, because pair support is bounded by member support.
+    The pruned item-count frame (<= |parts| rows, far smaller after
+    the threshold) is BROADCAST onto the basket scan, so the only
+    big shuffles key on the basket id (the pair self-join) and on
+    the pair itself (map-side-combined count). Pair-count arithmetic
+    stays under 2^53 by construction (pair_cnt <= n_baskets,
+    cnt_a*cnt_b <= (rows)^2 at any TPC-H SF this engine targets).
+
+    The final top-100 is a TakeOrdered (per-partition top-k
+    + driver merge), never a full sort: ordering by (lift, item_a,
+    item_b) is a total order, so the cut is deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")
+    ).distinct()
+    n_baskets = baskets.agg(
+        F.countDistinct("ok").cast("bigint").alias("n_baskets")
+    )
+    items = baskets.groupBy("item").agg(F.count("*").cast("bigint").alias("cnt"))
+    freq = items.filter(F.col("cnt") >= _MIN_PAIR_SUPPORT)
+    pruned = baskets.join(F.broadcast(freq), "item").select("ok", "item", "cnt")
+    a = pruned.select(
+        "ok", F.col("item").alias("item_a"), F.col("cnt").alias("ca")
+    )
+    b = pruned.select(
+        "ok", F.col("item").alias("item_b"), F.col("cnt").alias("cb")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(
+            F.count("*").cast("bigint").alias("pair_cnt"),
+            F.max("ca").alias("cnt_a"),
+            F.max("cb").alias("cnt_b"),
+        )
+        .filter(F.col("pair_cnt") >= _MIN_PAIR_SUPPORT)
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a",
+            "item_b",
+            "pair_cnt",
+            "cnt_a",
+            "cnt_b",
+            F.expr("pair_cnt * 1000000 div n_baskets").alias("support_ppm"),
+            F.expr("pair_cnt * 1000000 div cnt_a").alias("conf_ab_ppm"),
+            F.expr("pair_cnt * 1000000 div cnt_b").alias("conf_ba_ppm"),
+            F.expr(
+                "pair_cnt * n_baskets * 1000 div (cnt_a * cnt_b)"
+            ).alias("lift_milli"),
+        )
+        .orderBy(F.desc("lift_milli"), "item_a", "item_b")
+        .limit(_TOP_PAIRS)
+    )
+
+
+# ---------------------------------------------------------------------
+# Sorted-neighborhood blocking on a distributed two-level rank
+# ---------------------------------------------------------------------
+
+_SNM_WINDOW = 3  # compare each doc to its next W sort-neighbors
+_SNM_KEY_LEN = 24  # normalized sort key: first chars of lower(text)
+_SNM_BUCKET_LEN = 2  # rank-bucket = key prefix (order-consistent)
+_SNM_SHINGLE_K = 3
+_SNM_MIN_JAC_PPM = 200_000  # report candidates at >= 0.2 exact Jaccard
+
+_SNM_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, substr(lower(text), 1, {_SNM_KEY_LEN}) AS key FROM documents
+),
+ranked AS (
+  SELECT doc_id, key, ROW_NUMBER() OVER (ORDER BY key, doc_id) AS rnk FROM keyed
+),
+{shingles_sql(_SNM_SHINGLE_K)},
+sn AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(a.rnk AS BIGINT) AS rank_a, CAST(b.rnk - a.rnk AS BIGINT) AS gap
+  FROM ranked a JOIN ranked b ON b.rnk - a.rnk BETWEEN 1 AND {_SNM_WINDOW}
+),
+inter AS (
+  SELECT c.doc_a AS da, c.doc_b AS db, CAST(COUNT(*) AS BIGINT) AS i
+  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+              JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT c.doc_a, c.doc_b, c.rank_a, c.gap,
+       CAST(COALESCE(i.i, 0) * 1000000
+            // (na.n + nb.n - COALESCE(i.i, 0)) AS BIGINT) AS jac_ppm
+FROM cand c
+JOIN sn na ON na.doc_id = c.doc_a
+JOIN sn nb ON nb.doc_id = c.doc_b
+LEFT JOIN inter i ON i.da = c.doc_a AND i.db = c.doc_b
+WHERE COALESCE(i.i, 0) * 1000000
+      // (na.n + nb.n - COALESCE(i.i, 0)) >= {_SNM_MIN_JAC_PPM}
+ORDER BY c.doc_a, c.doc_b
+"""
+
+
+def distributed_rank(
+    df: DataFrame, key: str, id_col: str, bucket_len: int = _SNM_BUCKET_LEN
+) -> DataFrame:
+    """Global dense row rank over ``ORDER BY (key, id_col)`` WITHOUT a
+    single-partition window: a per-bucket ``row_number`` (bucket = a
+    ``bucket_len``-char PREFIX of the key, so bucket order is
+    consistent with key order by the prefix property) plus bucket
+    offsets from a tiny bucket-count aggregate.
+
+    The only unpartitioned window runs over the BUCKET-COUNT frame
+    (|alphabet|^bucket_len rows at most — thousands, not corpus-
+    sized); the per-row window parallelizes across buckets. The rank
+    is a pure function of the data — never of partitioning or
+    sampling — which is what lets an independent engine replay it
+    exactly. Bucket granularity is the parallelism/offset-frame
+    trade: longer prefixes → more buckets → better balance on skewed
+    corpora.
+    """
+    bucketed = df.withColumn("_bkt", F.substring(F.col(key), 1, bucket_len))
+    w_local = Window.partitionBy("_bkt").orderBy(key, id_col)
+    local = bucketed.withColumn("_lr", F.row_number().over(w_local))
+    counts = bucketed.groupBy("_bkt").agg(F.count("*").alias("_bc"))
+    # The cumulative sum over the BUCKET-COUNT frame is the one place a
+    # single partition is correct by construction (<= |alphabet|^len
+    # rows); the literal partition key states that on the plan instead
+    # of tripping WindowExec's no-partition warning.
+    w_off = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_bkt", F.coalesce(F.sum("_bc").over(w_off), F.lit(0)).alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_bkt")
+        .withColumn("rnk", (F.col("_off") + F.col("_lr")).cast("bigint"))
+        .drop("_bkt", "_lr", "_off")
+    )
+
+
+@register("sorted_neighborhood_pairs", oracle=_SNM_SQL, tags=("dedup", "text"))
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SORTED-NEIGHBORHOOD dedup blocking (Hernández-Stolfo, SIGMOD
+    1995): rank the corpus by a normalized key (the first 24 chars of
+    lowercased text), pair each doc with its next W=3 sort-neighbors,
+    and verify each candidate with
+    the EXACT shingle Jaccard (integer ppm) — reporting pairs at
+    >= 0.2. Complements the LSH/inverted-index blockers: O(n·W)
+    candidates, no banding false negatives for prefix-similar docs.
+
+    Scale shape: the global rank is the two-level
+    :func:`distributed_rank` (per-bucket windows + tiny offset
+    frame), NOT an unpartitioned row_number over the corpus; the
+    neighbor join is an equi-join on (rank + d) for d in 1..W —
+    integer keys only; the verify join ships each candidate doc's
+    distinct-shingle array at most W+1 times. Docs shorter than the
+    shingle k produce no shingles and (as in the oracle) never
+    reach the verify stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id", F.substring(F.lower(F.col("text")), 1, _SNM_KEY_LEN).alias("key")
+    )
+    ranked = distributed_rank(keyed, "key", "doc_id")
+    lhs = ranked.select(
+        F.col("doc_id").alias("doc_a"), F.col("rnk").alias("rank_a")
+    ).withColumn(
+        "gap", F.explode(F.sequence(F.lit(1), F.lit(_SNM_WINDOW)))
+    ).withColumn("gap", F.col("gap").cast("bigint"))
+    rhs = ranked.select(
+        F.col("doc_id").alias("doc_b"), F.col("rnk").alias("rank_b")
+    )
+    cand = lhs.join(
+        rhs, F.col("rank_b") == F.col("rank_a") + F.col("gap")
+    ).select("doc_a", "doc_b", "rank_a", "gap")
+    sh = docs.select(
+        "doc_id",
+        shingles_col(F.split(F.col("text"), " "), _SNM_SHINGLE_K).alias("sh"),
+    ).filter(F.col("sh").isNotNull())
+    verified = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb")),
+            "doc_b",
+        )
+        .withColumn(
+            "inter", F.size(F.array_intersect("sa", "sb")).cast("bigint")
+        )
+        .withColumn(
+            "jac_ppm",
+            F.expr(
+                "inter * 1000000 div "
+                "(cast(size(sa) as bigint) + cast(size(sb) as bigint) - inter)"
+            ),
+        )
+        .filter(F.col("jac_ppm") >= _SNM_MIN_JAC_PPM)
+    )
+    return verified.select(
+        "doc_a", "doc_b", "rank_a", "gap", "jac_ppm"
+    ).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------
+# Incremental aggregate maintenance (monoid merge of a change log)
+# ---------------------------------------------------------------------
+
+_DELTA_MOD = 10
+_DELTA_RESIDUE = 8  # event_id % 10 >= 8 → the "newly arrived" slice
+
+_REFRESH_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_type,
+         event_id % {_DELTA_MOD} >= {_DELTA_RESIDUE} AS is_delta,
+         CAST(round(value * 1000) AS BIGINT) AS value_ms
+  FROM events
+)
+SELECT user_id, event_type,
+       CAST(SUM(CASE WHEN is_delta THEN 0 ELSE 1 END) AS BIGINT) AS n_base,
+       CAST(SUM(CASE WHEN is_delta THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN is_delta THEN 0 ELSE value_ms END) AS BIGINT) AS sum_base_ms,
+       CAST(SUM(CASE WHEN is_delta THEN value_ms ELSE 0 END) AS BIGINT) AS sum_delta_ms,
+       CAST(SUM(value_ms) AS BIGINT) AS sum_total_ms
+FROM ev
+GROUP BY user_id, event_type
+ORDER BY user_id, event_type
+"""
+
+
+def aggregate_events(ev: DataFrame, weight=None) -> DataFrame:
+    """(user_id, event_type) → (n, sum_ms) aggregate of an event
+    slice. ``weight`` (a Column, +1/-1) expresses retractions: a
+    weight of -1 removes the row's contribution when the aggregate is
+    merged — the monoid inverse that lets a change log carry deletes."""
+    w = F.lit(1).cast("bigint") if weight is None else weight.cast("bigint")
+    return (
+        ev.select(
+            "user_id",
+            "event_type",
+            w.alias("w"),
+            (w * F.round(F.col("value") * 1000).cast("bigint")).alias("v_ms"),
+        )
+        .groupBy("user_id", "event_type")
+        .agg(F.sum("w").alias("n"), F.sum("v_ms").alias("sum_ms"))
+    )
+
+
+def merge_group_aggs(base_agg: DataFrame, delta_agg: DataFrame) -> DataFrame:
+    """Monoid merge of two (user_id, event_type, n, sum_ms)
+    aggregates: full-outer on the group key, coalesce-add the
+    measures. THIS is the refresh operator — its cost is
+    O(|base groups| + |delta groups|), independent of base FACT rows;
+    in production ``base_agg`` is the stored aggregate table and only
+    the delta side touches new data."""
+    b = base_agg.select(
+        "user_id",
+        "event_type",
+        F.col("n").alias("n_base"),
+        F.col("sum_ms").alias("sum_base_ms"),
+    )
+    d = delta_agg.select(
+        "user_id",
+        "event_type",
+        F.col("n").alias("n_delta"),
+        F.col("sum_ms").alias("sum_delta_ms"),
+    )
+    z = F.lit(0).cast("bigint")
+    return (
+        b.join(d, ["user_id", "event_type"], "full_outer")
+        .select(
+            "user_id",
+            "event_type",
+            F.coalesce("n_base", z).alias("n_base"),
+            F.coalesce("n_delta", z).alias("n_delta"),
+            (F.coalesce("n_base", z) + F.coalesce("n_delta", z)).alias("n_total"),
+            F.coalesce("sum_base_ms", z).alias("sum_base_ms"),
+            F.coalesce("sum_delta_ms", z).alias("sum_delta_ms"),
+            (
+                F.coalesce("sum_base_ms", z) + F.coalesce("sum_delta_ms", z)
+            ).alias("sum_total_ms"),
+        )
+    )
+
+
+@register("incremental_agg_refresh", oracle=_REFRESH_SQL, tags=("events", "incremental"))
+def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATERIALIZED-AGGREGATE REFRESH: per-(user, event_type)
+    count/sum maintained by aggregating ONLY the change-log slice
+    (here: event_id % 10 >= 8, standing in
+    for "arrived since the last refresh") and monoid-merging it with
+    the stored base aggregate — the base fact rows are never
+    rescanned by the refresh path.
+
+    The oracle recomputes from scratch (the correctness definition of
+    incremental view maintenance: refresh(base, delta) ==
+    full(base ∪ delta)); the Spark side takes the incremental route,
+    so the hash match IS the maintenance-algebra proof. Retractions
+    ride the same merge with weight -1 (:func:`aggregate_events`),
+    exercised by the unit suite."""
+    ev = load_table(spark, sf_dir, "events")
+    is_delta = (F.col("event_id") % _DELTA_MOD) >= _DELTA_RESIDUE
+    base_agg = aggregate_events(ev.filter(~is_delta))
+    delta_agg = aggregate_events(ev.filter(is_delta))
+    return merge_group_aggs(base_agg, delta_agg).orderBy(
+        "user_id", "event_type"
+    )

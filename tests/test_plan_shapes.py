@@ -283,3 +283,37 @@ def test_sq8_staged_max_survives_collapse_project(spark, sf_dir):
     assert any(
         "array_max" in l and re.search(r"\) AS mx#\d+", l) for l in lines
     ), "staged max projection missing"
+
+
+def test_basket_lift_broadcast_prune_and_topk(spark, sf_dir):
+    """The a-priori item-count frame must BROADCAST onto the basket
+    scan (never a shuffle join — it is tiny after the support
+    threshold), the final top-k must be a TakeOrdered (per-partition
+    top-k + driver merge, never a global sort), and the lineitem scan
+    must prune to the two key columns."""
+    plan = _executed_plan(spark, sf_dir, "basket_lift")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, "no parquet scan in plan"
+    # the basket-count branch prunes all the way to l_orderkey alone
+    for s in schemas:
+        assert set(s.split(",")) <= {
+            "l_orderkey:bigint",
+            "l_partkey:bigint",
+        }, s
+
+
+def test_snm_rank_window_is_bucket_partitioned(spark, sf_dir):
+    """sorted_neighborhood_pairs' global rank is the two-level
+    distributed_rank: the corpus-sized window must partition by the
+    key-prefix bucket. No Window node may run unpartitioned over the
+    corpus — the only single-partition cumsum (the bucket-offset
+    frame) carries an explicit literal partition key, so an empty
+    partition spec anywhere is a regression to the serialized rank."""
+    plan = _executed_plan(spark, sf_dir, "sorted_neighborhood_pairs")
+    wins = re.findall(r"Window \[.*?\], \[([^\]]*)\], \[", plan)
+    assert wins, "no window in plan"
+    for spec in wins:
+        assert spec.strip(), "unpartitioned window over the corpus"
+    assert any("_bkt" in w for w in wins), wins
