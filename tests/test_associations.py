@@ -41,6 +41,12 @@ def test_distributed_rank_matches_global_row_number(spark):
         ("ba", 8),
         ("z", 6),
         ("zz", 5),
+        # non-ASCII: substring() is codepoint-based in Spark, so the
+        # prefix property holds for multi-byte keys too
+        ("é", 11),
+        ("éa", 12),
+        ("中文字", 13),
+        ("中", 14),
     ]
     df = spark.createDataFrame(rows, "key string, doc_id long")
     got = {r.doc_id: r.rnk for r in distributed_rank(df, "key", "doc_id").collect()}
