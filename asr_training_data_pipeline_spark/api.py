@@ -124,10 +124,20 @@ _PRIORITY = (
     # whose families keep prefix reps (validate_embeddings —
     # embeddings keep profile_embeddings + embedding_drift;
     # cohort_retention — curation keeps signals_fused,
-    # length_filter_adaptive, mixture_weights, multimodal).
+    # length_filter_adaptive, multimodal).
     "basket_lift",
     "sorted_neighborhood_pairs",
     "incremental_agg_refresh",
+    # late-r7 operators, second pair: the sessionized Markov
+    # transition matrix and cross-source blocked-Levenshtein record
+    # linkage — both exact-oracle. Two slots funded by deferring the
+    # second green of two more once-green wave-3 members whose
+    # families keep prefix reps (dedup_cluster_stats — dedup keeps
+    # minhash_lsh/simhash_portable/substring_spans/bloom_probe/
+    # method_eval + the new blocking pair; mixture_weights — curation
+    # keeps signals_fused, length_filter_adaptive, multimodal).
+    "event_transition_matrix",
+    "record_linkage_fuzzy",
     # wave-3 newcomers: ANN / embeddings
     "ann_ivf_topk",
     "ann_lsh_buckets",
@@ -135,13 +145,11 @@ _PRIORITY = (
     # wave-3 newcomers: dedup
     "dedup_simhash_portable",
     "dedup_substring_spans",
-    "dedup_cluster_stats",
     "minhash_calibration",
     "mllib_minhash_pairs",
     # wave-3 newcomers: curation / analytics / sinks
     "curation_signals_fused",
     "length_filter_adaptive",
-    "mixture_weights",
     "corpus_curation_multimodal",
     "sink_export_manifest",
     "multimodal_image_resize",
@@ -196,13 +204,15 @@ _PRIORITY = (
 )
 
 # Rotation queue for the NEXT prefix refresh: after CORRECTNESS_r07,
-# the never-checked set is the nine r7-new queries' FIRST rows (the
+# the never-checked set is the eleven r7-new queries' FIRST rows (the
 # sketch/PMI wave + basket_lift / sorted_neighborhood_pairs /
-# incremental_agg_refresh, all in the prefix above) — every other
+# incremental_agg_refresh / event_transition_matrix /
+# record_linkage_fuzzy, all in the prefix above) — every other
 # registered query has a driver row at least once. Next candidates to
 # rotate IN: any r8-new operators first, then second greens for the
 # deferred once-green members (vocab_coverage, lang_id_confusion,
 # embedding_centroids, validate_embeddings, cohort_retention,
+# dedup_cluster_stats, mixture_weights,
 # pack_sequences, train_test_split, bottomk_sample_per_lang,
 # funnel_stages, dedup_incremental, sink_training_shards,
 # event_rate_anomalies) and for the wave-4 newcomers once green, then

@@ -299,6 +299,115 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# Cross-source fuzzy record linkage (blocked Levenshtein best-match)
+# ---------------------------------------------------------------------
+
+_RL_KEY_LEN = 40  # normalized match key: first chars of lower(text)
+_RL_BLOCK_LEN = 4  # block = key prefix; candidates pair within a block
+_RL_MAX_DIST = 8  # edit-distance acceptance threshold
+
+_LINKAGE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source, substr(lower(text), 1, {_RL_KEY_LEN}) AS key,
+         CAST(length(substr(lower(text), 1, {_RL_KEY_LEN})) AS BIGINT) AS ln
+  FROM documents
+),
+cand AS (
+  SELECT a.doc_id AS doc_id, a.source AS source,
+         b.doc_id AS m_doc, b.source AS m_source,
+         CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
+  FROM d a JOIN d b
+    ON substr(a.key, 1, {_RL_BLOCK_LEN}) = substr(b.key, 1, {_RL_BLOCK_LEN})
+   AND a.source <> b.source
+   AND abs(a.ln - b.ln) <= {_RL_MAX_DIST}
+  WHERE levenshtein(a.key, b.key) <= {_RL_MAX_DIST}
+),
+best AS (SELECT doc_id, MIN(dist) AS dist FROM cand GROUP BY doc_id),
+pick AS (
+  SELECT c.doc_id, MIN(c.m_doc) AS match_doc, b.dist
+  FROM cand c JOIN best b ON b.doc_id = c.doc_id AND b.dist = c.dist
+  GROUP BY c.doc_id, b.dist
+)
+SELECT p.doc_id, d.source, p.match_doc, m.source AS match_source, p.dist
+FROM pick p
+JOIN d ON d.doc_id = p.doc_id
+JOIN d m ON m.doc_id = p.match_doc
+ORDER BY p.doc_id
+"""
+
+
+@register("record_linkage_fuzzy", oracle=_LINKAGE_SQL, tags=("dedup", "text"))
+def record_linkage_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE fuzzy record linkage: for every document, the best
+    match in any OTHER source by Levenshtein distance over a
+    normalized key (first 40 chars of lowercased text), accepted at
+    distance ≤ 8 — the entity-resolution shape that reconciles the
+    same record ingested through different feeds (Fellegi & Sunter,
+    JASA 1969; the blocked-join framing follows the merge/purge
+    literature).
+
+    Scale shape: the quadratic is contained twice BEFORE any edit
+    distance runs — candidates must share a 4-char key-prefix BLOCK
+    (an equi-join, so the only corpus exchange keys on the block), and
+    must pass the |len(a)−len(b)| ≤ d length bound (a free Levenshtein
+    lower bound). Only survivors pay the O(k²) distance, JVM-side via
+    the codegen `levenshtein`. Best-match selection is two aggregates
+    over the (already small) accepted-candidate frame: min distance
+    per doc, then min match-id among ties — a pure function of the
+    data, no window over the corpus. Block length is the
+    selectivity/recall knob: linkable records must agree on the block
+    prefix, exactly as in every blocking scheme."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.substring(F.lower(F.col("text")), 1, _RL_KEY_LEN).alias("key"),
+    ).withColumn("ln", F.length("key").cast("bigint")).withColumn(
+        "blk", F.substring("key", 1, _RL_BLOCK_LEN)
+    )
+    a = d.select(
+        "blk", "doc_id", "source", F.col("key").alias("ka"), F.col("ln").alias("la")
+    )
+    b = d.select(
+        "blk",
+        F.col("doc_id").alias("m_doc"),
+        F.col("source").alias("m_source"),
+        F.col("key").alias("kb"),
+        F.col("ln").alias("lb"),
+    )
+    cand = (
+        a.join(b, "blk")
+        .filter(
+            (F.col("source") != F.col("m_source"))
+            & (F.abs(F.col("la") - F.col("lb")) <= _RL_MAX_DIST)
+        )
+        .withColumn("dist", F.levenshtein("ka", "kb").cast("bigint"))
+        .filter(F.col("dist") <= _RL_MAX_DIST)
+        .select("doc_id", "source", "m_doc", "m_source", "dist")
+    )
+    # best is one row per MATCHED doc — corpus-proportional on a
+    # duplicate-heavy corpus, so no broadcast hint: the join keys on
+    # doc_id and AQE picks broadcast only when the frame is actually
+    # small.
+    best = cand.groupBy("doc_id").agg(F.min("dist").alias("dist"))
+    pick = (
+        cand.join(best, ["doc_id", "dist"])
+        .groupBy("doc_id", "dist")
+        .agg(F.min("m_doc").alias("match_doc"))
+    )
+    src = d.select("doc_id", "source")
+    msrc = d.select(
+        F.col("doc_id").alias("match_doc"), F.col("source").alias("match_source")
+    )
+    return (
+        pick.join(src, "doc_id")
+        .join(msrc, "match_doc")
+        .select("doc_id", "source", "match_doc", "match_source", "dist")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------
 # Incremental aggregate maintenance (monoid merge of a change log)
 # ---------------------------------------------------------------------
 

@@ -638,6 +638,76 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TRANSITION_SQL = f"""
+WITH ordered AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events
+),
+trans AS (
+  SELECT prev_type AS src, event_type AS dst
+  FROM ordered
+  WHERE prev_type IS NOT NULL AND ts_us - prev_us <= {SESSION_GAP_US}
+),
+cnts AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS cnt FROM trans GROUP BY src, dst),
+tot AS (SELECT src, CAST(SUM(cnt) AS BIGINT) AS src_total FROM cnts GROUP BY src)
+SELECT c.src, c.dst, c.cnt, t.src_total,
+       CAST(c.cnt * 1000000 // t.src_total AS BIGINT) AS prob_ppm
+FROM cnts c JOIN tot t ON t.src = c.src
+ORDER BY c.src, c.dst
+"""
+
+
+@register("event_transition_matrix", oracle=_TRANSITION_SQL, tags=("window", "session", "events"))
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov TRANSITION MATRIX over the event stream: for every
+    (src → dst) event-type pair observed within a session (same user,
+    gap ≤ the 30-minute sessionize constant), the transition count and
+    empirical probability P(dst | src) in exact-integer ppm — the
+    behavioral-analytics artifact behind next-event prediction and
+    funnel-drop diagnosis.
+
+    Scale: ONE hash shuffle on user_id serves the lag window (the
+    sessionize_events partitioning, reused shape); transitions then
+    reduce by (src, dst) with map-side combine into a frame bounded by
+    |event_types|² rows, and the per-src totals aggregate THAT tiny
+    frame — the second pass never touches event rows. At 100 TB the
+    only corpus-sized exchange is the per-user window everybody
+    already pays for sessionization."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    trans = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .withColumn("prev_us", F.lag("ts_us").over(w))
+        .filter(
+            F.col("prev_type").isNotNull()
+            & (F.col("ts_us") - F.col("prev_us") <= SESSION_GAP_US)
+        )
+        .select(F.col("prev_type").alias("src"), F.col("event_type").alias("dst"))
+    )
+    cnts = trans.groupBy("src", "dst").agg(F.count("*").cast("bigint").alias("cnt"))
+    # per-src totals as a window over the ALREADY-REDUCED matrix frame
+    # (|event_types|² rows) — a second aggregation joined back would
+    # recompute the corpus scan + lag window for the build side
+    return (
+        cnts.withColumn(
+            "src_total",
+            F.sum("cnt").over(W.partitionBy("src")).cast("bigint"),
+        )
+        .select(
+            "src",
+            "dst",
+            "cnt",
+            "src_total",
+            F.expr("cnt * 1000000 div src_total").alias("prob_ppm"),
+        )
+        .orderBy("src", "dst")
+    )
+
+
 _BOUNDARY_SQL = """
 WITH w AS (
   SELECT user_id, event_id, epoch_us(ts) AS ts_us,

@@ -191,3 +191,87 @@ def test_snm_finds_prefix_near_dup_and_skips_short_docs(spark, snm_dir):
     assert pairs[(1, 2)].jac_ppm == 10 * 1_000_000 // 11
     flat = {d for p in pairs for d in p}
     assert 4 not in flat and 5 not in flat  # below shingle k: never verified
+
+
+# ---------------------------------------------------------------------
+# event_transition_matrix: session-gap semantics on a crafted stream
+# ---------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def trans_dir(spark, tmp_path_factory):
+    """user 1: a →(10 min)→ b →(110 min, past the 30-min gap)→ c;
+    user 2: a →(1 min)→ a. Cross-user and cross-session transitions
+    must not appear."""
+    import datetime as dt
+
+    d = tmp_path_factory.mktemp("trans")
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def ev(eid, uid, minutes, typ):
+        return (eid, t0 + dt.timedelta(minutes=minutes), uid, typ, 1.0, "{}")
+
+    rows = [
+        ev(1, 1, 0, "a"),
+        ev(2, 1, 10, "b"),
+        ev(3, 1, 120, "c"),
+        ev(4, 2, 0, "a"),
+        ev(5, 2, 1, "a"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(str(d / "events.parquet"))
+    return str(d)
+
+
+def test_transition_matrix_respects_session_gap(spark, trans_dir):
+    out = {
+        (r.src, r.dst): (r.cnt, r.src_total, r.prob_ppm)
+        for r in REGISTRY["event_transition_matrix"].fn(spark, trans_dir).collect()
+    }
+    assert out == {
+        ("a", "b"): (1, 2, 500_000),
+        ("a", "a"): (1, 2, 500_000),
+    }
+
+
+# ---------------------------------------------------------------------
+# record_linkage_fuzzy: cross-source, same-source and blocking edges
+# ---------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def linkage_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("linkage")
+    rows = [
+        (1, "the quick brown fox jumps over it", "srcA", "en", 33),
+        (2, "the quick brown fox jumps over us", "srcB", "en", 33),
+        (3, "the quick brown fox jumps over it", "srcA", "en", 33),
+        (4, "completely different text in here", "srcA", "en", 33),
+        (5, "xhe quick brown fox jumps over it", "srcB", "en", 33),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars long"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_record_linkage_cross_source_best_match(spark, linkage_dir):
+    out = {
+        r.doc_id: (r.match_doc, r.match_source, r.dist)
+        for r in REGISTRY["record_linkage_fuzzy"].fn(spark, linkage_dir).collect()
+    }
+    # doc 1 and 3 (srcA) link to doc 2 (srcB) at edit distance 2; the
+    # same-source exact duplicate (1↔3) is never a link candidate.
+    assert out[1] == (2, "srcB", 2)
+    assert out[3] == (2, "srcB", 2)
+    # doc 2's tie between docs 1 and 3 resolves to the smaller id.
+    assert out[2] == (1, "srcA", 2)
+    # doc 4: no cross-source candidate — absent.
+    assert 4 not in out
+    # doc 5 is distance 1 from doc 1 but disagrees on the 4-char
+    # block prefix ("xhe " vs "the ") — the documented blocking
+    # recall tradeoff: absent.
+    assert 5 not in out

@@ -317,3 +317,29 @@ def test_snm_rank_window_is_bucket_partitioned(spark, sf_dir):
     for spec in wins:
         assert spec.strip(), "unpartitioned window over the corpus"
     assert any("_bkt" in w for w in wins), wins
+
+
+def test_transition_matrix_single_corpus_exchange(spark, sf_dir):
+    """The lag window's user_id hash partitioning is the ONLY
+    corpus-sized exchange (ONE scan, ONE window — a totals join that
+    recomputed the corpus for the build side is the regression this
+    pins); per-src totals come from a window over the already-reduced
+    |event_types|²-row matrix frame."""
+    plan = _executed_plan(spark, sf_dir, "event_transition_matrix")
+    user_keyed = [
+        e
+        for e in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+        if "user_id" in e
+    ]
+    assert len(user_keyed) == 1, user_keyed
+    assert plan.count("FileScan parquet") == 1, "events scanned more than once"
+    assert "SortMergeJoin" not in plan
+
+
+def test_record_linkage_no_cartesian(spark, sf_dir):
+    """Candidate generation must stay an equi-join on the block key —
+    a nested-loop join anywhere means the blocking stopped containing
+    the quadratic."""
+    plan = _executed_plan(spark, sf_dir, "record_linkage_fuzzy")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
