@@ -375,14 +375,28 @@ def record_linkage_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key").alias("kb"),
         F.col("ln").alias("lb"),
     )
+    # Pre-spread the probe side on (blk, doc_id): when the build side
+    # broadcasts (small corpora), the post-join edit-distance work
+    # inherits the PROBE side's partitioning — without this, a
+    # one-file scan funnels every candidate pair through one task
+    # (measured 27 s for 771k pairs on one core at sf0.1). Under a
+    # shuffled join at scale the blk hash re-partitions anyway and
+    # AQE's skew split handles hot blocks.
     cand = (
-        a.join(b, "blk")
+        a.repartition("blk", "doc_id").join(b, "blk")
         .filter(
             (F.col("source") != F.col("m_source"))
             & (F.abs(F.col("la") - F.col("lb")) <= _RL_MAX_DIST)
         )
-        .withColumn("dist", F.levenshtein("ka", "kb").cast("bigint"))
-        .filter(F.col("dist") <= _RL_MAX_DIST)
+        # 3-arg levenshtein runs the BANDED O(k·d) dp and returns -1
+        # past the threshold — the acceptance set and accepted
+        # distances are identical to the unbounded form the oracle
+        # computes, at a fraction of the per-pair cost
+        .withColumn(
+            "dist",
+            F.expr(f"levenshtein(ka, kb, {_RL_MAX_DIST})").cast("bigint"),
+        )
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= _RL_MAX_DIST))
         .select("doc_id", "source", "m_doc", "m_source", "dist")
     )
     # best is one row per MATCHED doc — corpus-proportional on a
