@@ -51,6 +51,16 @@ from pyspark.sql import functions as F
 from ..registry import register
 from ..sources.tables import load_table
 from .shingles import shingles_col, shingles_sql
+from .text_analysis import _ASCII_LO, _ASCII_UP
+
+# portable casefold (same rationale as the text_analysis _FOLD_SQL):
+# full Unicode lower() is not bit-identical across engines, the
+# ASCII-range translate is
+_FOLD = f"translate(coalesce(text, ''), '{_ASCII_UP}', '{_ASCII_LO}')"
+# ASCII-printable gate for operators whose METRIC is engine-divergent
+# on non-ASCII input (DuckDB's levenshtein counts bytes, Spark's
+# counts codepoints — measured 'é'→2 vs 1)
+_ASCII_PRINTABLE = "^[\\x20-\\x7e]+$"
 
 # ---------------------------------------------------------------------
 # Market-basket 2-itemsets (a-priori prune, exact-integer lift)
@@ -162,7 +172,7 @@ _SNM_MIN_JAC_PPM = 200_000  # report candidates at >= 0.2 exact Jaccard
 
 _SNM_SQL = f"""
 WITH keyed AS (
-  SELECT doc_id, substr(lower(text), 1, {_SNM_KEY_LEN}) AS key FROM documents
+  SELECT doc_id, substr({_FOLD}, 1, {_SNM_KEY_LEN}) AS key FROM documents
 ),
 ranked AS (
   SELECT doc_id, key, ROW_NUMBER() OVER (ORDER BY key, doc_id) AS rnk FROM keyed
@@ -254,7 +264,14 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     reach the verify stage."""
     docs = load_table(spark, sf_dir, "documents")
     keyed = docs.select(
-        "doc_id", F.substring(F.lower(F.col("text")), 1, _SNM_KEY_LEN).alias("key")
+        "doc_id",
+        F.substring(
+            F.translate(
+                F.coalesce(F.col("text"), F.lit("")), _ASCII_UP, _ASCII_LO
+            ),
+            1,
+            _SNM_KEY_LEN,
+        ).alias("key"),
     )
     ranked = distributed_rank(keyed, "key", "doc_id")
     lhs = ranked.select(
@@ -308,9 +325,10 @@ _RL_MAX_DIST = 8  # edit-distance acceptance threshold
 
 _LINKAGE_SQL = f"""
 WITH d AS (
-  SELECT doc_id, source, substr(lower(text), 1, {_RL_KEY_LEN}) AS key,
-         CAST(length(substr(lower(text), 1, {_RL_KEY_LEN})) AS BIGINT) AS ln
+  SELECT doc_id, source, substr({_FOLD}, 1, {_RL_KEY_LEN}) AS key,
+         CAST(length(substr({_FOLD}, 1, {_RL_KEY_LEN})) AS BIGINT) AS ln
   FROM documents
+  WHERE regexp_matches(text, '{_ASCII_PRINTABLE}')
 ),
 cand AS (
   SELECT a.doc_id AS doc_id, a.source AS source,
@@ -358,12 +376,24 @@ def record_linkage_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     selectivity/recall knob: linkable records must agree on the block
     prefix, exactly as in every blocking scheme."""
     docs = load_table(spark, sf_dir, "documents")
-    d = docs.select(
-        "doc_id",
-        "source",
-        F.substring(F.lower(F.col("text")), 1, _RL_KEY_LEN).alias("key"),
-    ).withColumn("ln", F.length("key").cast("bigint")).withColumn(
-        "blk", F.substring("key", 1, _RL_BLOCK_LEN)
+    # ASCII-printable gate: the Levenshtein METRIC itself diverges
+    # cross-engine on non-ASCII (DuckDB counts bytes, Spark counts
+    # codepoints), so the linkage scope is the honest oracle-parity
+    # constraint — the langid_trained precedent. The gate rejects
+    # NULL and empty text too (the + quantifier).
+    d = (
+        docs.filter(F.col("text").rlike(_ASCII_PRINTABLE))
+        .select(
+            "doc_id",
+            "source",
+            F.substring(
+                F.translate(F.col("text"), _ASCII_UP, _ASCII_LO),
+                1,
+                _RL_KEY_LEN,
+            ).alias("key"),
+        )
+        .withColumn("ln", F.length("key").cast("bigint"))
+        .withColumn("blk", F.substring("key", 1, _RL_BLOCK_LEN))
     )
     a = d.select(
         "blk", "doc_id", "source", F.col("key").alias("ka"), F.col("ln").alias("la")

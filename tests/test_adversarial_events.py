@@ -51,6 +51,10 @@ QUERIES = [
     "funnel_stages",
     "cohort_retention",
     "event_rate_anomalies",
+    # r7: duplicate timestamps order-tiebreak by event_id in the lag
+    # window; NULL values must vanish from the sums but count in n
+    "event_transition_matrix",
+    "incremental_agg_refresh",
 ]
 
 

@@ -107,6 +107,13 @@ QUERIES = [
     "hll_merge_shards",
     "kmv_corpus_overlap",
     "pmi_collocations",
+    # r7 association/blocking layer: NULL text coalesces to the empty
+    # sort key (still ranked, never shingle-verified); the linkage
+    # ASCII gate drops the unicode docs on BOTH engines before the
+    # byte-vs-codepoint Levenshtein divergence can bite
+    "sorted_neighborhood_pairs",
+    "record_linkage_fuzzy",
+    "basket_lift",
 ]
 
 
