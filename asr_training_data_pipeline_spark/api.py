@@ -138,6 +138,12 @@ _PRIORITY = (
     # keeps signals_fused, length_filter_adaptive, multimodal).
     "event_transition_matrix",
     "record_linkage_fuzzy",
+    # late-r7 operator: multi-pass SNM (prefix + suffix keys, per-pass
+    # recall report) — slot funded by deferring the second green of
+    # minhash_calibration (once-green r6; dedup keeps minhash_lsh,
+    # simhash_portable, substring_spans, bloom_probe, method_eval and
+    # the single-key SNM in the prefix).
+    "sorted_neighborhood_multikey",
     # wave-3 newcomers: ANN / embeddings
     "ann_ivf_topk",
     "ann_lsh_buckets",
@@ -145,7 +151,6 @@ _PRIORITY = (
     # wave-3 newcomers: dedup
     "dedup_simhash_portable",
     "dedup_substring_spans",
-    "minhash_calibration",
     "mllib_minhash_pairs",
     # wave-3 newcomers: curation / analytics / sinks
     "curation_signals_fused",
@@ -204,15 +209,16 @@ _PRIORITY = (
 )
 
 # Rotation queue for the NEXT prefix refresh: after CORRECTNESS_r07,
-# the never-checked set is the eleven r7-new queries' FIRST rows (the
+# the never-checked set is the twelve r7-new queries' FIRST rows (the
 # sketch/PMI wave + basket_lift / sorted_neighborhood_pairs /
 # incremental_agg_refresh / event_transition_matrix /
-# record_linkage_fuzzy, all in the prefix above) — every other
+# record_linkage_fuzzy / sorted_neighborhood_multikey, all in the
+# prefix above) — every other
 # registered query has a driver row at least once. Next candidates to
 # rotate IN: any r8-new operators first, then second greens for the
 # deferred once-green members (vocab_coverage, lang_id_confusion,
 # embedding_centroids, validate_embeddings, cohort_retention,
-# dedup_cluster_stats, mixture_weights,
+# dedup_cluster_stats, mixture_weights, minhash_calibration,
 # pack_sequences, train_test_split, bottomk_sample_per_lang,
 # funnel_stages, dedup_incremental, sink_training_shards,
 # event_rate_anomalies) and for the wave-4 newcomers once green, then

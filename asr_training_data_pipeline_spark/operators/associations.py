@@ -316,6 +316,147 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# Multi-pass sorted neighborhood: prefix + suffix keys
+# ---------------------------------------------------------------------
+
+_SNM_MK_SQL = f"""
+WITH f AS (SELECT doc_id, {_FOLD} AS fk FROM documents),
+k1 AS (SELECT doc_id, substr(fk, 1, {_SNM_KEY_LEN}) AS key FROM f),
+k2 AS (SELECT doc_id,
+              substr(fk, greatest(length(fk) - {_SNM_KEY_LEN - 1}, 1),
+                     {_SNM_KEY_LEN}) AS key
+       FROM f),
+r1 AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY key, doc_id) AS rnk FROM k1),
+r2 AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY key, doc_id) AS rnk FROM k2),
+c1 AS (
+  SELECT least(a.doc_id, b.doc_id) AS doc_a,
+         greatest(a.doc_id, b.doc_id) AS doc_b
+  FROM r1 a JOIN r1 b ON b.rnk - a.rnk BETWEEN 1 AND {_SNM_WINDOW}
+),
+c2 AS (
+  SELECT least(a.doc_id, b.doc_id) AS doc_a,
+         greatest(a.doc_id, b.doc_id) AS doc_b
+  FROM r2 a JOIN r2 b ON b.rnk - a.rnk BETWEEN 1 AND {_SNM_WINDOW}
+),
+cand AS (
+  SELECT doc_a, doc_b, MAX(p1) AS in_prefix_pass, MAX(p2) AS in_suffix_pass
+  FROM (SELECT doc_a, doc_b, TRUE AS p1, FALSE AS p2 FROM c1
+        UNION ALL
+        SELECT doc_a, doc_b, FALSE AS p1, TRUE AS p2 FROM c2)
+  GROUP BY doc_a, doc_b
+),
+{shingles_sql(_SNM_SHINGLE_K)},
+sn AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a AS da, c.doc_b AS db, CAST(COUNT(*) AS BIGINT) AS i
+  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+              JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT c.doc_a, c.doc_b, c.in_prefix_pass, c.in_suffix_pass,
+       CAST(COALESCE(i.i, 0) * 1000000
+            // (na.n + nb.n - COALESCE(i.i, 0)) AS BIGINT) AS jac_ppm
+FROM cand c
+JOIN sn na ON na.doc_id = c.doc_a
+JOIN sn nb ON nb.doc_id = c.doc_b
+LEFT JOIN inter i ON i.da = c.doc_a AND i.db = c.doc_b
+WHERE COALESCE(i.i, 0) * 1000000
+      // (na.n + nb.n - COALESCE(i.i, 0)) >= {_SNM_MIN_JAC_PPM}
+ORDER BY c.doc_a, c.doc_b
+"""
+
+
+def _snm_candidate_pairs(ranked: DataFrame, window: int = _SNM_WINDOW) -> DataFrame:
+    """Canonical (min-id, max-id) neighbor pairs from a ranked frame:
+    an equi-join on (rank + d) for d in 1..W — integer keys only."""
+    lhs = ranked.select(
+        F.col("doc_id").alias("id_l"), F.col("rnk").alias("r")
+    ).withColumn("gap", F.explode(F.sequence(F.lit(1), F.lit(window))))
+    rhs = ranked.select(F.col("doc_id").alias("id_r"), F.col("rnk").alias("r2"))
+    return lhs.join(rhs, F.col("r2") == F.col("r") + F.col("gap")).select(
+        F.least("id_l", "id_r").alias("doc_a"),
+        F.greatest("id_l", "id_r").alias("doc_b"),
+    )
+
+
+@register("sorted_neighborhood_multikey", oracle=_SNM_MK_SQL, tags=("dedup", "text"))
+def sorted_neighborhood_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-PASS sorted neighborhood, as published (Hernández-Stolfo
+    run the method several times with INDEPENDENT keys and union the
+    candidates — single-key SNM misses any near-dup whose divergence
+    falls inside the key): pass 1 ranks by the first 24 folded chars,
+    pass 2 by the LAST 24 — a prefix-perturbed near-duplicate (a
+    version tag, a byline, a BOM) escapes pass 1 but lands adjacent in
+    pass 2, and vice versa for trailing perturbations.
+
+    Each pass is the same two-level :func:`distributed_rank` + integer
+    neighbor equi-join; pairs canonicalize to (min-id, max-id) and
+    DEDUPE BEFORE the shingle verify, so a pair found by both passes
+    pays the Jaccard once. Output marks which pass(es) produced each
+    surviving pair — the per-pass recall report that tells an operator
+    whether a third key would still pay."""
+    docs = load_table(spark, sf_dir, "documents")
+    folded = docs.select(
+        "doc_id",
+        F.translate(
+            F.coalesce(F.col("text"), F.lit("")), _ASCII_UP, _ASCII_LO
+        ).alias("fk"),
+    )
+    k1 = folded.select(
+        "doc_id", F.substring("fk", 1, _SNM_KEY_LEN).alias("key")
+    )
+    k2 = folded.select(
+        "doc_id",
+        F.expr(
+            f"substring(fk, greatest(length(fk) - {_SNM_KEY_LEN - 1}, 1),"
+            f" {_SNM_KEY_LEN})"
+        ).alias("key"),
+    )
+    c1 = _snm_candidate_pairs(distributed_rank(k1, "key", "doc_id")).select(
+        "doc_a", "doc_b", F.lit(True).alias("p1"), F.lit(False).alias("p2")
+    )
+    c2 = _snm_candidate_pairs(distributed_rank(k2, "key", "doc_id")).select(
+        "doc_a", "doc_b", F.lit(False).alias("p1"), F.lit(True).alias("p2")
+    )
+    cand = (
+        c1.unionByName(c2)
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.max("p1").alias("in_prefix_pass"),
+            F.max("p2").alias("in_suffix_pass"),
+        )
+    )
+    sh = docs.select(
+        "doc_id",
+        shingles_col(F.split(F.col("text"), " "), _SNM_SHINGLE_K).alias("sh"),
+    ).filter(F.col("sh").isNotNull())
+    verified = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb")),
+            "doc_b",
+        )
+        .withColumn(
+            "inter", F.size(F.array_intersect("sa", "sb")).cast("bigint")
+        )
+        .withColumn(
+            "jac_ppm",
+            F.expr(
+                "inter * 1000000 div "
+                "(cast(size(sa) as bigint) + cast(size(sb) as bigint) - inter)"
+            ),
+        )
+        .filter(F.col("jac_ppm") >= _SNM_MIN_JAC_PPM)
+    )
+    return verified.select(
+        "doc_a", "doc_b", "in_prefix_pass", "in_suffix_pass", "jac_ppm"
+    ).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------
 # Cross-source fuzzy record linkage (blocked Levenshtein best-match)
 # ---------------------------------------------------------------------
 

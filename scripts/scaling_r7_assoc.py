@@ -90,6 +90,13 @@ def main() -> None:
             print(f"| {name} | {label} | {t:.2f} | {mb:.2f} MB | {n} |")
             sys.stdout.flush()
             spark.catalog.clearCache()
+    for name in ("sorted_neighborhood_multikey",):
+        for label, sf_dir in [("sf0.1 (5k docs)", "/root/testdata/sf0.1"),
+                              ("500k docs", BIG)]:
+            t, mb, n = time_one(spark, name, sf_dir)
+            print(f"| {name} | {label} | {t:.2f} | {mb:.2f} MB | {n} |")
+            sys.stdout.flush()
+            spark.catalog.clearCache()
     for name in ("event_transition_matrix",):
         for label, sf_dir in SF_SPAN:
             t, mb, n = time_one(spark, name, sf_dir)

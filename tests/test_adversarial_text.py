@@ -112,6 +112,7 @@ QUERIES = [
     # ASCII gate drops the unicode docs on BOTH engines before the
     # byte-vs-codepoint Levenshtein divergence can bite
     "sorted_neighborhood_pairs",
+    "sorted_neighborhood_multikey",
     "record_linkage_fuzzy",
     "basket_lift",
 ]

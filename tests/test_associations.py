@@ -275,3 +275,45 @@ def test_record_linkage_cross_source_best_match(spark, linkage_dir):
     # block prefix ("xhe " vs "the ") — the documented blocking
     # recall tradeoff: absent.
     assert 5 not in out
+
+
+# ---------------------------------------------------------------------
+# sorted_neighborhood_multikey: the suffix pass earns its keep
+# ---------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def snm_mk_dir(spark, tmp_path_factory):
+    """doc 2 is doc 1 with a PREFIX tag ('zz v1 '), so its first-24
+    key sorts far away (four separator docs in between) — single-key
+    SNM misses the pair, the suffix key lands them adjacent."""
+    d = tmp_path_factory.mktemp("snm_mk")
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base, "en", "s", len(base)),
+        (2, "zz v1 " + base, "en", "s", len(base) + 6),
+        (3, "under a different starting letter entirely for separation", "en", "s", 58),
+        (4, "very different content again for rank separation purposes", "en", "s", 58),
+        (5, "wholly unrelated words placed between the two near dup docs", "en", "s", 59),
+        (6, "xenon argon krypton neon helium radon separate this corpus", "en", "s", 58),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_multikey_suffix_pass_catches_prefix_perturbation(spark, snm_mk_dir):
+    mk = {
+        (r.doc_a, r.doc_b): (r.in_prefix_pass, r.in_suffix_pass)
+        for r in REGISTRY["sorted_neighborhood_multikey"].fn(spark, snm_mk_dir).collect()
+    }
+    assert (1, 2) in mk
+    in_prefix, in_suffix = mk[(1, 2)]
+    assert in_suffix and not in_prefix
+    # the single-key operator misses the same pair on the same corpus
+    single = {
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["sorted_neighborhood_pairs"].fn(spark, snm_mk_dir).collect()
+    }
+    assert (1, 2) not in single
