@@ -144,6 +144,12 @@ _PRIORITY = (
     # simhash_portable, substring_spans, bloom_probe, method_eval and
     # the single-key SNM in the prefix).
     "sorted_neighborhood_multikey",
+    # late-r7 operator: entity formation over the accepted linkage
+    # graph (components + per-entity source span, recursive-CTE
+    # oracle) — slot funded by deferring the second green of
+    # length_filter_adaptive (once-green r6; curation keeps
+    # signals_fused + corpus_curation_multimodal in the prefix).
+    "linkage_entities",
     # wave-3 newcomers: ANN / embeddings
     "ann_ivf_topk",
     "ann_lsh_buckets",
@@ -154,7 +160,6 @@ _PRIORITY = (
     "mllib_minhash_pairs",
     # wave-3 newcomers: curation / analytics / sinks
     "curation_signals_fused",
-    "length_filter_adaptive",
     "corpus_curation_multimodal",
     "sink_export_manifest",
     "multimodal_image_resize",
@@ -209,16 +214,17 @@ _PRIORITY = (
 )
 
 # Rotation queue for the NEXT prefix refresh: after CORRECTNESS_r07,
-# the never-checked set is the twelve r7-new queries' FIRST rows (the
+# the never-checked set is the thirteen r7-new queries' FIRST rows (the
 # sketch/PMI wave + basket_lift / sorted_neighborhood_pairs /
 # incremental_agg_refresh / event_transition_matrix /
-# record_linkage_fuzzy / sorted_neighborhood_multikey, all in the
-# prefix above) — every other
+# record_linkage_fuzzy / sorted_neighborhood_multikey /
+# linkage_entities, all in the prefix above) — every other
 # registered query has a driver row at least once. Next candidates to
 # rotate IN: any r8-new operators first, then second greens for the
 # deferred once-green members (vocab_coverage, lang_id_confusion,
 # embedding_centroids, validate_embeddings, cohort_retention,
 # dedup_cluster_stats, mixture_weights, minhash_calibration,
+# length_filter_adaptive,
 # pack_sequences, train_test_split, bottomk_sample_per_lang,
 # funnel_stages, dedup_incremental, sink_training_shards,
 # event_rate_anomalies) and for the wave-4 newcomers once green, then

@@ -495,33 +495,14 @@ ORDER BY p.doc_id
 """
 
 
-@register("record_linkage_fuzzy", oracle=_LINKAGE_SQL, tags=("dedup", "text"))
-def record_linkage_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-SOURCE fuzzy record linkage: for every document, the best
-    match in any OTHER source by Levenshtein distance over a
-    normalized key (first 40 chars of lowercased text), accepted at
-    distance ≤ 8 — the entity-resolution shape that reconciles the
-    same record ingested through different feeds (Fellegi & Sunter,
-    JASA 1969; the blocked-join framing follows the merge/purge
-    literature).
-
-    Scale shape: the quadratic is contained twice BEFORE any edit
-    distance runs — candidates must share a 4-char key-prefix BLOCK
-    (an equi-join, so the only corpus exchange keys on the block), and
-    must pass the |len(a)−len(b)| ≤ d length bound (a free Levenshtein
-    lower bound). Only survivors pay the O(k²) distance, JVM-side via
-    the codegen `levenshtein`. Best-match selection is two aggregates
-    over the (already small) accepted-candidate frame: min distance
-    per doc, then min match-id among ties — a pure function of the
-    data, no window over the corpus. Block length is the
-    selectivity/recall knob: linkable records must agree on the block
-    prefix, exactly as in every blocking scheme."""
+def _linkage_candidates(spark: SparkSession, sf_dir: str):
+    """(accepted candidate pairs, gated key frame) shared by the
+    linkage queries. ASCII-printable gate first: the Levenshtein
+    METRIC itself diverges cross-engine on non-ASCII (DuckDB counts
+    bytes, Spark counts codepoints), so the linkage scope is the
+    honest oracle-parity constraint — the langid_trained precedent.
+    The gate rejects NULL and empty text too (the + quantifier)."""
     docs = load_table(spark, sf_dir, "documents")
-    # ASCII-printable gate: the Levenshtein METRIC itself diverges
-    # cross-engine on non-ASCII (DuckDB counts bytes, Spark counts
-    # codepoints), so the linkage scope is the honest oracle-parity
-    # constraint — the langid_trained precedent. The gate rejects
-    # NULL and empty text too (the + quantifier).
     d = (
         docs.filter(F.col("text").rlike(_ASCII_PRINTABLE))
         .select(
@@ -570,6 +551,31 @@ def record_linkage_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("dist") >= 0) & (F.col("dist") <= _RL_MAX_DIST))
         .select("doc_id", "source", "m_doc", "m_source", "dist")
     )
+    return cand, d
+
+
+@register("record_linkage_fuzzy", oracle=_LINKAGE_SQL, tags=("dedup", "text"))
+def record_linkage_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE fuzzy record linkage: for every document, the best
+    match in any OTHER source by Levenshtein distance over a
+    normalized key (first 40 chars of lowercased text), accepted at
+    distance ≤ 8 — the entity-resolution shape that reconciles the
+    same record ingested through different feeds (Fellegi & Sunter,
+    JASA 1969; the blocked-join framing follows the merge/purge
+    literature).
+
+    Scale shape: the quadratic is contained twice BEFORE any edit
+    distance runs — candidates must share a 4-char key-prefix BLOCK
+    (an equi-join, so the only corpus exchange keys on the block), and
+    must pass the |len(a)−len(b)| ≤ d length bound (a free Levenshtein
+    lower bound). Only survivors pay the O(k²) distance, JVM-side via
+    the codegen `levenshtein`. Best-match selection is two aggregates
+    over the (already small) accepted-candidate frame: min distance
+    per doc, then min match-id among ties — a pure function of the
+    data, no window over the corpus. Block length is the
+    selectivity/recall knob: linkable records must agree on the block
+    prefix, exactly as in every blocking scheme."""
+    cand, d = _linkage_candidates(spark, sf_dir)
     # best is one row per MATCHED doc — corpus-proportional on a
     # duplicate-heavy corpus, so no broadcast hint: the join keys on
     # doc_id and AQE picks broadcast only when the frame is actually
@@ -588,6 +594,90 @@ def record_linkage_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick.join(src, "doc_id")
         .join(msrc, "match_doc")
         .select("doc_id", "source", "match_doc", "match_source", "dist")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------
+# Entity formation: components over the accepted linkage graph
+# ---------------------------------------------------------------------
+
+_ENTITIES_SQL = f"""
+WITH RECURSIVE
+d AS (
+  SELECT doc_id, source, substr({_FOLD}, 1, {_RL_KEY_LEN}) AS key,
+         CAST(length(substr({_FOLD}, 1, {_RL_KEY_LEN})) AS BIGINT) AS ln
+  FROM documents
+  WHERE regexp_matches(text, '{_ASCII_PRINTABLE}')
+),
+cand AS (
+  SELECT a.doc_id AS da, b.doc_id AS db
+  FROM d a JOIN d b
+    ON substr(a.key, 1, {_RL_BLOCK_LEN}) = substr(b.key, 1, {_RL_BLOCK_LEN})
+   AND a.source <> b.source
+   AND abs(a.ln - b.ln) <= {_RL_MAX_DIST}
+  WHERE levenshtein(a.key, b.key) <= {_RL_MAX_DIST}
+),
+sym AS (SELECT DISTINCT da AS a, db AS b FROM cand),
+nodes AS (SELECT DISTINCT a AS v FROM sym),
+reach(x, y) AS (
+  SELECT v, v FROM nodes
+  UNION
+  SELECT r.x, s.b FROM reach r JOIN sym s ON r.y = s.a
+),
+comp AS (SELECT x AS doc_id, MIN(y) AS entity FROM reach GROUP BY x),
+ent AS (
+  SELECT c.entity, CAST(COUNT(*) AS BIGINT) AS entity_size,
+         CAST(COUNT(DISTINCT d.source) AS BIGINT) AS n_sources
+  FROM comp c JOIN d ON d.doc_id = c.doc_id
+  GROUP BY c.entity
+)
+SELECT c.doc_id, c.entity, e.entity_size, e.n_sources
+FROM comp c JOIN ent e ON e.entity = c.entity
+ORDER BY c.doc_id
+"""
+
+
+@register(
+    "linkage_entities",
+    oracle=_ENTITIES_SQL,
+    tags=("dedup", "text", "iterative"),
+)
+def linkage_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENTITY FORMATION over the fuzzy-linkage graph: connected
+    components over every accepted cross-source match (not just each
+    record's best) assign one entity id per real-world record; the
+    report carries entity size and the number of distinct sources the
+    entity spans — the multi-feed reconciliation artifact.
+
+    Composition proof, same pattern as dedup_components: the pair
+    generation is the blocked-Levenshtein scorer above, the clustering
+    is the shared two-regime ``connected_components`` (min-label
+    propagation, auto-escalating to large-star/small-star), and the
+    DuckDB oracle replays the whole thing with a recursive-CTE closure
+    — hash-equality proves the distributed iteration computes the
+    exact transitive closure. Entity stats join on the label frame
+    (keys only); bodies never move."""
+    from .dedup import connected_components
+
+    cand, d = _linkage_candidates(spark, sf_dir)
+    pairs = cand.select(
+        F.col("doc_id").alias("doc_a"), F.col("m_doc").alias("doc_b")
+    ).distinct()
+    labels = connected_components(pairs).select(
+        F.col("v").alias("doc_id"), F.col("label").alias("entity")
+    )
+    ent = (
+        labels.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("entity")
+        .agg(
+            F.count("*").cast("bigint").alias("entity_size"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+        )
+    )
+    return (
+        labels.join(ent, "entity")
+        .select("doc_id", "entity", "entity_size", "n_sources")
         .orderBy("doc_id")
     )
 

@@ -114,6 +114,7 @@ QUERIES = [
     "sorted_neighborhood_pairs",
     "sorted_neighborhood_multikey",
     "record_linkage_fuzzy",
+    "linkage_entities",
     "basket_lift",
 ]
 
