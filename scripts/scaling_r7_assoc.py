@@ -104,7 +104,7 @@ def main() -> None:
             sys.stdout.flush()
             spark.catalog.clearCache()
     build_linkage_fixture()
-    for name in ("record_linkage_fuzzy",):
+    for name in ("record_linkage_fuzzy", "linkage_entities"):
         for label, sf_dir in [("sf0.1 (5k docs)", "/root/testdata/sf0.1"),
                               ("50k docs (10 key-preserving copies)", LINK_BIG)]:
             t, mb, n = time_one(spark, name, sf_dir)
