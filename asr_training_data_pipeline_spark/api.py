@@ -150,10 +150,15 @@ _PRIORITY = (
     # length_filter_adaptive (once-green r6; curation keeps
     # signals_fused + corpus_curation_multimodal in the prefix).
     "linkage_entities",
+    # late-r7 operator: RFM quintile segmentation on three
+    # distributed ranks (offset + zero-pad numeric rank keys) — slot
+    # funded by deferring the second green of profile_embeddings
+    # (once-green r6; embeddings keep embedding_drift + the four-rep
+    # ANN block in the prefix).
+    "rfm_segments",
     # wave-3 newcomers: ANN / embeddings
     "ann_ivf_topk",
     "ann_lsh_buckets",
-    "profile_embeddings",
     # wave-3 newcomers: dedup
     "dedup_simhash_portable",
     "dedup_substring_spans",
@@ -214,17 +219,17 @@ _PRIORITY = (
 )
 
 # Rotation queue for the NEXT prefix refresh: after CORRECTNESS_r07,
-# the never-checked set is the thirteen r7-new queries' FIRST rows (the
+# the never-checked set is the fourteen r7-new queries' FIRST rows (the
 # sketch/PMI wave + basket_lift / sorted_neighborhood_pairs /
 # incremental_agg_refresh / event_transition_matrix /
 # record_linkage_fuzzy / sorted_neighborhood_multikey /
-# linkage_entities, all in the prefix above) — every other
+# linkage_entities / rfm_segments, all in the prefix above) — every other
 # registered query has a driver row at least once. Next candidates to
 # rotate IN: any r8-new operators first, then second greens for the
 # deferred once-green members (vocab_coverage, lang_id_confusion,
 # embedding_centroids, validate_embeddings, cohort_retention,
 # dedup_cluster_stats, mixture_weights, minhash_calibration,
-# length_filter_adaptive,
+# length_filter_adaptive, profile_embeddings,
 # pack_sequences, train_test_split, bottomk_sample_per_lang,
 # funnel_stages, dedup_incremental, sink_training_shards,
 # event_rate_anomalies) and for the wave-4 newcomers once green, then

@@ -1273,6 +1273,114 @@ def cust_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RFM_SQL = """
+WITH pc AS (
+  SELECT o_custkey AS ck,
+         CAST(COALESCE(max(epoch_us(o_orderdate)), 0) AS BIGINT) AS rec_us,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(COALESCE(SUM(CAST(round(o_totalprice * 100) AS BIGINT)), 0)
+              AS BIGINT) AS mon_cents
+  FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_custkey
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc FROM pc),
+r AS (
+  SELECT ck,
+         ROW_NUMBER() OVER (ORDER BY rec_us, ck) AS r_rnk,
+         ROW_NUMBER() OVER (ORDER BY freq, ck) AS f_rnk,
+         ROW_NUMBER() OVER (ORDER BY mon_cents, ck) AS m_rnk
+  FROM pc
+)
+SELECT ck AS c_custkey,
+       CAST((5 * (r_rnk - 1)) // n.nc + 1 AS BIGINT) AS r_quintile,
+       CAST((5 * (f_rnk - 1)) // n.nc + 1 AS BIGINT) AS f_quintile,
+       CAST((5 * (m_rnk - 1)) // n.nc + 1 AS BIGINT) AS m_quintile,
+       CAST(100 * ((5 * (r_rnk - 1)) // n.nc + 1)
+            + 10 * ((5 * (f_rnk - 1)) // n.nc + 1)
+            + ((5 * (m_rnk - 1)) // n.nc + 1) AS BIGINT) AS rfm_code
+FROM r, n
+ORDER BY c_custkey
+"""
+
+
+@register("rfm_segments", oracle=_RFM_SQL, tags=("agg", "window", "scale"))
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM SEGMENTATION (recency / frequency / monetary quintiles per
+    customer, the classic cohort-marketing score): each metric ranks
+    the customer population and the quintile is the exact-integer
+    equi-depth cut ``(5·(rank−1)) div n + 1`` — no percentile
+    aggregation, no float boundaries, so both engines agree bit for
+    bit. Monetary sums route through exact cents; recency is epoch
+    micros of the last order.
+
+    Scale shape: the oracle's three ROW_NUMBERs run over ONE
+    unpartitioned window each — the single-task bottleneck this
+    engine's :func:`distributed_rank` exists to avoid. Each Spark-side
+    rank is the two-level bucketed form; numeric metrics become rank
+    keys by ZERO-PADDING to fixed width (lpad 20), which makes
+    lexicographic order equal numeric order for non-negative ints, so
+    the bucket-prefix property keeps holding. The three ranked frames
+    re-join on custkey (keys only); the per-customer aggregate
+    subtree is identical under all three, so AQE reuses its exchange
+    rather than rescanning orders."""
+    from .operators.associations import distributed_rank
+
+    orders = _t(spark, sf_dir, "orders")
+    # unattributable orders (NULL custkey) can't be scored; NULL-only
+    # metric groups coalesce to 0 (oldest / zero spend) on both engines
+    pc = (
+        orders.filter(F.col("o_custkey").isNotNull())
+        .groupBy(F.col("o_custkey").alias("ck"))
+        .agg(
+            F.coalesce(F.max(F.unix_micros("o_orderdate")), F.lit(0))
+            .cast("bigint")
+            .alias("rec_us"),
+            F.count("*").cast("bigint").alias("freq"),
+            F.coalesce(
+                F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)")),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("mon_cents"),
+        )
+    )
+    n = pc.agg(F.count("*").cast("bigint").alias("nc"))
+    # 2^62 offset before zero-padding: metrics can be NEGATIVE
+    # (refund-heavy monetary sums) and '-3' would sort above '0...3'
+    # lexicographically; the uniform offset keeps every key positive
+    # and order-preserving
+    _OFF = 1 << 62
+
+    def quintile(metric: str, out: str) -> DataFrame:
+        keyed = pc.select(
+            "ck",
+            F.lpad(
+                (F.col(metric) + F.lit(_OFF)).cast("string"), 20, "0"
+            ).alias("key"),
+        )
+        ranked = distributed_rank(keyed, "key", "ck")
+        return ranked.crossJoin(F.broadcast(n)).select(
+            "ck",
+            F.expr("(5 * (rnk - 1)) div nc + 1").cast("bigint").alias(out),
+        )
+
+    out = (
+        quintile("rec_us", "r_quintile")
+        .join(quintile("freq", "f_quintile"), "ck")
+        .join(quintile("mon_cents", "m_quintile"), "ck")
+    )
+    return out.select(
+        F.col("ck").alias("c_custkey"),
+        "r_quintile",
+        "f_quintile",
+        "m_quintile",
+        (
+            100 * F.col("r_quintile")
+            + 10 * F.col("f_quintile")
+            + F.col("m_quintile")
+        ).cast("bigint").alias("rfm_code"),
+    ).orderBy("c_custkey")
+
+
 _MEDIAN_SQL = """
 SELECT o_orderstatus,
        round(quantile_cont(o_totalprice, 0.5), 6) AS median_price,

@@ -54,6 +54,10 @@ QUERIES = [
     "first_match_confidence",
     "group_concat_ordered",
     "avg_confidence_coalesce",
+    # r7: NULL custkeys are unscoreable (filtered on both engines);
+    # negative monetary sums exercise the offset-before-padding rank
+    # key; NULL-only metric groups coalesce to 0
+    "rfm_segments",
     # r6: NULL and orphaned o_custkey rows (%101/%103 above) give the
     # integrity audit real findings and stress every custkey join
     "fk_integrity_audit",

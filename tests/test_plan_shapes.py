@@ -343,3 +343,16 @@ def test_record_linkage_no_cartesian(spark, sf_dir):
     plan = _executed_plan(spark, sf_dir, "record_linkage_fuzzy")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rfm_ranks_are_bucket_partitioned(spark, sf_dir):
+    """All three RFM metric ranks use the two-level distributed_rank —
+    no Window node may run unpartitioned over the customer population
+    (the oracle's three global ROW_NUMBERs are exactly the shape this
+    operator exists to avoid)."""
+    plan = _executed_plan(spark, sf_dir, "rfm_segments")
+    wins = re.findall(r"Window \[.*?\], \[([^\]]*)\], \[", plan)
+    assert wins, "no window in plan"
+    for spec in wins:
+        assert spec.strip(), "unpartitioned window over the customers"
+    assert sum("_bkt" in w for w in wins) >= 3, wins
