@@ -77,7 +77,7 @@ def main() -> None:
     )
     print("| query | scale | wall (s) | shuffle write | rows |")
     print("|---|---|---|---|---|")
-    for name in ("basket_lift", "incremental_agg_refresh"):
+    for name in ("basket_lift", "incremental_agg_refresh", "rfm_segments"):
         for label, sf_dir in SF_SPAN:
             t, mb, n = time_one(spark, name, sf_dir)
             print(f"| {name} | {label} | {t:.2f} | {mb:.2f} MB | {n} |")
