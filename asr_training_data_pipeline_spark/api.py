@@ -156,12 +156,17 @@ _PRIORITY = (
     # (once-green r6; embeddings keep embedding_drift + the four-rep
     # ANN block in the prefix).
     "rfm_segments",
+    # late-r7 operator: CMS inner-product join-size estimation (the
+    # sketch layer's optimizer-stats application) — slot funded by
+    # deferring the second green of dedup_substring_spans (once-green
+    # r6; dedup keeps minhash_lsh, simhash_portable, bloom_probe,
+    # method_eval and the blocking/linkage block in the prefix).
+    "cms_join_size",
     # wave-3 newcomers: ANN / embeddings
     "ann_ivf_topk",
     "ann_lsh_buckets",
     # wave-3 newcomers: dedup
     "dedup_simhash_portable",
-    "dedup_substring_spans",
     "mllib_minhash_pairs",
     # wave-3 newcomers: curation / analytics / sinks
     "curation_signals_fused",
@@ -219,17 +224,19 @@ _PRIORITY = (
 )
 
 # Rotation queue for the NEXT prefix refresh: after CORRECTNESS_r07,
-# the never-checked set is the fourteen r7-new queries' FIRST rows (the
+# the never-checked set is the fifteen r7-new queries' FIRST rows (the
 # sketch/PMI wave + basket_lift / sorted_neighborhood_pairs /
 # incremental_agg_refresh / event_transition_matrix /
 # record_linkage_fuzzy / sorted_neighborhood_multikey /
-# linkage_entities / rfm_segments, all in the prefix above) — every other
+# linkage_entities / rfm_segments / cms_join_size, all in the
+# prefix above) — every other
 # registered query has a driver row at least once. Next candidates to
 # rotate IN: any r8-new operators first, then second greens for the
 # deferred once-green members (vocab_coverage, lang_id_confusion,
 # embedding_centroids, validate_embeddings, cohort_retention,
 # dedup_cluster_stats, mixture_weights, minhash_calibration,
 # length_filter_adaptive, profile_embeddings,
+# dedup_substring_spans,
 # pack_sequences, train_test_split, bottomk_sample_per_lang,
 # funnel_stages, dedup_incremental, sink_training_shards,
 # event_rate_anomalies) and for the wave-4 newcomers once green, then

@@ -593,3 +593,121 @@ def hll_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col_name")
     )
+
+
+# ---------------------------------------------------------------------
+# CMS inner product: join-size estimation from two frequency sketches
+# ---------------------------------------------------------------------
+
+from .text_analysis import _CMS_D, _CMS_OFFSETS, _CMS_W, _cms_pos_sql  # noqa: E402
+
+
+def _cms_join_sql() -> str:
+    pos_case = (
+        "CASE j "
+        + " ".join(
+            f"WHEN {j} THEN {_cms_pos_sql('w', j)}" for j in range(_CMS_D - 1)
+        )
+        + f" ELSE {_cms_pos_sql('w', _CMS_D - 1)} END"
+    )
+    js = ", ".join(str(j) for j in range(_CMS_D))
+    return f"""
+WITH toks AS (
+  SELECT doc_id % 2 AS half, unnest(string_split(lower(text), ' ')) AS w
+  FROM documents
+),
+truth AS (
+  SELECT CAST(SUM(a.na * b.nb) AS BIGINT) AS true_join_size
+  FROM (SELECT w, CAST(COUNT(*) AS BIGINT) AS na FROM toks WHERE half = 0 GROUP BY w) a
+  JOIN (SELECT w, CAST(COUNT(*) AS BIGINT) AS nb FROM toks WHERE half = 1 GROUP BY w) b
+    ON a.w = b.w
+),
+cells AS (
+  SELECT half, j, {pos_case} AS p, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks, unnest([{js}]) AS u(j)
+  GROUP BY half, j, p
+),
+rows_ AS (
+  SELECT a.j, CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+  FROM (SELECT j, p, c FROM cells WHERE half = 0) a
+  JOIN (SELECT j, p, c FROM cells WHERE half = 1) b ON a.j = b.j AND a.p = b.p
+  GROUP BY a.j
+),
+est AS (SELECT CAST(MIN(dot) AS BIGINT) AS cms_estimate FROM rows_)
+SELECT t.true_join_size, e.cms_estimate,
+       e.cms_estimate >= t.true_join_size AS is_upper_bound,
+       CAST((e.cms_estimate - t.true_join_size) * 1000000
+            // t.true_join_size AS BIGINT) AS err_ppm
+FROM truth t, est e
+"""
+
+
+@register(
+    "cms_join_size",
+    oracle=_cms_join_sql(),
+    tags=("sketch", "text", "calibration"),
+)
+def cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-SIZE ESTIMATION from two Count-Min sketches (the second
+    classic CMS application, Cormode-Muthukrishnan 2005 §4.2): the
+    size of an equi-join on word — Σ_k f_A(k)·f_B(k) between two
+    corpus halves — estimated as min_j Σ_p A[j][p]·B[j][p], the
+    row-wise inner product of the two d×w integer grids. The estimate
+    is a guaranteed UPPER BOUND (collisions only add mass), asserted
+    in the output; the deliberately undersized fixture grid (w=16)
+    makes the overestimate visible, exactly like cms_word_counts'
+    calibration framing.
+
+    Why it matters at 100 TB: a cost-based optimizer (or a pipeline
+    planner deciding broadcast-vs-shuffle) needs |A ⋈ B| BEFORE
+    running the join; with CMS grids maintained per relation the
+    answer costs d·w integer multiplies instead of the join itself.
+    Both grid builds are ONE map-side-combined aggregation each
+    (constant d·w-row partials — the flat-shuffle property measured
+    for the sketch trio in SCALING.md); the exact side exists to
+    measure the sketch and is the only word-keyed shuffle here."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"),
+    )
+    # md5 staged once per token (the no-CSE-in-derived-columns trap —
+    # see cms_word_counts' 7.5× measurement)
+    hx = toks.select("half", F.md5("w").alias("hx"))
+    pos_of = lambda off: F.pmod(  # noqa: E731
+        F.conv(F.substring(F.col("hx"), off, 8), 16, 10).cast("long"),
+        F.lit(_CMS_W),
+    )
+    cells = hx.select(
+        "half",
+        F.posexplode(F.array(*[pos_of(off) for off in _CMS_OFFSETS])).alias(
+            "j", "p"
+        ),
+    ).groupBy("half", "j", "p").agg(F.count("*").cast("bigint").alias("c"))
+    ga = cells.filter(F.col("half") == 0).select("j", "p", F.col("c").alias("ca"))
+    gb = cells.filter(F.col("half") == 1).select("j", "p", F.col("c").alias("cb"))
+    est = (
+        ga.join(gb, ["j", "p"])
+        .groupBy("j")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("dot"))
+        .agg(F.min("dot").cast("bigint").alias("cms_estimate"))
+    )
+    wa = toks.filter(F.col("half") == 0).groupBy("w").agg(
+        F.count("*").cast("bigint").alias("na")
+    )
+    wb = toks.filter(F.col("half") == 1).groupBy("w").agg(
+        F.count("*").cast("bigint").alias("nb")
+    )
+    truth = (
+        wa.join(wb, "w")
+        .agg(F.sum(F.col("na") * F.col("nb")).cast("bigint").alias("true_join_size"))
+    )
+    return truth.crossJoin(F.broadcast(est)).select(
+        "true_join_size",
+        "cms_estimate",
+        (F.col("cms_estimate") >= F.col("true_join_size")).alias("is_upper_bound"),
+        F.expr(
+            "cast((cms_estimate - true_join_size) * 1000000"
+            " div true_join_size as bigint)"
+        ).alias("err_ppm"),
+    )

@@ -115,6 +115,7 @@ QUERIES = [
     "sorted_neighborhood_multikey",
     "record_linkage_fuzzy",
     "linkage_entities",
+    "cms_join_size",
     "basket_lift",
 ]
 
