@@ -1,9 +1,11 @@
 """Unit pins for the association / blocking / incremental module
-(operators/associations.py). Oracle parity for the three registered
+(operators/associations.py). Oracle parity for its registered
 queries runs in test_oracle_parity.py like every registry member;
 here: the distributed-rank ≡ global row_number equivalence, the
-a-priori prune's losslessness, retraction algebra, and the
-sorted-neighborhood edge cases on a synthetic corpus."""
+a-priori prune's losslessness, retraction algebra, the
+sorted-neighborhood edge cases on a synthetic corpus, the multi-pass
+recall win, session-gap transition semantics, and the record-linkage
+blocking tradeoffs."""
 
 from __future__ import annotations
 
