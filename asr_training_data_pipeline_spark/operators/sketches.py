@@ -633,11 +633,12 @@ rows_ AS (
   JOIN (SELECT j, p, c FROM cells WHERE half = 1) b ON a.j = b.j AND a.p = b.p
   GROUP BY a.j
 ),
-est AS (SELECT CAST(MIN(dot) AS BIGINT) AS cms_estimate FROM rows_)
-SELECT t.true_join_size, e.cms_estimate,
-       e.cms_estimate >= t.true_join_size AS is_upper_bound,
-       CAST((e.cms_estimate - t.true_join_size) * 1000000
-            // t.true_join_size AS BIGINT) AS err_ppm
+est AS (SELECT CAST(COALESCE(MIN(dot), 0) AS BIGINT) AS cms_estimate FROM rows_)
+SELECT COALESCE(t.true_join_size, 0) AS true_join_size, e.cms_estimate,
+       e.cms_estimate >= COALESCE(t.true_join_size, 0) AS is_upper_bound,
+       CAST(CASE WHEN COALESCE(t.true_join_size, 0) = 0 THEN 0
+                 ELSE (e.cms_estimate - t.true_join_size) * 1000000
+                      // t.true_join_size END AS BIGINT) AS err_ppm
 FROM truth t, est e
 """
 
@@ -690,7 +691,11 @@ def cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         ga.join(gb, ["j", "p"])
         .groupBy("j")
         .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("dot"))
-        .agg(F.min("dot").cast("bigint").alias("cms_estimate"))
+        .agg(
+            F.coalesce(F.min("dot"), F.lit(0))
+            .cast("bigint")
+            .alias("cms_estimate")
+        )
     )
     wa = toks.filter(F.col("half") == 0).groupBy("w").agg(
         F.count("*").cast("bigint").alias("na")
@@ -702,12 +707,19 @@ def cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         wa.join(wb, "w")
         .agg(F.sum(F.col("na") * F.col("nb")).cast("bigint").alias("true_join_size"))
     )
+    # empty-corpus degradation: the size of an empty join is 0, not
+    # NULL — the report stays a clean one-row zero artifact
     return truth.crossJoin(F.broadcast(est)).select(
-        "true_join_size",
+        F.coalesce("true_join_size", F.lit(0))
+        .cast("bigint")
+        .alias("true_join_size"),
         "cms_estimate",
-        (F.col("cms_estimate") >= F.col("true_join_size")).alias("is_upper_bound"),
+        (
+            F.col("cms_estimate") >= F.coalesce("true_join_size", F.lit(0))
+        ).alias("is_upper_bound"),
         F.expr(
-            "cast((cms_estimate - true_join_size) * 1000000"
-            " div true_join_size as bigint)"
+            "cast(case when coalesce(true_join_size, 0) = 0 then 0"
+            " else (cms_estimate - true_join_size) * 1000000"
+            " div true_join_size end as bigint)"
         ).alias("err_ppm"),
     )

@@ -66,6 +66,24 @@ FAMILIES = [
     "profile_events",
     "logreg_irls_probe",
     "langid_trained",
+    # r7 sketch + association/blocking/IVM layers: empty corpora must
+    # yield empty reports (cms_join_size: ONE all-zero row — the size
+    # of an empty join is 0, not NULL)
+    "hll_distinct",
+    "hll_merge_shards",
+    "kmv_corpus_overlap",
+    "pmi_collocations",
+    "hll_column_profile",
+    "streaming_distinct_hll",
+    "basket_lift",
+    "sorted_neighborhood_pairs",
+    "sorted_neighborhood_multikey",
+    "incremental_agg_refresh",
+    "event_transition_matrix",
+    "record_linkage_fuzzy",
+    "linkage_entities",
+    "rfm_segments",
+    "cms_join_size",
 ]
 
 # row counts that are CONSTANT by design (parameter reports / per-dim
@@ -77,6 +95,7 @@ _EXPECTED_NONZERO = {
     "fk_integrity_audit": 5,  # one all-zero row per declared FK
     "linreg_closed_form": 1,  # global aggregate: one NULL-model row
     "profile_events": 5,  # one row per profiled column
+    "cms_join_size": 1,  # global report: one all-zero row
 }
 
 
