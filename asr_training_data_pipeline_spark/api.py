@@ -162,12 +162,18 @@ _PRIORITY = (
     # r6; dedup keeps minhash_lsh, simhash_portable, bloom_probe,
     # method_eval and the blocking/linkage block in the prefix).
     "cms_join_size",
+    # late-r7 operator: PPJoin prefix-filtered exact set-similarity
+    # join (oracle = dedup_ngram_jaccard's brute force — hash-equality
+    # IS the filter-completeness proof) — slot funded by deferring the
+    # second driver run of mllib_minhash_pairs (rows-only, first run
+    # r6; MLlib keeps tfidf + brp_ann in the prefix, and the pair
+    # semantics stay pinned by tests/test_mllib_fe.py).
+    "dedup_ppjoin",
     # wave-3 newcomers: ANN / embeddings
     "ann_ivf_topk",
     "ann_lsh_buckets",
     # wave-3 newcomers: dedup
     "dedup_simhash_portable",
-    "mllib_minhash_pairs",
     # wave-3 newcomers: curation / analytics / sinks
     "curation_signals_fused",
     "corpus_curation_multimodal",
@@ -224,19 +230,19 @@ _PRIORITY = (
 )
 
 # Rotation queue for the NEXT prefix refresh: after CORRECTNESS_r07,
-# the never-checked set is the fifteen r7-new queries' FIRST rows (the
+# the never-checked set is the sixteen r7-new queries' FIRST rows (the
 # sketch/PMI wave + basket_lift / sorted_neighborhood_pairs /
 # incremental_agg_refresh / event_transition_matrix /
 # record_linkage_fuzzy / sorted_neighborhood_multikey /
-# linkage_entities / rfm_segments / cms_join_size, all in the
-# prefix above) — every other
+# linkage_entities / rfm_segments / cms_join_size / dedup_ppjoin,
+# all in the prefix above) — every other
 # registered query has a driver row at least once. Next candidates to
 # rotate IN: any r8-new operators first, then second greens for the
 # deferred once-green members (vocab_coverage, lang_id_confusion,
 # embedding_centroids, validate_embeddings, cohort_retention,
 # dedup_cluster_stats, mixture_weights, minhash_calibration,
 # length_filter_adaptive, profile_embeddings,
-# dedup_substring_spans,
+# dedup_substring_spans, mllib_minhash_pairs,
 # pack_sequences, train_test_split, bottomk_sample_per_lang,
 # funnel_stages, dedup_incremental, sink_training_shards,
 # event_rate_anomalies) and for the wave-4 newcomers once green, then

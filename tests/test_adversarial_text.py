@@ -116,6 +116,7 @@ QUERIES = [
     "record_linkage_fuzzy",
     "linkage_entities",
     "cms_join_size",
+    "dedup_ppjoin",
     "basket_lift",
 ]
 

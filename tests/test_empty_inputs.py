@@ -84,6 +84,7 @@ FAMILIES = [
     "linkage_entities",
     "rfm_segments",
     "cms_join_size",
+    "dedup_ppjoin",
 ]
 
 # row counts that are CONSTANT by design (parameter reports / per-dim
