@@ -169,6 +169,13 @@ _PRIORITY = (
     # r6; MLlib keeps tfidf + brp_ann in the prefix, and the pair
     # semantics stay pinned by tests/test_mllib_fe.py).
     "dedup_ppjoin",
+    # late-r7 operator: the blocking-method calibration report
+    # (single- vs multi-pass SNM candidates scored against exact
+    # truth) — slot funded by retiring multimodal_image_resize
+    # (rows-green r3..r6, four runs; multimodal keeps frame_sample in
+    # the prefix and the resize path stays pinned by its cross-check
+    # tests).
+    "snm_recall_eval",
     # wave-3 newcomers: ANN / embeddings
     "ann_ivf_topk",
     "ann_lsh_buckets",
@@ -178,7 +185,6 @@ _PRIORITY = (
     "curation_signals_fused",
     "corpus_curation_multimodal",
     "sink_export_manifest",
-    "multimodal_image_resize",
     # reference pipeline / alignment / streaming
     # r6-new operator (same first-round-exposure rule as
     # exact_quantiles_orders below): product-quantization ANN with
@@ -230,12 +236,12 @@ _PRIORITY = (
 )
 
 # Rotation queue for the NEXT prefix refresh: after CORRECTNESS_r07,
-# the never-checked set is the sixteen r7-new queries' FIRST rows (the
+# the never-checked set is the seventeen r7-new queries' FIRST rows (the
 # sketch/PMI wave + basket_lift / sorted_neighborhood_pairs /
 # incremental_agg_refresh / event_transition_matrix /
 # record_linkage_fuzzy / sorted_neighborhood_multikey /
-# linkage_entities / rfm_segments / cms_join_size / dedup_ppjoin,
-# all in the prefix above) — every other
+# linkage_entities / rfm_segments / cms_join_size / dedup_ppjoin /
+# snm_recall_eval, all in the prefix above) — every other
 # registered query has a driver row at least once. Next candidates to
 # rotate IN: any r8-new operators first, then second greens for the
 # deferred once-green members (vocab_coverage, lang_id_confusion,
@@ -243,6 +249,7 @@ _PRIORITY = (
 # dedup_cluster_stats, mixture_weights, minhash_calibration,
 # length_filter_adaptive, profile_embeddings,
 # dedup_substring_spans, mllib_minhash_pairs,
+# multimodal_image_resize,
 # pack_sequences, train_test_split, bottomk_sample_per_lang,
 # funnel_stages, dedup_incremental, sink_training_shards,
 # event_rate_anomalies) and for the wave-4 newcomers once green, then

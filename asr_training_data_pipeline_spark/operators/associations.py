@@ -786,3 +786,160 @@ def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_group_aggs(base_agg, delta_agg).orderBy(
         "user_id", "event_type"
     )
+
+
+# ---------------------------------------------------------------------
+# Blocking-method evaluation: SNM candidate recall vs exact truth
+# ---------------------------------------------------------------------
+
+_SNM_EVAL_SQL = f"""
+WITH f AS (SELECT doc_id, {_FOLD} AS fk FROM documents),
+k1 AS (SELECT doc_id, substr(fk, 1, {_SNM_KEY_LEN}) AS key FROM f),
+k2 AS (SELECT doc_id,
+              substr(fk, greatest(length(fk) - {_SNM_KEY_LEN - 1}, 1),
+                     {_SNM_KEY_LEN}) AS key
+       FROM f),
+r1 AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY key, doc_id) AS rnk FROM k1),
+r2 AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY key, doc_id) AS rnk FROM k2),
+c1 AS (
+  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+                  greatest(a.doc_id, b.doc_id) AS doc_b
+  FROM r1 a JOIN r1 b ON b.rnk - a.rnk BETWEEN 1 AND {_SNM_WINDOW}
+),
+c2 AS (
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT doc_a, doc_b FROM c1
+    UNION ALL
+    SELECT least(a.doc_id, b.doc_id) AS doc_a,
+           greatest(a.doc_id, b.doc_id) AS doc_b
+    FROM r2 a JOIN r2 b ON b.rnk - a.rnk BETWEEN 1 AND {_SNM_WINDOW})
+),
+{{shingle_cte}},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT doc_a, doc_b FROM shared
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE cast(inter AS double) / (sa.n + sb.n - inter) >= {{thr}}
+),
+nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+m AS (
+  SELECT 'snm_multikey' AS method,
+         CAST((SELECT COUNT(*) FROM c2) AS BIGINT) AS n_candidates,
+         CAST((SELECT COUNT(*) FROM c2 JOIN truth t
+               ON t.doc_a = c2.doc_a AND t.doc_b = c2.doc_b) AS BIGINT) AS found
+  UNION ALL
+  SELECT 'snm_prefix',
+         CAST((SELECT COUNT(*) FROM c1) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM c1 JOIN truth t
+               ON t.doc_a = c1.doc_a AND t.doc_b = c1.doc_b) AS BIGINT)
+)
+SELECT m.method, m.n_candidates, nt.n_truth, m.found,
+       CAST(CASE WHEN nt.n_truth = 0 THEN 1000000
+                 ELSE m.found * 1000000 // nt.n_truth END AS BIGINT) AS recall_ppm,
+       CAST(CASE WHEN m.n_candidates = 0 THEN 1000000
+                 ELSE m.found * 1000000 // m.n_candidates END AS BIGINT) AS precision_ppm
+FROM m, nt
+ORDER BY m.method
+"""
+
+
+@register(
+    "snm_recall_eval",
+    oracle=None,  # set below: needs dedup's shingle CTE + threshold
+    tags=("dedup", "calibration"),
+)
+def snm_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOCKING-METHOD calibration for the sorted-neighborhood family
+    (dedup_method_eval's framing, applied to the r7 blockers): the
+    candidate sets of single-key and multi-pass SNM scored against
+    the exact-Jaccard truth (the dedup family's 5-shingle >= 0.8
+    pairs) — per-method candidate count, recall and precision in
+    exact ppm. This is the report an operator reads before choosing a
+    blocker: SNM candidates are O(n·W), so precision is expected to
+    be modest and recall is the number that matters; the multikey row
+    quantifies what the second sort key buys on THIS corpus.
+
+    Scale: candidate generation is the two-level rank per key; the
+    truth side is the quadratic audit (run on a sample at 100 TB,
+    exactly as dedup_method_eval's docstring prescribes); all counts
+    reduce to 1-row frames before the final assembly."""
+    from .dedup import _JACCARD_THRESHOLD, _ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    folded = docs.select(
+        "doc_id",
+        F.translate(
+            F.coalesce(F.col("text"), F.lit("")), _ASCII_UP, _ASCII_LO
+        ).alias("fk"),
+    )
+    k1 = folded.select("doc_id", F.substring("fk", 1, _SNM_KEY_LEN).alias("key"))
+    k2 = folded.select(
+        "doc_id",
+        F.expr(
+            f"substring(fk, greatest(length(fk) - {_SNM_KEY_LEN - 1}, 1),"
+            f" {_SNM_KEY_LEN})"
+        ).alias("key"),
+    )
+    c1 = _snm_candidate_pairs(distributed_rank(k1, "key", "doc_id")).distinct()
+    c2 = c1.unionByName(
+        _snm_candidate_pairs(distributed_rank(k2, "key", "doc_id"))
+    ).distinct()
+    truth = _ngram_jaccard_pairs(docs.select("doc_id", "text")).filter(
+        F.col("jaccard") >= _JACCARD_THRESHOLD
+    ).select("doc_a", "doc_b")
+    nt = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
+
+    def method_row(cand: DataFrame, name: str) -> DataFrame:
+        n_cand = cand.agg(F.count("*").cast("bigint").alias("n_candidates"))
+        found = cand.join(truth, ["doc_a", "doc_b"], "left_semi").agg(
+            F.count("*").cast("bigint").alias("found")
+        )
+        return (
+            n_cand.crossJoin(found)
+            .crossJoin(F.broadcast(nt))
+            .select(
+                F.lit(name).alias("method"),
+                "n_candidates",
+                "n_truth",
+                "found",
+                F.expr(
+                    "cast(case when n_truth = 0 then 1000000"
+                    " else found * 1000000 div n_truth end as bigint)"
+                ).alias("recall_ppm"),
+                F.expr(
+                    "cast(case when n_candidates = 0 then 1000000"
+                    " else found * 1000000 div n_candidates end as bigint)"
+                ).alias("precision_ppm"),
+            )
+        )
+
+    return (
+        method_row(c2, "snm_multikey")
+        .unionByName(method_row(c1, "snm_prefix"))
+        .orderBy("method")
+    )
+
+
+def _finalize_snm_eval_oracle() -> None:
+    """Bind the eval oracle after dedup's constants are importable
+    (avoids a module-import cycle at definition time)."""
+    from ..registry import REGISTRY, QueryDef
+    from .dedup import _JACCARD_THRESHOLD, _SHINGLE_K
+
+    sql = _SNM_EVAL_SQL.format(
+        shingle_cte=shingles_sql(_SHINGLE_K).strip().lstrip(","),
+        thr=_JACCARD_THRESHOLD,
+    )
+    q = REGISTRY["snm_recall_eval"]
+    REGISTRY["snm_recall_eval"] = QueryDef(
+        fn=q.fn, oracle=sql, bench=q.bench, tags=q.tags
+    )
+
+
+_finalize_snm_eval_oracle()

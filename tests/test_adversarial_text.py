@@ -117,6 +117,7 @@ QUERIES = [
     "linkage_entities",
     "cms_join_size",
     "dedup_ppjoin",
+    "snm_recall_eval",
     "basket_lift",
 ]
 

@@ -85,6 +85,7 @@ FAMILIES = [
     "rfm_segments",
     "cms_join_size",
     "dedup_ppjoin",
+    "snm_recall_eval",
 ]
 
 # row counts that are CONSTANT by design (parameter reports / per-dim
@@ -97,6 +98,7 @@ _EXPECTED_NONZERO = {
     "linreg_closed_form": 1,  # global aggregate: one NULL-model row
     "profile_events": 5,  # one row per profiled column
     "cms_join_size": 1,  # global report: one all-zero row
+    "snm_recall_eval": 2,  # one row per method, vacuous 100% ppm
 }
 
 
