@@ -356,3 +356,15 @@ def test_rfm_ranks_are_bucket_partitioned(spark, sf_dir):
     for spec in wins:
         assert spec.strip(), "unpartitioned window over the customers"
     assert sum("_bkt" in w for w in wins) >= 3, wins
+
+
+def test_ppjoin_no_cartesian_and_thin_prefix(spark, sf_dir):
+    """The PPJoin candidate stage stays an equi-join on the indexed
+    shingle (a nested-loop join anywhere means the prefix index
+    stopped containing the quadratic), and the prefix slice is in the
+    plan (the n - ceil(t*n) + 1 arithmetic), so a refactor can't
+    silently index the full token list."""
+    plan = _executed_plan(spark, sf_dir, "dedup_ppjoin")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "slice(" in plan, "prefix slice missing from plan"
