@@ -86,7 +86,8 @@ SELECT item_a, item_b, pair_cnt, cnt_a, cnt_b,
        CAST(pair_cnt * 1000000 // n.n_baskets AS BIGINT) AS support_ppm,
        CAST(pair_cnt * 1000000 // cnt_a AS BIGINT) AS conf_ab_ppm,
        CAST(pair_cnt * 1000000 // cnt_b AS BIGINT) AS conf_ba_ppm,
-       CAST(pair_cnt * n.n_baskets * 1000 // (cnt_a * cnt_b) AS BIGINT) AS lift_milli
+       CAST(pair_cnt::HUGEINT * n.n_baskets * 1000
+            // (cnt_a::HUGEINT * cnt_b) AS BIGINT) AS lift_milli
 FROM pairs, n
 ORDER BY lift_milli DESC, item_a, item_b
 LIMIT {_TOP_PAIRS}
@@ -112,7 +113,10 @@ def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The final top-100 is a TakeOrdered (per-partition top-k
     + driver merge), never a full sort: ordering by (lift, item_a,
-    item_b) is a total order, so the cut is deterministic."""
+    item_b) is a total order, so the cut is deterministic. The lift
+    numerator (pair_cnt · n_baskets · 1000) runs in decimal(38,0)/
+    HUGEINT on both engines — it exceeds bigint once pair counts and
+    basket counts both reach the 1e6/1e8 range."""
     li = load_table(spark, sf_dir, "lineitem")
     baskets = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")
@@ -151,8 +155,14 @@ def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("pair_cnt * 1000000 div n_baskets").alias("support_ppm"),
             F.expr("pair_cnt * 1000000 div cnt_a").alias("conf_ab_ppm"),
             F.expr("pair_cnt * 1000000 div cnt_b").alias("conf_ba_ppm"),
+            # lift numerator can exceed bigint at large SF (a 1e6-count
+            # pair at ~1.5e8 baskets is ~1.5e20); DuckDB would raise on
+            # bigint overflow while non-ANSI Spark wraps silently —
+            # decimal(38,0)/HUGEINT on both sides keeps the floor
+            # division exact (the pmi_collocations pattern).
             F.expr(
-                "pair_cnt * n_baskets * 1000 div (cnt_a * cnt_b)"
+                "cast(cast(pair_cnt as decimal(38,0)) * n_baskets * 1000"
+                " div (cast(cnt_a as decimal(38,0)) * cnt_b) as bigint)"
             ).alias("lift_milli"),
         )
         .orderBy(F.desc("lift_milli"), "item_a", "item_b")

@@ -633,7 +633,12 @@ rows_ AS (
   JOIN (SELECT j, p, c FROM cells WHERE half = 1) b ON a.j = b.j AND a.p = b.p
   GROUP BY a.j
 ),
-est AS (SELECT CAST(COALESCE(MIN(dot), 0) AS BIGINT) AS cms_estimate FROM rows_)
+dots AS (
+  SELECT g.j, COALESCE(r.dot, 0) AS dot
+  FROM (SELECT CAST(range AS INT) AS j FROM range(0, {_CMS_D})) g
+  LEFT JOIN rows_ r ON r.j = g.j
+),
+est AS (SELECT CAST(MIN(dot) AS BIGINT) AS cms_estimate FROM dots)
 SELECT COALESCE(t.true_join_size, 0) AS true_join_size, e.cms_estimate,
        e.cms_estimate >= COALESCE(t.true_join_size, 0) AS is_upper_bound,
        CAST(CASE WHEN COALESCE(t.true_join_size, 0) = 0 THEN 0
@@ -687,12 +692,20 @@ def cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("half", "j", "p").agg(F.count("*").cast("bigint").alias("c"))
     ga = cells.filter(F.col("half") == 0).select("j", "p", F.col("c").alias("ca"))
     gb = cells.filter(F.col("half") == 1).select("j", "p", F.col("c").alias("cb"))
-    est = (
+    dots = (
         ga.join(gb, ["j", "p"])
         .groupBy("j")
         .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("dot"))
+    )
+    # A CMS row whose two halves share no (j,p) cell has a TRUE inner
+    # product of 0 — the min_j formula must see that 0, so densify
+    # against the d row ids before taking the min (a row absent from
+    # the join is not "no information", it is a zero estimate).
+    d_ids = spark.range(_CMS_D).select(F.col("id").cast("int").alias("j"))
+    est = (
+        d_ids.join(dots, "j", "left")
         .agg(
-            F.coalesce(F.min("dot"), F.lit(0))
+            F.min(F.coalesce("dot", F.lit(0)))
             .cast("bigint")
             .alias("cms_estimate")
         )

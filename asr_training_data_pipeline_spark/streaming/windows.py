@@ -419,7 +419,7 @@ WITH cells AS (
          ('0x' || substr(hx, {_BUCKET_OFF}, 8))::BIGINT % {_HLL_M} AS b,
          {_rho_case(f"('0x' || substr(hx, {_RHO_OFF}, 8))::BIGINT")} AS rho,
          user_id
-  FROM (SELECT ts, user_id, {hx} AS hx FROM events)
+  FROM (SELECT ts, user_id, {hx} AS hx FROM events WHERE user_id IS NOT NULL)
 ),
 regs AS (
   SELECT window_start_us, b, MAX(rho) AS m
@@ -436,7 +436,7 @@ fin AS (
 exact AS (
   SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
          CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
-  FROM events GROUP BY 1
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
 )
 SELECT f.window_start_us, f.live_registers, e.exact_users,
        CAST(CASE WHEN v > 0 AND {_HLL_NUM} // s <= {_HLL_LC_THRESH_MILLI}
@@ -480,7 +480,12 @@ def streaming_distinct_hll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketches import _hll_cols, _hll_estimate_cols, _rho_case
 
     ev = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
-    hashed = ev.select(
+    # NULL user_id would hash to a NULL bucket — a phantom 65th
+    # register that pushes live_registers past _HLL_M and drives the
+    # empty-register count v negative; the exact COUNT(DISTINCT) side
+    # ignores NULLs, so the calibration would silently diverge. Gate
+    # exactly as hll_column_profile does (same filter in the oracle).
+    hashed = ev.filter(F.col("user_id").isNotNull()).select(
         "ts", F.md5(F.col("user_id").cast("string")).alias("hx")
     )
     b, v = _hll_cols(F.col("hx"))
@@ -509,6 +514,7 @@ def streaming_distinct_hll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = (
         load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
         .groupBy(F.date_trunc("hour", "ts").alias("h"))
         .agg(F.countDistinct("user_id").cast("bigint").alias("exact_users"))
         .select(F.unix_micros(F.col("h")).alias("window_start_us"), "exact_users")

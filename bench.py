@@ -78,8 +78,14 @@ def main() -> None:
         # recorded 14.36 s from two burst-hit samples against a 5.3 s
         # interleaved-measured floor). Three samples make a
         # burst-spanning record require a ~3×-longer burst.
+        # max(3, runs_per_query): the mandatory third sample is a
+        # FLOOR, never a cap — a configured SPARK_GRAFT_BENCH_RUNS
+        # above 3 must still get its full run count on expensive
+        # queries.
         min_samples = lambda: (  # noqa: E731
-            3 if samples and min(samples) >= 3.0 else runs_per_query
+            max(3, runs_per_query)
+            if samples and min(samples) >= 3.0
+            else runs_per_query
         )
         while len(samples) < min_samples() or (
             len(samples) < (max_runs + 1 if min(samples) < 3.0 else max_runs)
