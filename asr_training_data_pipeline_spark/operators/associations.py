@@ -21,13 +21,14 @@ Why these exist in a 100 TB engine:
   sort-neighbors. The scale problem is the GLOBAL RANK — a
   row_number() over one unpartitioned window serializes the corpus
   through a single task. Here the rank is two-level: a per-bucket
-  window (bucket = a PREFIX of the sort key, so bucket order is
-  consistent with key order) plus bucket-count offsets from a tiny
-  aggregate — the same distributed-rank shape Spark's own
-  zipWithIndex uses, but deterministic (a pure function of the data,
-  never of partitioning), which is what makes the DuckDB replay
-  hash-exact. Reference: Hernández & Stolfo, "The merge/purge problem
-  for large databases" (SIGMOD 1995).
+  window (bucket = the sampled-boundary interval of the full
+  (key, id) tuple, balanced for ANY key distribution — see
+  :func:`distributed_rank`) plus bucket-count offsets from a tiny
+  aggregate — the same shape as Spark's own global sort, but with a
+  deterministic fixed-seed hash-sample so the rank is a pure
+  function of the data, never of partitioning, which is what makes
+  the DuckDB replay hash-exact. Reference: Hernández & Stolfo, "The
+  merge/purge problem for large databases" (SIGMOD 1995).
 
 * **incremental_agg_refresh** — materialized-aggregate maintenance:
   count/sum per group form a commutative monoid, so a stored
@@ -48,10 +49,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+import itertools
+
+from ..caching import hold
 from ..registry import register
 from ..sources.tables import load_table
 from .shingles import shingles_col, shingles_sql
 from .text_analysis import _ASCII_LO, _ASCII_UP
+
+_RANK_SLOT = itertools.count()  # cycling cache slots for rank inputs
 
 # portable casefold (same rationale as the text_analysis _FOLD_SQL):
 # full Unicode lower() is not bit-identical across engines, the
@@ -176,7 +182,6 @@ def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SNM_WINDOW = 3  # compare each doc to its next W sort-neighbors
 _SNM_KEY_LEN = 24  # normalized sort key: first chars of lower(text)
-_SNM_BUCKET_LEN = 2  # rank-bucket = key prefix (order-consistent)
 _SNM_SHINGLE_K = 3
 _SNM_MIN_JAC_PPM = 200_000  # report candidates at >= 0.2 exact Jaccard
 
@@ -213,30 +218,105 @@ ORDER BY c.doc_a, c.doc_b
 """
 
 
+# sampled-boundary rank: target sample size per requested bucket (the
+# same balance knob as Spark's RangePartitioner samplePointsPerPartition
+# hint; 64 points per boundary bounds the expected per-bucket skew)
+_RANK_SAMPLE_PER_BUCKET = 64
+_RANK_SAMPLE_CAP = 100_000  # driver-side collect ceiling (a few MB)
+
+
+def _rank_boundaries(
+    df: DataFrame, key: str, id_col: str, n_buckets: int
+) -> list[tuple]:
+    """Sorted (key, id) bucket boundaries from a DETERMINISTIC
+    hash-sample of the frame — xxhash64 with its fixed seed, so the
+    sample (and therefore every boundary) is a pure function of the
+    data, not of partitioning, job ids, or retries. Two plan subtrees
+    that both embed these boundaries as literals can never disagree,
+    which is what makes the two-level rank recompute-safe.
+
+    Cost: one count + one thin-projection sample scan — the same
+    extra pass Spark's own RangePartitioner pays, but with its
+    nondeterministic per-job sample seed replaced by a data hash."""
+    n = df.count()
+    target = min(_RANK_SAMPLE_PER_BUCKET * n_buckets, _RANK_SAMPLE_CAP)
+    if n == 0:
+        return []
+    mod = max(1, n // max(target, 1))
+    sample = (
+        df.select(key, id_col)
+        .filter(F.pmod(F.xxhash64(F.col(key), F.col(id_col)), F.lit(mod)) == 0)
+        .collect()
+    )
+    tuples = sorted((r[0], r[1]) for r in sample)
+    m = len(tuples)
+    if m < 2:
+        return []
+    bounds = []
+    for j in range(1, n_buckets):
+        t = tuples[min(m - 1, (j * m) // n_buckets)]
+        if not bounds or t != bounds[-1]:
+            bounds.append(t)
+    return bounds
+
+
 def distributed_rank(
-    df: DataFrame, key: str, id_col: str, bucket_len: int = _SNM_BUCKET_LEN
+    df: DataFrame, key: str, id_col: str, num_buckets: int | None = None
 ) -> DataFrame:
     """Global dense row rank over ``ORDER BY (key, id_col)`` WITHOUT a
-    single-partition window: a per-bucket ``row_number`` (bucket = a
-    ``bucket_len``-char PREFIX of the key, so bucket order is
-    consistent with key order by the prefix property) plus bucket
-    offsets from a tiny bucket-count aggregate.
+    single-partition window: a per-bucket ``row_number`` plus bucket
+    offsets from a tiny bucket-count aggregate, where the bucket is
+    the index of the (key, id) tuple's sampled-boundary interval.
 
-    The only unpartitioned window runs over the BUCKET-COUNT frame
-    (|alphabet|^bucket_len rows at most — thousands, not corpus-
-    sized); the per-row window parallelizes across buckets. The rank
-    is a pure function of the data — never of partitioning or
-    sampling — which is what lets an independent engine replay it
-    exactly. Bucket granularity is the parallelism/offset-frame
-    trade: longer prefixes → more buckets → better balance on skewed
-    corpora.
-    """
-    bucketed = df.withColumn("_bkt", F.substring(F.col(key), 1, bucket_len))
+    Why sampled boundaries, not a key-prefix bucket (the earlier
+    shape): a prefix bucket inherits the key DISTRIBUTION — a
+    constant-offset numeric rank key put 100% of rows in one bucket
+    (every ``2^62 + metric`` key starts "04"), a dense domain like an
+    order-frequency metric has fewer distinct prefixes than tasks,
+    and Zipf-skewed text prefixes ("th", boilerplate headers)
+    concentrate a corpus fraction in one bucket — and no static
+    prefix length can fix a distribution it cannot see. Boundaries
+    drawn from a hash-sample balance ANY distribution (Spark's own
+    global sort partitions the same way), and because they cut on the
+    full (key, id) tuple, ties on a hot key value spread across
+    buckets by id instead of serializing into one task.
+
+    Determinism: the sample is a fixed-seed hash of the data
+    (:func:`_rank_boundaries`), the boundaries are embedded as plan
+    LITERALS, and the bucket is therefore a pure function of the row
+    — safe under recompute/retry, and the rank value itself never
+    depends on where the boundaries fall (offset + local rank is the
+    global rank for any order-consistent bucketing), which is what
+    lets the DuckDB oracle replay it with a plain ROW_NUMBER.
+
+    The only single-partition window runs over the BUCKET-COUNT frame
+    (≤ num_buckets rows, never corpus rows) with an explicit literal
+    partition key."""
+    n_buckets = num_buckets or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    # Four passes read this frame (count, boundary sample, the ranked
+    # window, the bucket counts) — hold it so they share one
+    # materialization. Slots cycle so concurrent ranks in one plan
+    # (rfm's three metrics, multikey's two passes) don't evict each
+    # other; eviction is a perf miss only — the deterministic bucket
+    # makes recompute safe.
+    df = hold(f"distributed_rank:{next(_RANK_SLOT) % 8}", df)
+    bounds = _rank_boundaries(df, key, id_col, n_buckets)
+    # bucket = #boundaries at or below this (key, id) tuple — a short
+    # literal comparison ladder (≤ num_buckets-1 terms), codegen'd
+    bkt = F.lit(0)
+    for bk, bi in bounds:
+        after = (F.col(key) > F.lit(bk)) | (
+            (F.col(key) == F.lit(bk)) & (F.col(id_col) >= F.lit(bi))
+        )
+        bkt = bkt + F.when(after, 1).otherwise(0)
+    bucketed = df.withColumn("_bkt", bkt)
     w_local = Window.partitionBy("_bkt").orderBy(key, id_col)
     local = bucketed.withColumn("_lr", F.row_number().over(w_local))
     counts = bucketed.groupBy("_bkt").agg(F.count("*").alias("_bc"))
     # The cumulative sum over the BUCKET-COUNT frame is the one place a
-    # single partition is correct by construction (<= |alphabet|^len
+    # single partition is correct by construction (≤ num_buckets
     # rows); the literal partition key states that on the plan instead
     # of tripping WindowExec's no-partition warning.
     w_off = (

@@ -514,8 +514,9 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the containment ratio use the same filtered stream, so the score
     stays a consistent estimator.
     """
-    from pyspark import StorageLevel
     from pyspark.sql import Window as W
+
+    from ..caching import hold
 
     docs = load_table(spark, sf_dir, "documents")
     # PERSIST the fingerprint ARRAYS before exploding: Generate
@@ -525,11 +526,14 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 176 s vs 0.3 s at sf0.001 for the explode alone. Persisting the
     # (doc_id, fps) arrays makes the generator a plain column read,
     # and the pin is also what the df-cap/sizes/self-join reuse.
-    wf = winnow_fps(
-        docs.repartition(docs.sparkSession.sparkContext.defaultParallelism),
-        k=_WPAIR_K,
-        w=_WPAIR_W,
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    wf = hold(
+        "winnow_fps",
+        winnow_fps(
+            docs.repartition(docs.sparkSession.sparkContext.defaultParallelism),
+            k=_WPAIR_K,
+            w=_WPAIR_W,
+        ),
+    )
     fpk = wf.select("doc_id", F.explode("fps").alias("fp")).filter(
         F.substring("fp", 1, 1).isin("0", "1", "2", "3")
     )

@@ -413,10 +413,15 @@ def full_pipeline(
     while the per-document work parallelizes; no stage grows
     super-linearly.
     """
-    from pyspark import StorageLevel
+    from ..caching import hold
+
+    _pin_slot = iter(("pipeline_arrays", "pipeline_runs", "pipeline_validated"))
 
     def pin(df: DataFrame) -> DataFrame:
-        return df.persist(StorageLevel.MEMORY_AND_DISK) if persist else df
+        # slot-managed: re-invoking the pipeline in a long session
+        # (registry sweeps, benchmarks) replaces the previous
+        # invocation's caches instead of accumulating orphans
+        return hold(next(_pin_slot), df) if persist else df
 
     # Word ARRAYS are the pinned form, and BOTH fixture sides ride in
     # the same frame (they derive from the same document row), so the

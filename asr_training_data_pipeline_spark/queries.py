@@ -1317,8 +1317,13 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine's :func:`distributed_rank` exists to avoid. Each Spark-side
     rank is the two-level bucketed form; numeric metrics become rank
     keys by ZERO-PADDING to fixed width (lpad 20), which makes
-    lexicographic order equal numeric order for non-negative ints, so
-    the bucket-prefix property keeps holding. The three ranked frames
+    lexicographic order equal numeric order for non-negative ints.
+    Bucketing is by sampled (key, id) boundaries, so a dense metric
+    domain (freq takes a handful of values) or the constant 2^62
+    offset digits cannot collapse the rank into one task — ties on a
+    hot metric value spread across buckets by customer key (the
+    degenerate single-bucket shape this round replaced is pinned by
+    tests/test_plan_shapes.py's bucket-count floor). The three ranked frames
     re-join on custkey (keys only); the per-customer aggregate
     subtree is identical under all three, so AQE reuses its exchange
     rather than rescanning orders."""
@@ -1343,6 +1348,13 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mon_cents"),
         )
     )
+    # The per-customer aggregate feeds three ranks, each of which runs
+    # a count + boundary-sample pass before its window — hold it so
+    # those passes (and the final three-way join) read the aggregated
+    # frame, not twelve re-scans of orders.
+    from .caching import hold
+
+    pc = hold("rfm_pc", pc)
     n = pc.agg(F.count("*").cast("bigint").alias("nc"))
     # 2^62 offset before zero-padding: metrics can be NEGATIVE
     # (refund-heavy monetary sums) and '-3' would sort above '0...3'

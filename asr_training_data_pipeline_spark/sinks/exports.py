@@ -332,8 +332,7 @@ def export_pipeline_outputs(
     ``pair_filter``: optional Column predicate on pair_id to bound the
     exported subset (tests / smoke runs).
     """
-    from pyspark import StorageLevel
-
+    from ..caching import hold
     from ..operators.dsp import acoustic_gate
 
     stages = full_pipeline(spark, sf_dir, p)
@@ -349,9 +348,12 @@ def export_pipeline_outputs(
     # (claude_research_optimal.py:411): one DSP pass per clip; verdicts
     # feed the acoustic log, the rejection log, the shortened 'fixed'
     # boundaries, and the keep/reject split consistently.
-    verdicts = acoustic_gate(
-        _clips_with_samples(exported, audio), min_dur_s=p.min_dur_s
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    verdicts = hold(
+        "acoustic_verdicts",
+        acoustic_gate(
+            _clips_with_samples(exported, audio), min_dur_s=p.min_dur_s
+        ),
+    )
     write_json_records(
         verdicts.select(
             "pair_id", "group_id", F.col("log_quality").alias("quality"),

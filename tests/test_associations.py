@@ -72,6 +72,74 @@ def test_distributed_rank_dense_and_bijective(spark, sf_dir):
     assert (stats.d, stats.lo, stats.hi, stats.n) == (n, 1, n, n)
 
 
+def _bucket_counts(df, key, id_col, n_buckets):
+    """Reconstruct distributed_rank's bucket assignment (the sampled-
+    boundary interval index) and return per-bucket row counts."""
+    from asr_training_data_pipeline_spark.operators.associations import (
+        _rank_boundaries,
+    )
+
+    bounds = _rank_boundaries(df, key, id_col, n_buckets)
+    bkt = F.lit(0)
+    for bk, bi in bounds:
+        after = (F.col(key) > F.lit(bk)) | (
+            (F.col(key) == F.lit(bk)) & (F.col(id_col) >= F.lit(bi))
+        )
+        bkt = bkt + F.when(after, 1).otherwise(0)
+    return [
+        r["count"]
+        for r in df.withColumn("_bkt", bkt).groupBy("_bkt").count().collect()
+    ]
+
+
+def test_rank_buckets_spread_on_dense_numeric_domain(spark, sf_dir):
+    """The r7 regression this pins: rfm's lpad(metric + 2^62) keys all
+    start '04', and a dense metric domain (order frequency takes a
+    handful of values) defeats ANY key-prefix bucket — 100% of
+    customers landed in ONE bucket, making each 'distributed' rank a
+    single task. Sampled (key, id) boundaries must spread the rank:
+    a data-aware bucket-count floor, not a plan-syntax lock."""
+    orders = load_table(spark, sf_dir, "orders")
+    pc = (
+        orders.filter(F.col("o_custkey").isNotNull())
+        .groupBy(F.col("o_custkey").alias("ck"))
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    keyed = pc.select(
+        "ck",
+        F.lpad((F.col("freq") + F.lit(1 << 62)).cast("string"), 20, "0").alias(
+            "key"
+        ),
+    )
+    n = keyed.count()
+    counts = _bucket_counts(keyed, "key", "ck", 32)
+    assert len(counts) >= 16, f"degenerate bucketing: {len(counts)} buckets"
+    assert max(counts) <= max(4 * n // 32, 8), (
+        f"hot bucket holds {max(counts)}/{n} rows"
+    )
+
+
+def test_rank_buckets_spread_on_shared_prefix_corpus(spark):
+    """Zipf-skewed text keys (every doc opening with the same
+    boilerplate 24 chars — worse than the 'th'/'a ' skew a 2-char
+    prefix bucket suffers): ties on the HOT key must spread across
+    buckets by the id tiebreaker, and the rank must stay the exact
+    global row_number."""
+    hot = "the quick brown fox jump"  # 24 shared chars
+    rows = [(i, hot) for i in range(400)] + [
+        (1000 + i, f"zz unique tail {i:05d}") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, key string")
+    counts = _bucket_counts(df, "key", "doc_id", 32)
+    assert len(counts) >= 16, f"hot key collapsed buckets: {len(counts)}"
+    assert max(counts) <= 4 * 500 // 32
+    got = {
+        r.doc_id: r.rnk for r in distributed_rank(df, "key", "doc_id").collect()
+    }
+    expect = {d: i + 1 for i, (_, d) in enumerate(sorted((k, d) for d, k in rows))}
+    assert got == expect
+
+
 # ---------------------------------------------------------------------
 # basket_lift: the a-priori prune is lossless
 # ---------------------------------------------------------------------
