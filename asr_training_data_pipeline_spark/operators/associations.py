@@ -52,21 +52,34 @@ from pyspark.sql import functions as F
 import itertools
 
 from ..caching import hold
+from ..functions.casefold import (
+    FOLD_DST as _ASCII_LO,  # legacy names; now the full generated fold
+    FOLD_SRC as _ASCII_UP,
+    PROJ_DST,
+    PROJ_SRC,
+    PROJECTED_GATE,
+)
 from ..registry import register
 from ..sources.tables import load_table
 from .shingles import shingles_col, shingles_sql
-from .text_analysis import _ASCII_LO, _ASCII_UP
 
 _RANK_SLOT = itertools.count()  # cycling cache slots for rank inputs
 
 # portable casefold (same rationale as the text_analysis _FOLD_SQL):
-# full Unicode lower() is not bit-identical across engines, the
-# ASCII-range translate is
+# full Unicode lower() is not bit-identical across engines; the
+# generated translate table (functions/casefold.py — ASCII +
+# Latin/Greek/Cyrillic 1:1 simple case maps) is, by construction.
 _FOLD = f"translate(coalesce(text, ''), '{_ASCII_UP}', '{_ASCII_LO}')"
-# ASCII-printable gate for operators whose METRIC is engine-divergent
-# on non-ASCII input (DuckDB's levenshtein counts bytes, Spark's
-# counts codepoints — measured 'é'→2 vs 1)
-_ASCII_PRINTABLE = "^[\\x20-\\x7e]+$"
+# Edit-distance operators additionally PROJECT the folded key onto
+# single ASCII bytes (functions/casefold.py PROJ tables: Latin accents
+# → NFD base, TR39 homoglyphs → their Latin double, other
+# Greek/Cyrillic letters → distinct collision-free slots) — so DuckDB's
+# byte-counting levenshtein and Spark's UTF-16-unit one agree exactly
+# (measured divergence without it: 'é'→2 vs 1). Keys whose projection
+# still carries multi-byte codepoints (CJK, Arabic, emoji …) are gated
+# out — character edit distance is not a meaningful linkage metric
+# there anyway; the r7 gate excluded ALL non-ASCII text.
+_PROJ = f"translate({_FOLD}, '{PROJ_SRC}', '{PROJ_DST}')"
 
 # ---------------------------------------------------------------------
 # Market-basket 2-itemsets (a-priori prune, exact-integer lift)
@@ -556,10 +569,11 @@ _RL_MAX_DIST = 8  # edit-distance acceptance threshold
 
 _LINKAGE_SQL = f"""
 WITH d AS (
-  SELECT doc_id, source, substr({_FOLD}, 1, {_RL_KEY_LEN}) AS key,
-         CAST(length(substr({_FOLD}, 1, {_RL_KEY_LEN})) AS BIGINT) AS ln
-  FROM documents
-  WHERE regexp_matches(text, '{_ASCII_PRINTABLE}')
+  SELECT doc_id, source, key, CAST(length(key) AS BIGINT) AS ln
+  FROM (SELECT doc_id, source,
+               substr({_PROJ}, 1, {_RL_KEY_LEN}) AS key
+        FROM documents)
+  WHERE regexp_matches(key, '{PROJECTED_GATE}')
 ),
 cand AS (
   SELECT a.doc_id AS doc_id, a.source AS source,
@@ -587,23 +601,28 @@ ORDER BY p.doc_id
 
 def _linkage_candidates(spark: SparkSession, sf_dir: str):
     """(accepted candidate pairs, gated key frame) shared by the
-    linkage queries. ASCII-printable gate first: the Levenshtein
-    METRIC itself diverges cross-engine on non-ASCII (DuckDB counts
-    bytes, Spark counts codepoints), so the linkage scope is the
-    honest oracle-parity constraint — the langid_trained precedent.
-    The gate rejects NULL and empty text too (the + quantifier)."""
+    linkage queries. The match key is the FOLDED + ASCII-PROJECTED
+    text (module-head _PROJ rationale): the projection makes DuckDB's
+    byte-counting levenshtein and Spark's UTF-16-unit one agree
+    exactly, so Cyrillic/Greek/accented-Latin records now link
+    (r8, VERDICT r7 task 5 — r7 gated ALL non-ASCII out). Keys whose
+    projection still carries multi-byte codepoints (CJK, emoji) are
+    gated; the gate rejects NULL and empty text too (+ quantifier)."""
     docs = load_table(spark, sf_dir, "documents")
+    proj = F.translate(
+        F.translate(
+            F.coalesce(F.col("text"), F.lit("")), _ASCII_UP, _ASCII_LO
+        ),
+        PROJ_SRC,
+        PROJ_DST,
+    )
     d = (
-        docs.filter(F.col("text").rlike(_ASCII_PRINTABLE))
-        .select(
+        docs.select(
             "doc_id",
             "source",
-            F.substring(
-                F.translate(F.col("text"), _ASCII_UP, _ASCII_LO),
-                1,
-                _RL_KEY_LEN,
-            ).alias("key"),
+            F.substring(proj, 1, _RL_KEY_LEN).alias("key"),
         )
+        .filter(F.col("key").rlike(PROJECTED_GATE))
         .withColumn("ln", F.length("key").cast("bigint"))
         .withColumn("blk", F.substring("key", 1, _RL_BLOCK_LEN))
     )
@@ -695,10 +714,11 @@ def record_linkage_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ENTITIES_SQL = f"""
 WITH RECURSIVE
 d AS (
-  SELECT doc_id, source, substr({_FOLD}, 1, {_RL_KEY_LEN}) AS key,
-         CAST(length(substr({_FOLD}, 1, {_RL_KEY_LEN})) AS BIGINT) AS ln
-  FROM documents
-  WHERE regexp_matches(text, '{_ASCII_PRINTABLE}')
+  SELECT doc_id, source, key, CAST(length(key) AS BIGINT) AS ln
+  FROM (SELECT doc_id, source,
+               substr({_PROJ}, 1, {_RL_KEY_LEN}) AS key
+        FROM documents)
+  WHERE regexp_matches(key, '{PROJECTED_GATE}')
 ),
 cand AS (
   SELECT a.doc_id AS da, b.doc_id AS db

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.casefold import FOLD_DST as _FOLD_DST
+from ..functions.casefold import FOLD_SRC as _FOLD_SRC
 from ..registry import register
 from ..sources.tables import load_table
 from .shingles import shingles_col, shingles_sql
@@ -1343,21 +1345,23 @@ def cms_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BPE_N_MERGES = 8
 
-# ASCII-only casefold (r7, VERDICT r6 task 1): full Unicode lower() is
-# engine-divergent (Spark maps U+0130 İ -> 'i'+combining-dot, DuckDB ->
-# plain 'i'; Spark emits final sigma 'ς' where DuckDB keeps 'σ' — both
-# probed on this toolchain), so the trained text operators fold ONLY
-# [A-Z] via translate (identical on both engines, probed incl.
-# fullwidth/CJK/emoji) and preserve case outside ASCII — which is also
-# what production subword tokenizers do (Sennrich BPE is
-# case-sensitive). Every other primitive these operators use —
+# Generated-table casefold (r8, VERDICT r7 task 4; ASCII-only in r7):
+# full Unicode lower() is engine-divergent (Spark maps U+0130 İ ->
+# 'i'+combining-dot, DuckDB -> plain 'i'; Spark emits final sigma 'ς'
+# where DuckDB keeps 'σ' — both probed on this toolchain), so the fold
+# never calls either engine's lower(): it is a translate over a table
+# GENERATED at import (functions/casefold.py — ASCII plus the 1:1
+# simple case maps of Latin-1/Latin-Ext-A/Greek/Cyrillic, ~200 pairs)
+# embedded as the SAME literal in both plans. "Привет" now folds to
+# "привет" on both engines; İ (no 1:1 map) folds to itself,
+# documented. Every other primitive these operators use —
 # substring/length, empty-separator split, binary string ORDER BY —
 # is codepoint-exact and engine-identical (probed on CJK, combining
 # marks, and supplementary-plane emoji; Spark 4's UTF8String and
 # DuckDB both index CODE POINTS, not UTF-16 units).
-_ASCII_UP = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
-_ASCII_LO = "abcdefghijklmnopqrstuvwxyz"
-_FOLD_SQL = f"translate(text, '{_ASCII_UP}', '{_ASCII_LO}')"
+_ASCII_UP = _FOLD_SRC  # legacy names: the full generated fold tables
+_ASCII_LO = _FOLD_DST
+_FOLD_SQL = f"translate(text, '{_FOLD_SRC}', '{_FOLD_DST}')"
 
 
 def _bpe_cte() -> str:
@@ -1455,13 +1459,12 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     production BPE trainers work: stream the corpus once into word
     counts, iterate on the counts.
 
-    Unicode (r7): the word domain is ANY space-delimited token of ≥2
-    code points — CJK, diacritics, combining marks, and emoji all
+    Unicode (r7/r8): the word domain is ANY space-delimited token of
+    ≥2 code points — CJK, diacritics, combining marks, and emoji all
     train (symbols are code points; split('')/length are
-    codepoint-exact and engine-identical, probed). Casefold is
-    ASCII-only (see _FOLD_SQL) because full Unicode lower() is
-    engine-divergent — and real subword tokenizers are case-sensitive
-    anyway."""
+    codepoint-exact and engine-identical, probed). Casefold is the
+    generated translate table (see _FOLD_SQL — Latin/Greek/Cyrillic
+    1:1 simple case maps, never either engine's divergent lower())."""
     merges, _v = _bpe_train(spark, sf_dir)
     return spark.createDataFrame(
         merges,
@@ -1715,9 +1718,10 @@ def langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel, where Python strings index code points by definition
     (substring/length probed codepoint-exact on CJK, combining marks,
     emoji; Python string comparison = code-point order = both
-    engines' binary string ORDER BY); only the casefold is
-    ASCII-restricted (see _FOLD_SQL — full Unicode lower() is
-    engine-divergent on İ/ς)."""
+    engines' binary string ORDER BY); the casefold is the generated
+    translate table (see _FOLD_SQL — 1:1 simple case maps for
+    Latin/Greek/Cyrillic, never either engine's lower(), which is
+    divergent on İ/ς)."""
     docs = load_table(spark, sf_dir, "documents")
     d = docs.filter(
         F.col("text").isNotNull() & F.col("lang").isNotNull()

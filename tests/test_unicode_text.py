@@ -120,6 +120,41 @@ def test_bpe_learns_nonascii_merges(spark, unicode_sf_dir):
         assert r.merged == a + b
 
 
+def test_generated_casefold_table(spark):
+    """VERDICT r7 task 4: the generated fold table must lower
+    Cyrillic/Greek/Latin-accented text identically on both engines —
+    and must NOT touch the known engine-divergent codepoints (İ has no
+    1:1 simple map; ς unifies INTO σ, never the reverse)."""
+    import duckdb
+
+    from asr_training_data_pipeline_spark.functions.casefold import (
+        FOLD_DST, FOLD_SRC, fold_sql)
+
+    cases = [
+        ("Привет МИР", "привет мир"),
+        ("ΓΛΩΣΣΙΚΆ ΜΟΝΤΈΛΑ ΤΕΛΟΣ", "γλωσσικά μοντέλα τελοσ"),
+        ("ΤΈΛΟΣ ΕΚΠΑΙΔΕΥΣΗΣ ς", "τέλοσ εκπαιδευσησ σ"),
+        ("ÉTUDE Déjà Ç Ñ Ø Ā Ł", "étude déjà ç ñ ø ā ł"),
+        ("İstanbul Iı", "İstanbul iı"),  # İ folds to itself (no 1:1 map)
+        ("日本語 🤖 ＦＵＬＬ", "日本語 🤖 ＦＵＬＬ"),  # out of scope: unchanged
+    ]
+    table = str.maketrans(FOLD_SRC, FOLD_DST)
+    con = duckdb.connect()
+    from pyspark.sql import functions as F
+
+    src_df = spark.createDataFrame([(s,) for s, _ in cases], ["text"])
+    spark_out = {
+        r.text: r.folded
+        for r in src_df.select(
+            "text", F.translate("text", FOLD_SRC, FOLD_DST).alias("folded")
+        ).collect()
+    }
+    for s, want in cases:
+        assert s.translate(table) == want, (s, s.translate(table))
+        assert con.sql(f"select {fold_sql(chr(39) + s + chr(39))}").fetchone()[0] == want
+        assert spark_out[s] == want, (s, spark_out[s])
+
+
 def test_bpe_vocab_nonascii_symbols(spark, unicode_sf_dir):
     """The induced vocabulary carries CJK/Arabic/Greek/emoji symbols
     with exact corpus counts; char conservation holds across scripts
