@@ -13,249 +13,110 @@ from .streaming import stateful, windows  # noqa: F401
 # ---------------------------------------------------------------------
 # Registry ordering (driver-visibility contract).
 #
-# The correctness harness checks a bounded prefix of the registry (r2
-# checked exactly the first 50 of 73), so dict order decides which
-# queries get a CORRECTNESS row. Priority: (1) the flagship + the
-# north-star LLM-pipeline surface (dedup/ANN/text/multimodal/curation),
-# (2) the reference pipeline/alignment/streaming operators, (3) the
-# events-table queries, (4) one representative per reference scalar
-# family. Oracle-backed queries outrank rows-only ones when a family
-# already has ≥2 driver rows (ann_lsh_buckets / multimodal_frame_sample
-# / sink_export_manifest stay pytest-covered but yield their slots to
-# corpus_curation / streaming_dedup_exact / streaming_sliding_counts).
-# Redundant
-# relational shapes (plain Catalyst joins/aggs that the reference
-# doesn't define and r2 already verified green) sort last — they stay
-# covered by tests/test_oracle_parity.py every run.
+# The correctness harness checks a bounded prefix of the registry
+# (every round so far: exactly the first 50), so dict order decides
+# which queries get a CORRECTNESS row each round. Standing policy:
+# the flagship and any driver REDS always stay; queries whose code
+# changed since their last green re-enter for re-validation; brand-new
+# operators get first-round exposure; remaining slots pay down
+# verification debt (members with the fewest cumulative greens first).
+# Everything rotated out stays covered by tests/test_oracle_parity.py
+# on every suite run.
 # ---------------------------------------------------------------------
 
 _PRIORITY = (
-    # flagship + north-star: dedup, similarity, text, multimodal.
-    # r6 rotation wave 3 (VERDICT r5 tasks 1/2/5): the 18 oracle-backed
-    # queries that had never had a driver CORRECTNESS row, plus the two
-    # long-waiting rows-only members (sink_export_manifest,
-    # mllib_minhash_pairs), rotate IN. Funded by retiring twenty
-    # twice-or-more-green members to the tail: the r4 winnowing block
-    # (doc_winnowing, dedup_winnow_pairs, profile_documents,
-    # dedup_ngram_jaccard_stopshingle, dedup_semantic — green r4+r5),
-    # the r4 curation block (pii_scrub, repetition_signals,
-    # stratified_sample, contamination_check, unigram_perplexity,
-    # curation_funnel — green r4+r5), the late-r4 block
-    # (dedup_minhash_portable, dedup_semantic_clustered,
-    # dedup_canonical, corpus_curation — green r4+r5), and five
-    # many-times-green flagship members whose families keep prefix reps
-    # (dedup_exact, ann_lsh_topk, dedup_components, lang_id_heuristic,
-    # token_count — green r2..r5). Every retiree stays
-    # pytest-oracle-covered on every suite run.
-    # r7 rotation wave 4 (VERDICT r6 task 2): zero the verification
-    # debt — the 3 oracle-backed queries built after the r6 driver ran
-    # (bloom_calibration, bpe_vocab, langid_trained) and the 5
-    # rows-only queries never driver-run (streaming_bloom_gate,
-    # vad_speech_segments, mllib_tfidf_features, mllib_brp_ann_topk,
-    # multimodal_frame_sample) rotate IN; with them, every one of the
-    # registered queries has a driver CORRECTNESS row at least once.
-    # Eight slots funded by retiring eight twice-or-more-green members
-    # whose families keep prefix reps: dedup_ngram_jaccard (pass
-    # r2..r6 — dedup keeps minhash_lsh/simhash_portable/substring/
-    # cluster_stats/bloom/method_eval), streaming_session_window (pass
-    # r3..r6 — streaming keeps dedup_exact/interval_join/curation_gate
-    # + the new bloom gate), zorder_layout_events / ann_sq8_topk /
-    # kmeans_embeddings (pass r5+r6), and three four-times-green
-    # rows-only composites whose operators stay driver-exercised
-    # inside asr_pipeline_clips and pytest-pinned (lcs_align_runs —
-    # difflib golden, bridge_runs_sessions — sessionize oracle,
-    # multimodal_audio_features — frame-exact tests; multimodal keeps
-    # image_resize + the new frame_sample).
+    # ------------------------------------------------------------------
+    # r8 rotation wave 5 (VERDICT r7 tasks 1+3). Composition of the 50:
+    #   * the flagship + the two r7 driver REDS (hll_distinct /
+    #     hll_column_profile stay until a green driver row exists —
+    #     VERDICT r7 task 1; their green sibling hll_merge_shards stays
+    #     as the family cross-check);
+    #   * every query whose CODE changed this round, which therefore
+    #     needs a fresh driver row: the fold-dependent trained-text and
+    #     SNM/linkage queries (generated Unicode casefold + ASCII
+    #     projection), the distributed_rank consumers (sampled-boundary
+    #     buckets), and the ADVICE fixes (basket_lift lift overflow,
+    #     cms_join_size empty-row floor, streaming_distinct_hll NULL
+    #     gate);
+    #   * the four r8-new operators (first-round-exposure rule):
+    #     pagerank_coorder, incremental_agg_retract,
+    #     sampled_quantiles_orders, bpe_fertility_by_lang;
+    #   * the twenty deferred once-green members queued since wave 3/4
+    #     (the full api.py queue list) — their SECOND greens;
+    #   * second greens for refactor-adjacent members
+    #     (exact_quantiles_orders — helper extraction;
+    #     incremental_agg_refresh — sibling of the new retract path)
+    #     and the sketch pair kmv/bloom_calibration + heavy_hitter.
+    # Funded by retiring the CORRECTNESS_r07-green r7 newcomers
+    # (dedup_ppjoin, event_transition_matrix, cms_word_counts …), the
+    # twice-green ANN/audit/ML block (green r6+r7), and the wave-4
+    # rows-only members after their first driver row (streaming_bloom_
+    # gate, vad, mllib tfidf/brp, multimodal_frame_sample). Every
+    # retiree stays pytest-oracle-covered on every suite run.
+    # ------------------------------------------------------------------
     "word_coverage",
-    "dedup_minhash_lsh",
+    "hll_distinct",
+    "hll_column_profile",
+    "hll_merge_shards",
+    "rfm_segments",
+    "sorted_neighborhood_pairs",
+    "sorted_neighborhood_multikey",
+    "snm_recall_eval",
+    "record_linkage_fuzzy",
+    "linkage_entities",
+    "bpe_merges",
     "bpe_vocab",
     "langid_trained",
-    "bloom_calibration",
-    "streaming_bloom_gate",
-    "vad_speech_segments",
-    "mllib_tfidf_features",
-    "mllib_brp_ann_topk",
-    "multimodal_frame_sample",
-    # wave-3 newcomers: text analysis (heavy_hitter_words and
-    # bigram_perplexity are the r5-new operators — verification-debt
-    # head per VERDICT r5 task 2)
-    "heavy_hitter_words",
-    "bigram_perplexity",
-    # r6-new operator: Count-Min sketch calibration, oracle-backed —
-    # slot funded by retiring dedup_simhash (rows-only, green r2..r5;
-    # the SimHash family keeps the exact-oracle portable variant in
-    # the prefix and the recall/mutation pytest pins)
-    "cms_word_counts",
-    # r6-new operator: BPE merge training (tokenizer induction),
-    # oracle-backed — slot funded by retiring streaming_tumbling_counts
-    # (green r2..r5; streaming keeps four prefix reps)
-    "bpe_merges",
-    # r7-new operators (first-round-exposure rule): the distinct-count
-    # sketch layer — portable HyperLogLog per-lang calibration, its
-    # shard-merge losslessness proof, K-minimum-values corpus overlap,
-    # PMI collocation mining, and the streaming HLL register window.
-    # Five slots funded by deferring the second green of once-green
-    # wave-3 members whose families keep prefix reps
-    # (vocab_coverage, lang_id_confusion — text keeps heavy_hitter/
-    # bigram_ppl/cms/bpe×2/langid_trained; embedding_centroids —
-    # embeddings keep profile/validate + the ANN block) and by
-    # retiring the two third-green holdovers (streaming_interval_join,
-    # streaming_curation_gate — green r5+r6; streaming keeps
-    # dedup_exact + bloom_gate + the new distinct_hll).
-    "hll_distinct",
-    "hll_merge_shards",
-    "kmv_corpus_overlap",
     "pmi_collocations",
-    "streaming_distinct_hll",
-    # sixth r7 newcomer: the one-scan multi-column distinct profile
-    # (ANALYZE shape) on the same HLL core — slot funded by retiring
-    # streaming_dedup_exact (pass r3..r6, four greens; streaming keeps
-    # bloom_gate + distinct_hll in the prefix and every retiree stays
-    # pytest-oracle-covered each run)
-    "hll_column_profile",
-    # late-r7 operators (first-round-exposure rule): a-priori
-    # market-basket lift, sorted-neighborhood blocking on the
-    # distributed two-level rank, and monoid-merge incremental
-    # aggregate refresh — all exact-oracle. Three slots funded by
-    # retiring ann_cosine_topk (green r2..r6, five rows; ANN keeps
-    # ivf/lsh_buckets/pq_topk/pq_rerank in the prefix and the
-    # brute-force flagship stays bench-pinned + pytest-oracle-covered)
-    # and deferring the second green of two once-green wave-3 members
-    # whose families keep prefix reps (validate_embeddings —
-    # embeddings keep profile_embeddings + embedding_drift;
-    # cohort_retention — curation keeps signals_fused,
-    # length_filter_adaptive, multimodal).
     "basket_lift",
-    "sorted_neighborhood_pairs",
-    "incremental_agg_refresh",
-    # late-r7 operators, second pair: the sessionized Markov
-    # transition matrix and cross-source blocked-Levenshtein record
-    # linkage — both exact-oracle. Two slots funded by deferring the
-    # second green of two more once-green wave-3 members whose
-    # families keep prefix reps (dedup_cluster_stats — dedup keeps
-    # minhash_lsh/simhash_portable/substring_spans/bloom_probe/
-    # method_eval + the new blocking pair; mixture_weights — curation
-    # keeps signals_fused, length_filter_adaptive, multimodal).
-    "event_transition_matrix",
-    "record_linkage_fuzzy",
-    # late-r7 operator: multi-pass SNM (prefix + suffix keys, per-pass
-    # recall report) — slot funded by deferring the second green of
-    # minhash_calibration (once-green r6; dedup keeps minhash_lsh,
-    # simhash_portable, substring_spans, bloom_probe, method_eval and
-    # the single-key SNM in the prefix).
-    "sorted_neighborhood_multikey",
-    # late-r7 operator: entity formation over the accepted linkage
-    # graph (components + per-entity source span, recursive-CTE
-    # oracle) — slot funded by deferring the second green of
-    # length_filter_adaptive (once-green r6; curation keeps
-    # signals_fused + corpus_curation_multimodal in the prefix).
-    "linkage_entities",
-    # late-r7 operator: RFM quintile segmentation on three
-    # distributed ranks (offset + zero-pad numeric rank keys) — slot
-    # funded by deferring the second green of profile_embeddings
-    # (once-green r6; embeddings keep embedding_drift + the four-rep
-    # ANN block in the prefix).
-    "rfm_segments",
-    # late-r7 operator: CMS inner-product join-size estimation (the
-    # sketch layer's optimizer-stats application) — slot funded by
-    # deferring the second green of dedup_substring_spans (once-green
-    # r6; dedup keeps minhash_lsh, simhash_portable, bloom_probe,
-    # method_eval and the blocking/linkage block in the prefix).
     "cms_join_size",
-    # late-r7 operator: PPJoin prefix-filtered exact set-similarity
-    # join (oracle = dedup_ngram_jaccard's brute force — hash-equality
-    # IS the filter-completeness proof) — slot funded by deferring the
-    # second driver run of mllib_minhash_pairs (rows-only, first run
-    # r6; MLlib keeps tfidf + brp_ann in the prefix, and the pair
-    # semantics stay pinned by tests/test_mllib_fe.py).
-    "dedup_ppjoin",
-    # late-r7 operator: the blocking-method calibration report
-    # (single- vs multi-pass SNM candidates scored against exact
-    # truth) — slot funded by retiring multimodal_image_resize
-    # (rows-green r3..r6, four runs; multimodal keeps frame_sample in
-    # the prefix and the resize path stays pinned by its cross-check
-    # tests).
-    "snm_recall_eval",
-    # wave-3 newcomers: ANN / embeddings
-    "ann_ivf_topk",
-    "ann_lsh_buckets",
-    # wave-3 newcomers: dedup
-    "dedup_simhash_portable",
-    # wave-3 newcomers: curation / analytics / sinks
-    "curation_signals_fused",
-    "corpus_curation_multimodal",
-    "sink_export_manifest",
-    # reference pipeline / alignment / streaming
-    # r6-new operator (same first-round-exposure rule as
-    # exact_quantiles_orders below): product-quantization ANN with
-    # integer ADC distances, oracle-backed. Slot funded by retiring
-    # asr_scan_stub (rows-only, green r3+r4+r5; stays golden-tested).
-    "ann_pq_topk",
-    # r6-new operator: the two-stage ADC-shortlist + exact re-rank on
-    # the same PQ core, oracle-backed. Slot funded by retiring
-    # acoustic_boundary_gate (rows-only, green r2..r5; stays pinned by
-    # the DSP signal tests).
-    "ann_pq_rerank",
-    # r6-new operator: Bloom-sketch incremental probe, oracle-backed.
-    # Slot funded by retiring streaming_stateful_totals (green r2..r5;
-    # streaming keeps prefix reps via session_window, dedup_exact,
-    # interval_join, and curation_gate after this round's two
-    # streaming retirements).
-    "dedup_bloom_probe",
+    "streaming_distinct_hll",
+    "pagerank_coorder",
+    "incremental_agg_retract",
+    "sampled_quantiles_orders",
+    "bpe_fertility_by_lang",
+    "dedup_minhash_lsh",
     "asr_pipeline_clips",
     "asr_pipeline_summary",
-    # events-table block (ms_round_convert, json_extract_props,
-    # case_adaptive_guard, avg_confidence_coalesce, lag_lead_boundaries,
-    # sequence_position, longest_span_top1, first_match_confidence,
-    # leak_vote_2of3, moving_avg_range_frame, asof_join_orders,
-    # range_join_events — retired in the r5 wave after green in BOTH
-    # r3+r4; sessionize_events retired mid-r6 after green in r2+r5 to
-    # fund the slot below; all stay pytest-oracle-covered every run,
-    # and the events table keeps prefix reps via funnel + anomalies +
-    # z-order below)
-    # r6-new operator: first driver exposure must not wait a round
-    # (the r5 verdict's task-2 lesson) — exact distributed quantiles
-    # via bucket histogram + targeted recount, oracle-backed
+    "sink_export_manifest",
+    "vocab_coverage",
+    "lang_id_confusion",
+    "embedding_centroids",
+    "validate_embeddings",
+    "cohort_retention",
+    "dedup_cluster_stats",
+    "mixture_weights",
+    "minhash_calibration",
+    "length_filter_adaptive",
+    "profile_embeddings",
+    "dedup_substring_spans",
+    "mllib_minhash_pairs",
+    "multimodal_image_resize",
+    "pack_sequences",
+    "train_test_split",
+    "bottomk_sample_per_lang",
+    "funnel_stages",
+    "dedup_incremental",
+    "sink_training_shards",
+    "event_rate_anomalies",
     "exact_quantiles_orders",
-    # late-r6 operators: the audit/eval/ML wave built after the wave-3
-    # rotation — same first-round-exposure rule. Six slots funded by
-    # deferring the second green of six once-green r5-wave members
-    # whose families keep prefix reps (pack_sequences,
-    # train_test_split, bottomk_sample_per_lang — curation keeps four
-    # reps; funnel_stages — events keeps anomalies + z-order;
-    # dedup_incremental — the bloom probe IS the incremental shape;
-    # sink_training_shards — sinks keep sink_export_manifest). All six
-    # retirees stay pytest-oracle-covered every run.
-    "dedup_method_eval",
-    "fk_integrity_audit",
-    "embedding_drift",
-    "linreg_closed_form",
-    "logreg_irls_probe",
-    "snapshot_diff",
-    "profile_events",
+    "incremental_agg_refresh",
+    "kmv_corpus_overlap",
+    "bloom_calibration",
+    "heavy_hitter_words",
 )
 
-# Rotation queue for the NEXT prefix refresh: after CORRECTNESS_r07,
-# the never-checked set is the seventeen r7-new queries' FIRST rows (the
-# sketch/PMI wave + basket_lift / sorted_neighborhood_pairs /
-# incremental_agg_refresh / event_transition_matrix /
-# record_linkage_fuzzy / sorted_neighborhood_multikey /
-# linkage_entities / rfm_segments / cms_join_size / dedup_ppjoin /
-# snm_recall_eval, all in the prefix above) — every other
-# registered query has a driver row at least once. Next candidates to
-# rotate IN: any r8-new operators first, then second greens for the
-# deferred once-green members (vocab_coverage, lang_id_confusion,
-# embedding_centroids, validate_embeddings, cohort_retention,
-# dedup_cluster_stats, mixture_weights, minhash_calibration,
-# length_filter_adaptive, profile_embeddings,
-# dedup_substring_spans, mllib_minhash_pairs,
-# multimodal_image_resize,
-# pack_sequences, train_test_split, bottomk_sample_per_lang,
-# funnel_stages, dedup_incremental, sink_training_shards,
-# event_rate_anomalies) and for the wave-4 newcomers once green, then
-# third greens for the long-retired r2/r3 blocks. Fund slots by
-# retiring whichever wave-3/wave-4 members CORRECTNESS_r07 confirms
-# green a second time.
+# Rotation queue for the NEXT prefix refresh: after CORRECTNESS_r08,
+# the never-checked set is the four r8-new operators' first rows plus
+# this wave's twenty second-green attempts. Next candidates to rotate
+# IN: any r9-new operators first, then (a) second greens for the four
+# r8 newcomers and for the r7 first-green members retired this round
+# (dedup_ppjoin, event_transition_matrix, cms_word_counts,
+# streaming_bloom_gate, vad_speech_segments, mllib_tfidf_features,
+# mllib_brp_ann_topk, multimodal_frame_sample), then (b) third greens
+# for the long-retired r2/r3 blocks. Fund slots by retiring whichever
+# members CORRECTNESS_r08 confirms at ≥2 cumulative greens (the
+# twenty deferred members above + the changed-code re-validations).
 
 
 def _reorder_registry() -> None:

@@ -899,6 +899,168 @@ def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# PageRank over the part co-order graph (iterative, exact-integer)
+# ---------------------------------------------------------------------
+
+_PR_ITERS = 5
+_PR_TOP = 50
+_PR_MASS = 1_000_000_000_000  # total rank mass, micro-micro units
+_PR_TELEPORT = _PR_MASS * 150 // 1000  # 0.15 · mass (exact)
+
+
+def _pagerank_sql() -> str:
+    parts = [f"""WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem
+),
+edges AS (
+  SELECT DISTINCT a.item AS s, b.item AS d
+  FROM baskets a JOIN baskets b ON a.ok = b.ok AND a.item <> b.item
+),
+outd AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS od FROM edges GROUP BY s),
+nodes AS (SELECT DISTINCT s AS v FROM edges),
+nn AS (SELECT CAST(GREATEST(COUNT(*), 1) AS BIGINT) AS n FROM nodes),
+pr0 AS (SELECT v, (SELECT {_PR_MASS} // n FROM nn) AS pr FROM nodes)"""]
+    for i in range(_PR_ITERS):
+        parts.append(f""",
+c{i} AS (
+  SELECT e.d AS v, SUM(p.pr // o.od) AS contrib
+  FROM edges e JOIN pr{i} p ON p.v = e.s JOIN outd o ON o.s = e.s
+  GROUP BY e.d
+),
+pr{i + 1} AS (
+  SELECT n.v,
+         (SELECT {_PR_TELEPORT} // nn.n FROM nn)
+           + 850 * COALESCE(c.contrib, 0) // 1000 AS pr
+  FROM nodes n LEFT JOIN c{i} c ON c.v = n.v
+)""")
+    parts.append(f"""
+SELECT pr.v AS part, CAST(pr.pr AS BIGINT) AS pr_micro, o.od AS out_degree
+FROM pr{_PR_ITERS} pr JOIN outd o ON o.s = pr.v
+ORDER BY pr.pr DESC, pr.v
+LIMIT {_PR_TOP}""")
+    return "".join(parts)
+
+
+@register("pagerank_coorder", oracle=_pagerank_sql(), tags=("graph", "iterative"))
+def pagerank_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAGERANK over the part co-order graph (edge s→d when two parts
+    share a basket; symmetric by construction, so no dangling nodes):
+    the top parts by stationary rank after 5 synchronous
+    iterations with damping 0.85 — the canonical iterative-graph
+    workload (Page-Brin-Motwani-Winograd 1999) expressed as repeated
+    join + aggregate, which is exactly how Spark's own
+    GraphX/Pregel lowers it.
+
+    Exact-integer fixed point: rank mass is 10^12 micro-units, each
+    iteration computes teleport_share + 850·Σ(pr_j div out_j) div 1000
+    in bigint floor division — deterministic, so the DuckDB replay
+    (the same 5 unrolled CTEs) is hash-exact. Mass leaks a few
+    units per division (documented; conservation is not required for
+    ranking).
+
+    Scale shape: each iteration is ONE shuffle keyed on the
+    destination (map-side-combined sum); the rank frame is
+    |nodes| rows — never corpus rows; edges build once from the
+    distinct (basket, item) projection and are slot-cached across all
+    5 iterations. The final top-50 is a TakeOrdered, not a
+    full sort. Teleport is distributed via a 1-row broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")
+    ).distinct()
+    a = baskets.select("ok", F.col("item").alias("s"))
+    b = baskets.select("ok", F.col("item").alias("d"))
+    edges = hold(
+        "pagerank_edges",
+        a.join(b, "ok").filter(F.col("s") != F.col("d")).select("s", "d").distinct(),
+    )
+    outd = edges.groupBy("s").agg(F.count("*").cast("bigint").alias("od"))
+    nodes = edges.select(F.col("s").alias("v")).distinct()
+    nn = nodes.agg(
+        F.greatest(F.count("*"), F.lit(1)).cast("bigint").alias("n")
+    )
+    pr = nodes.crossJoin(F.broadcast(nn)).select(
+        "v", F.expr(f"{_PR_MASS} div n").alias("pr")
+    )
+    src = edges.join(F.broadcast(outd), "s")
+    for _ in range(_PR_ITERS):
+        contrib = (
+            src.join(pr, src["s"] == pr["v"])
+            .select("d", F.expr("pr div od").alias("share"))
+            .groupBy("d")
+            .agg(F.sum("share").alias("contrib"))
+        )
+        pr = (
+            nodes.join(contrib, nodes["v"] == contrib["d"], "left")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "v",
+                F.expr(
+                    f"{_PR_TELEPORT} div n"
+                    " + 850 * coalesce(contrib, 0) div 1000"
+                ).alias("pr"),
+            )
+        )
+    return (
+        pr.join(outd, pr["v"] == outd["s"])
+        .select(
+            F.col("v").alias("part"),
+            F.col("pr").cast("bigint").alias("pr_micro"),
+            F.col("od").alias("out_degree"),
+        )
+        .orderBy(F.desc("pr_micro"), "part")
+        .limit(_PR_TOP)
+    )
+
+
+# ---------------------------------------------------------------------
+# Retraction path of the monoid merge (delete-aware refresh)
+# ---------------------------------------------------------------------
+
+_RETRACT_SQL = f"""
+SELECT user_id, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sum_ms
+FROM events
+WHERE event_id % {_DELTA_MOD} < {_DELTA_RESIDUE}
+GROUP BY user_id, event_type
+ORDER BY user_id, event_type
+"""
+
+
+@register(
+    "incremental_agg_retract",
+    oracle=_RETRACT_SQL,
+    tags=("events", "incremental"),
+)
+def incremental_agg_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRACTION path of incremental view maintenance: the stored
+    aggregate was built over ALL events, then the change log arrives
+    carrying DELETES for the event_id % 10 >= 8 slice (weight −1 in
+    :func:`aggregate_events`); the refresh is the same monoid merge as
+    `incremental_agg_refresh`, and groups whose count reaches zero
+    drop out. The oracle recomputes from scratch over the surviving
+    slice — hash equality proves the delete algebra (refresh(base,
+    −delta) == full(base ∖ delta)), the half of IVM that r7 left
+    pytest-only."""
+    ev = load_table(spark, sf_dir, "events")
+    is_gone = (F.col("event_id") % _DELTA_MOD) >= _DELTA_RESIDUE
+    base_agg = aggregate_events(ev)  # the stored, pre-delete aggregate
+    retract_agg = aggregate_events(ev.filter(is_gone), weight=F.lit(-1))
+    merged = merge_group_aggs(base_agg, retract_agg)
+    return (
+        merged.filter(F.col("n_total") > 0)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("n_total").alias("n_events"),
+            F.col("sum_total_ms").alias("sum_ms"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------
 # Blocking-method evaluation: SNM candidate recall vs exact truth
 # ---------------------------------------------------------------------
 

@@ -1487,7 +1487,7 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
         .agg(F.count("*").cast("bigint").alias("cnt"))
     )
     sp = F.concat(F.lit(" "), F.concat_ws(" ", F.split(F.col("w"), "")), F.lit(" "))
-    v = w0.select("cnt", sp.alias("sp"))
+    v = w0.select("w", "cnt", sp.alias("sp"))
 
     merges: list[tuple[int, str, str, int]] = []
     for i in range(_BPE_N_MERGES):
@@ -1516,6 +1516,7 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
         merged = pair.replace(" ", "")
         merges.append((i + 1, pair, merged, c))
         v = v.select(
+            "w",
             "cnt",
             F.replace(
                 F.col("sp"), F.lit(f" {pair} "), F.lit(f" {merged} ")
@@ -1544,6 +1545,84 @@ def bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sym.select(
         "symbol", "n_tokens", is_merged.alias("is_merged")
     ).orderBy(F.col("n_tokens").desc(), "symbol")
+
+
+def _fertility_sql() -> str:
+    n = _BPE_N_MERGES
+    return _bpe_cte() + f""",
+toklang AS (
+  SELECT lang, w FROM (
+    SELECT lang, unnest(string_split({_FOLD_SQL}, ' ')) AS w FROM documents)
+  WHERE len(w) >= 2
+),
+wl AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS n FROM toklang GROUP BY 1, 2),
+seg AS (SELECT w, CAST(len(string_split(trim(sp), ' ')) AS BIGINT) AS nsym,
+               CAST(length(w) AS BIGINT) AS nchr
+        FROM v{n})
+SELECT wl.lang,
+       CAST(SUM(wl.n) AS BIGINT) AS n_words,
+       CAST(SUM(wl.n * seg.nsym) AS BIGINT) AS n_tokens,
+       CAST(SUM(wl.n * seg.nchr) AS BIGINT) AS n_chars,
+       CAST(SUM(wl.n * seg.nsym) * 1000000 // SUM(wl.n) AS BIGINT)
+         AS fertility_ppm,
+       CAST(SUM(wl.n * seg.nchr) * 1000000 // SUM(wl.n * seg.nsym) AS BIGINT)
+         AS chars_per_token_ppm
+FROM wl JOIN seg ON seg.w = wl.w
+GROUP BY wl.lang
+ORDER BY wl.lang"""
+
+
+@register(
+    "bpe_fertility_by_lang",
+    oracle=_fertility_sql(),
+    tags=("text", "tokenizer", "iterative"),
+)
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER FERTILITY by language: tokens-per-word (and
+    chars-per-token) after applying the corpus-trained BPE merges,
+    per lang — the tokenizer-equity metric an LLM-data team reads
+    before fixing a vocabulary (a language whose fertility is 2× pays
+    2× the context budget per word; see e.g. the multilingual
+    tokenizer-parity analyses around SentencePiece/BPE).
+
+    Scale shape (the bpe_merges thesis extended): the segmentation
+    NEVER touches the corpus — it lives on the word-TYPE table
+    (v_final, MBs at 100 TB), and the per-(lang, word) count table is
+    one map-side-combined aggregation of the token stream; the join
+    keys on the word type. Exact-integer ppm ratios (bigint floor
+    division) make the DuckDB replay hash-exact."""
+    _, v = _bpe_train(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(
+            F.split(F.translate("text", _ASCII_UP, _ASCII_LO), " ")
+        ).alias("w"),
+    ).filter(F.length("w") >= 2)
+    wl = toks.groupBy("lang", "w").agg(F.count("*").cast("bigint").alias("n"))
+    seg = v.select(
+        "w",
+        F.size(F.split(F.trim(F.col("sp")), " ")).cast("bigint").alias("nsym"),
+        F.length("w").cast("bigint").alias("nchr"),
+    )
+    return (
+        wl.join(seg, "w")
+        .groupBy("lang")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_words"),
+            F.sum(F.col("n") * F.col("nsym")).cast("bigint").alias("n_tokens"),
+            F.sum(F.col("n") * F.col("nchr")).cast("bigint").alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_tokens",
+            "n_chars",
+            F.expr("n_tokens * 1000000 div n_words").alias("fertility_ppm"),
+            F.expr("n_chars * 1000000 div n_tokens").alias("chars_per_token_ppm"),
+        )
+        .orderBy("lang")
+    )
 
 
 # ---------------------------------------------------------------------

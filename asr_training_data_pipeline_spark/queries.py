@@ -1472,10 +1472,22 @@ def exact_quantiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         # histogram must count the same population
         .filter(F.col("v").isNotNull())
     )
+    return (
+        _disc_quantiles(orders, _EQ_PCTS)
+        .withColumnRenamed("g", "o_orderstatus")
+        .orderBy("o_orderstatus")
+    )
+
+
+def _disc_quantiles(gv: DataFrame, pcts_spec) -> DataFrame:
+    """percentile_disc per group over a (g, v) frame WITHOUT a
+    per-group value buffer — the bucket-histogram + targeted-recount
+    shape documented on :func:`exact_quantiles_orders` (its body,
+    factored in r8 so the sampled calibration reuses it)."""
     # bucket id only needs to be MONOTONE in v and deterministic (it
     # never crosses engines), so truncating `div` on negatives is fine
     b = F.expr(f"cast(floor(v) as bigint) div {_EQ_BUCKET}")
-    hist = orders.groupBy("g", b.alias("b")).agg(F.count("*").alias("cnt"))
+    hist = gv.groupBy("g", b.alias("b")).agg(F.count("*").alias("cnt"))
     wcum = (
         W.partitionBy("g").orderBy("b").rowsBetween(W.unboundedPreceding, -1)
     )
@@ -1492,7 +1504,7 @@ def exact_quantiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(name).alias("p"),
                 F.expr(f"(n * {num} + {den} - 1) div {den}").alias("r"),
             )
-            for name, num, den in _EQ_PCTS
+            for name, num, den in pcts_spec
         ]
     )
     targets = (
@@ -1503,20 +1515,114 @@ def exact_quantiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("g", "b", F.col("t.p").alias("p"), F.col("t.r").alias("r"), "below")
     )
-    sel = orders.withColumn("b", b).join(F.broadcast(targets), ["g", "b"])
+    sel = gv.withColumn("b", b).join(F.broadcast(targets), ["g", "b"])
     wr = W.partitionBy("g", "p").orderBy("v")
     picked = (
         sel.withColumn("rn", F.row_number().over(wr))
         .filter(F.col("rn") == F.col("r") - F.col("below"))
         .select("g", "p", "v")
     )
+    return picked.groupBy("g").agg(
+        *[
+            F.max(F.when(F.col("p") == name, F.col("v"))).alias(name)
+            for name, _num, _den in pcts_spec
+        ]
+    )
+
+
+_SQ_RATE = 16  # deterministic 1-in-16 hash sample (md5 of the row key)
+_SQ_PCTS = (("p25", 1, 4), ("p50", 1, 2), ("p90", 9, 10))
+
+_SAMPLED_Q_SQL = f"""
+WITH pop AS (SELECT o_orderstatus AS g, o_totalprice AS v FROM orders
+             WHERE o_totalprice IS NOT NULL),
+samp AS (SELECT o_orderstatus AS g, o_totalprice AS v FROM orders
+         WHERE o_totalprice IS NOT NULL
+           AND ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+                 % {_SQ_RATE} = 0),
+fq AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_full,
+              percentile_disc(0.25) WITHIN GROUP (ORDER BY v) AS p25,
+              percentile_disc(0.5)  WITHIN GROUP (ORDER BY v) AS p50,
+              percentile_disc(0.9)  WITHIN GROUP (ORDER BY v) AS p90
+       FROM pop GROUP BY g),
+sq AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_sample,
+              percentile_disc(0.25) WITHIN GROUP (ORDER BY v) AS p25_est,
+              percentile_disc(0.5)  WITHIN GROUP (ORDER BY v) AS p50_est,
+              percentile_disc(0.9)  WITHIN GROUP (ORDER BY v) AS p90_est
+       FROM samp GROUP BY g)
+SELECT fq.g AS o_orderstatus, fq.n_full, sq.n_sample,
+       fq.p25, sq.p25_est, fq.p50, sq.p50_est, fq.p90, sq.p90_est,
+       CAST(abs(CAST(floor(sq.p50_est * 100) AS BIGINT)
+                - CAST(floor(fq.p50 * 100) AS BIGINT)) AS BIGINT) AS err_p50_cents
+FROM fq JOIN sq ON sq.g = fq.g
+ORDER BY fq.g
+"""
+
+
+@register(
+    "sampled_quantiles_orders",
+    oracle=_SAMPLED_Q_SQL,
+    tags=("agg", "approx", "calibration", "scale"),
+)
+def sampled_quantiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLED-QUANTILE CALIBRATION: per-group discrete quantiles
+    estimated from a DETERMINISTIC 1-in-16 hash sample (md5 of the
+    order key — replayable in any engine, mergeable across shards:
+    the union of two tables' samples IS the sample of the union, the
+    Bernoulli-sketch property that makes this the cheap first pass at
+    100 TB) next to the exact quantiles, with the p50 error in cents —
+    the report that tells an operator whether the sample suffices
+    before paying for the exact pass.
+
+    Both the exact AND the sampled side run the same distributed
+    bucket-histogram + targeted-recount shape as
+    :func:`exact_quantiles_orders` (no per-group value buffers), so
+    the operator itself survives the corpus sizes it is calibrating
+    for. All selections are raw data values (percentile_disc
+    semantics), so cross-engine equality is exact."""
+    pop = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderstatus").alias("g"),
+            F.col("o_totalprice").alias("v"),
+            F.col("o_orderkey").cast("string").alias("k"),
+        )
+        .filter(F.col("v").isNotNull())
+    )
+    hbin = F.conv(F.substring(F.md5("k"), 1, 8), 16, 10).cast("long") % _SQ_RATE
+    samp = pop.filter(hbin == 0).select("g", "v")
+    nf = pop.groupBy("g").agg(F.count("*").cast("bigint").alias("n_full"))
+    ns = samp.groupBy("g").agg(F.count("*").cast("bigint").alias("n_sample"))
+    fq = _disc_quantiles(pop.select("g", "v"), _SQ_PCTS).join(nf, "g")
+    sq = (
+        _disc_quantiles(samp, _SQ_PCTS)
+        .select(
+            "g",
+            F.col("p25").alias("p25_est"),
+            F.col("p50").alias("p50_est"),
+            F.col("p90").alias("p90_est"),
+        )
+        .join(ns, "g")
+    )
     return (
-        picked.groupBy(F.col("g").alias("o_orderstatus"))
-        .agg(
-            *[
-                F.max(F.when(F.col("p") == name, F.col("v"))).alias(name)
-                for name, _num, _den in _EQ_PCTS
-            ]
+        fq.join(sq, "g")
+        .select(
+            F.col("g").alias("o_orderstatus"),
+            "n_full",
+            "n_sample",
+            "p25",
+            "p25_est",
+            "p50",
+            "p50_est",
+            "p90",
+            "p90_est",
+            # floor() before the bigint cast: double→bigint CAST
+            # truncates in Spark but ROUNDS in DuckDB; floor of the
+            # same IEEE product is engine-identical
+            F.abs(
+                F.floor(F.col("p50_est") * 100).cast("bigint")
+                - F.floor(F.col("p50") * 100).cast("bigint")
+            ).cast("bigint").alias("err_p50_cents"),
         )
         .orderBy("o_orderstatus")
     )

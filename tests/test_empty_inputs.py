@@ -86,6 +86,12 @@ FAMILIES = [
     "cms_join_size",
     "dedup_ppjoin",
     "snm_recall_eval",
+    # r8 wave: iterative graph / retraction IVM / sampled quantiles /
+    # tokenizer fertility — empty corpora must yield empty reports
+    "pagerank_coorder",
+    "incremental_agg_retract",
+    "sampled_quantiles_orders",
+    "bpe_fertility_by_lang",
 ]
 
 # row counts that are CONSTANT by design (parameter reports / per-dim
