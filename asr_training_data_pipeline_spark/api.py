@@ -102,8 +102,12 @@ _PRIORITY = (
     "exact_quantiles_orders",
     "incremental_agg_refresh",
     "kmv_corpus_overlap",
-    "bloom_calibration",
-    "heavy_hitter_words",
+    # r8-new (first-round exposure; slots funded by retiring the
+    # twice-green heavy_hitter_words — text keeps bpe×3/langid/pmi
+    # reps — and deferring bloom_calibration's second green: the bloom
+    # family keeps its calibration pytest-pinned every run)
+    "dedup_tf_cosine",
+    "top_event_paths",
 )
 
 # Rotation queue for the NEXT prefix refresh: after CORRECTNESS_r08,

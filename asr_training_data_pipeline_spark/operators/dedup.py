@@ -1053,6 +1053,109 @@ def dedup_ngram_jaccard_stopshingle(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 # ---------------------------------------------------------------------
+# Weighted lexical similarity: tf-vector cosine join (exact integer)
+# ---------------------------------------------------------------------
+
+_TFC_STOP_DF = 32  # df cap, same skew bound as the stopshingle variant
+_TFC_MIN_COS2_PPM = 640_000  # cos >= 0.8  ⇔  cos² >= 0.64
+
+_TF_COSINE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    WHERE text IS NOT NULL)
+  WHERE w <> ''
+),
+tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT w, count(*) AS dfq FROM tf GROUP BY w),
+kept AS (SELECT tf.doc_id, tf.w, tf.tf FROM tf JOIN dfreq USING (w)
+         WHERE dfq <= {_TFC_STOP_DF}),
+norms AS (SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS n2
+          FROM kept GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+  FROM kept a JOIN kept b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, dot, na.n2 AS norm2_a, nb.n2 AS norm2_b,
+       CAST(dot::HUGEINT * dot * 1000000
+            // (na.n2::HUGEINT * nb.n2) AS BIGINT) AS cos2_ppm
+FROM dots
+JOIN norms na ON na.doc_id = doc_a
+JOIN norms nb ON nb.doc_id = doc_b
+WHERE dot::HUGEINT * dot * 1000000
+      // (na.n2::HUGEINT * nb.n2) >= {_TFC_MIN_COS2_PPM}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("dedup_tf_cosine", oracle=_TF_COSINE_SQL, tags=("dedup", "text", "skew"))
+def dedup_tf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED lexical near-dup join: cosine over term-FREQUENCY
+    vectors, the family member between set-Jaccard (PPJoin/shingles —
+    ignores repetition) and embedding cosine (needs a model): two
+    documents match when their tf vectors point the same way, so a
+    token repeated 10× counts 10×, and token ORDER is ignored —
+    catching shuffled/reflowed duplicates whose shingles all differ.
+
+    Exact integer end to end: the threshold test is the RATIONAL form
+    dot² · 10⁶ ≥ cos²·(‖a‖²·‖b‖²) — no square root, no float — routed
+    through HUGEINT/decimal(38,0) (the pmi_collocations pattern), and
+    the reported score is cos² in ppm (monotone in cosine), so the
+    DuckDB replay is hash-exact.
+
+    Scale shape (the inverted-index thesis, weighted): the only
+    corpus-sized exchanges key on the token (tf build, posting
+    self-join) and the pair (dot aggregation, map-side combined).
+    Self-join cost is Σ(df²), so tokens with df > {_TFC_STOP_DF} are
+    dropped on BOTH sides first — the stopshingle skew bound: every
+    posting bucket caps at df² pairs, and true near-dups keep their
+    selective terms. At 100 TB this is the lexical-cosine variant of
+    the same inverted-index family as dedup_ngram_jaccard_stopshingle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    tf = toks.groupBy("doc_id", "w").agg(F.count("*").cast("bigint").alias("tf"))
+    # document frequency per token; one hash shuffle on the token,
+    # reused immediately by the posting self-join on the same key
+    kept = tf.withColumn(
+        "dfq", F.count("*").over(W.partitionBy("w"))
+    ).filter(F.col("dfq") <= _TFC_STOP_DF)
+    norms = kept.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("n2")
+    )
+    a = kept.alias("a")
+    b = kept.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.sum(F.col("a.tf") * F.col("b.tf")).cast("bigint").alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("norm2_a"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("norm2_b"))
+    cos2 = F.expr(
+        "cast(cast(dot as decimal(38,0)) * dot * 1000000"
+        " div (cast(norm2_a as decimal(38,0)) * norm2_b) as bigint)"
+    )
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("cos2_ppm", cos2)
+        .filter(F.col("cos2_ppm") >= _TFC_MIN_COS2_PPM)
+        .select("doc_a", "doc_b", "dot", "norm2_a", "norm2_b", "cos2_ppm")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------
 # Duplicate clusters: connected components over near-dup pairs
 # ---------------------------------------------------------------------
 

@@ -33,8 +33,22 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.casefold import FOLD_DST, FOLD_SRC
 from ..registry import register
 from ..sources.tables import load_table
+
+# Tokenization casefold: the generated translate table, NEVER either
+# engine's lower() (divergent outside ASCII — İ, final sigma). The
+# sketch layer's calibration columns are EXHAUSTIVE over the token set
+# (exact COUNT DISTINCT + md5 registers), so a single divergent token
+# is a guaranteed hash-fail here where a top-k query would absorb it;
+# identical to lower() on pure-ASCII corpora, robust beyond.
+FOLD = f"translate(text, '{FOLD_SRC}', '{FOLD_DST}')"
+
+
+def _fold_text():
+    return F.translate(F.col("text"), FOLD_SRC, FOLD_DST)
+
 
 # ---------------------------------------------------------------------
 # HyperLogLog core (p = 6 → m = 64 registers)
@@ -147,7 +161,7 @@ def _hll_regs_sql(src: str, keys: str, key_src: str) -> str:
 
 _HLL_SQL = f"""
 WITH toks AS (
-  SELECT lang, unnest(string_split(lower(text), ' ')) AS w FROM documents
+  SELECT lang, unnest(string_split({FOLD}, ' ')) AS w FROM documents
 ),
 regs AS ({_hll_regs_sql('toks', 'lang', 'toks')}),
 fin AS ({_hll_finalize_sql('regs', 'lang')}),
@@ -167,7 +181,7 @@ def _token_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     CMS scaling work measured 4× repeated md5 at 3× total wall)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
-        "lang", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+        "lang", F.explode(F.split(_fold_text(), " ")).alias("w")
     )
     return toks.select("lang", F.md5("w").alias("hx"))
 
@@ -232,7 +246,7 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     exact = (
         docs.select(
-            "lang", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+            "lang", F.explode(F.split(_fold_text(), " ")).alias("w")
         )
         .groupBy("lang")
         .agg(F.countDistinct("w").cast("bigint").alias("exact_distinct"))
@@ -254,7 +268,7 @@ _HLL_SHARDS = 4
 _HLL_MERGE_SQL = f"""
 WITH toks AS (
   SELECT lang, doc_id % {_HLL_SHARDS} AS shard,
-         unnest(string_split(lower(text), ' ')) AS w
+         unnest(string_split({FOLD}, ' ')) AS w
   FROM documents
 ),
 shard_regs AS ({_hll_regs_sql('toks', 'lang, shard', 'toks')}),
@@ -302,7 +316,7 @@ def hll_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharded = docs.select(
         "lang",
         (F.col("doc_id") % _HLL_SHARDS).alias("shard"),
-        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"),
+        F.explode(F.split(_fold_text(), " ")).alias("w"),
     ).select("lang", "shard", F.md5("w").alias("hx"))
     shard_regs = _dense_registers(sharded, ["lang", "shard"])
     merged = shard_regs.groupBy("lang", "b").agg(F.max("m").alias("m"))
@@ -351,7 +365,7 @@ _KMV_SPACE = 1 << 32  # 32-bit hash space (8 md5 hex chars)
 
 _KMV_SQL = f"""
 WITH words AS (
-  SELECT DISTINCT doc_id % 2 AS side, unnest(string_split(lower(text), ' ')) AS w
+  SELECT DISTINCT doc_id % 2 AS side, unnest(string_split({FOLD}, ' ')) AS w
   FROM documents
 ),
 hashed AS (
@@ -427,7 +441,7 @@ def kmv_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
         (F.col("doc_id") % 2).alias("side"),
-        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"),
+        F.explode(F.split(_fold_text(), " ")).alias("w"),
     ).distinct()
     hashed = words.select(
         "side",
@@ -613,7 +627,7 @@ def _cms_join_sql() -> str:
     js = ", ".join(str(j) for j in range(_CMS_D))
     return f"""
 WITH toks AS (
-  SELECT doc_id % 2 AS half, unnest(string_split(lower(text), ' ')) AS w
+  SELECT doc_id % 2 AS half, unnest(string_split({FOLD}, ' ')) AS w
   FROM documents
 ),
 truth AS (
@@ -675,7 +689,7 @@ def cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         (F.col("doc_id") % 2).alias("half"),
-        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"),
+        F.explode(F.split(_fold_text(), " ")).alias("w"),
     )
     # md5 staged once per token (the no-CSE-in-derived-columns trap —
     # see cms_word_counts' 7.5× measurement)

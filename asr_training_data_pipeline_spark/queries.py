@@ -638,6 +638,97 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOP_PATHS = 20
+
+_PATHS_SQL = f"""
+WITH ordered AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events WHERE event_type IS NOT NULL
+), numbered AS (
+  SELECT *, cast(sum(CASE WHEN prev_us IS NULL
+                            OR ts_us - prev_us > {SESSION_GAP_US} THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS bigint) AS session_id
+  FROM ordered
+), paths AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
+  FROM numbered GROUP BY user_id, session_id
+)
+SELECT path,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM paths
+GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT {_TOP_PATHS}
+"""
+
+
+@register("top_event_paths", oracle=_PATHS_SQL, tags=("window", "session", "events"))
+def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION PATH MINING: the most common full event-type journeys
+    ('login>search>purchase') with session and distinct-user counts —
+    the product-analytics companion to event_transition_matrix (that
+    one sees single hops; this one whole paths).
+
+    Scale shape: ONE user_id hash shuffle serves the lag window, the
+    running-sum session numbering, AND the per-session ordered concat
+    (collect_struct + array_sort + join — all JVM-side, the C13
+    pattern); the path aggregation then exchanges (path, partial
+    count) pairs, map-side combined, and the top-20 is a TakeOrdered.
+    NULL event_types are excluded up front (string_agg and
+    collect_list disagree about all-NULL groups across engines;
+    excluding is also the analytics semantic — an untyped event is not
+    a journey step)."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull())
+        .select(
+            "user_id", "event_id", "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    numbered = (
+        ev.withColumn("prev_us", F.lag("ts_us").over(w))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("prev_us").isNull()
+                | (F.col("ts_us") - F.col("prev_us") > SESSION_GAP_US),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_sess")
+            .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .cast("bigint"),
+        )
+    )
+    path = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts_us", "event_id", "event_type"))
+            ),
+            lambda s: s["event_type"],
+        ),
+        ">",
+    )
+    paths = numbered.groupBy("user_id", "session_id").agg(path.alias("path"))
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sessions"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(_TOP_PATHS)
+    )
+
+
 _TRANSITION_SQL = f"""
 WITH ordered AS (
   SELECT user_id, event_type, epoch_us(ts) AS ts_us,

@@ -92,6 +92,8 @@ FAMILIES = [
     "incremental_agg_retract",
     "sampled_quantiles_orders",
     "bpe_fertility_by_lang",
+    "dedup_tf_cosine",
+    "top_event_paths",
 ]
 
 # row counts that are CONSTANT by design (parameter reports / per-dim

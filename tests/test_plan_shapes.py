@@ -368,3 +368,33 @@ def test_ppjoin_no_cartesian_and_thin_prefix(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "slice(" in plan, "prefix slice missing from plan"
+
+
+def test_pagerank_edges_cached_and_iterations_reuse(spark, sf_dir):
+    """The edge frame must be (a) persisted — every iteration reads
+    the cache, never re-deriving the basket self-join — and (b)
+    pre-partitioned on the join key so the per-iteration joins need no
+    edge-side exchange: outside the cached relation's fill plan, no
+    exchange may repartition the edge columns; only rank/contrib
+    frames and the bucket-count aggregates move."""
+    plan = _executed_plan(spark, sf_dir, "pagerank_coorder")
+    assert "InMemoryTableScan" in plan, "edges not cached"
+    # the fill plan (inside InMemoryRelation) legitimately contains the
+    # one repartition(s) exchange; the streaming side must not repeat it
+    outside = plan.split("InMemoryRelation", 1)[0]
+    for key in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", outside):
+        assert not key.lstrip().startswith("s#"), (
+            f"edge frame re-exchanged outside the cache: {key}"
+        )
+    # the final top-50 is a TakeOrdered, never a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_sampled_quantiles_share_the_histogram_shape(spark, sf_dir):
+    """Both the exact and the sampled side must run the bucket-
+    histogram + targeted-recount shape — no percentile buffer
+    aggregate anywhere, bucket targets arriving by broadcast on both
+    paths."""
+    plan = _executed_plan(spark, sf_dir, "sampled_quantiles_orders")
+    assert "percentile" not in plan.lower()
+    assert plan.count("BroadcastHashJoin") >= 2, "bucket targets not broadcast"

@@ -123,6 +123,38 @@ def multilingual_sf_dir(sf_dir):
     return d
 
 
+def test_tf_cosine_catches_shuffled_duplicate(spark, sf_dir):
+    """The capability that distinguishes tf-cosine from the shingle
+    family: a token-SHUFFLED duplicate has (almost) no shared
+    5-shingles but an identical tf vector — cosine 1.0. Repetition
+    also counts: doubling one token moves the score, unlike set
+    Jaccard."""
+    import shutil
+    import tempfile
+
+    import duckdb
+
+    d = tempfile.mkdtemp(prefix="tfc_sf_")
+    duckdb.sql(
+        """COPY (SELECT * FROM (VALUES
+             (1, 'alpha beta gamma delta epsilon zeta eta theta iota kappa', 'en', 's', 10),
+             (2, 'kappa iota theta eta zeta epsilon delta gamma beta alpha', 'en', 's', 10),
+             (3, 'unrelated words entirely different tokens here found okay', 'en', 's', 8)
+           ) AS t(doc_id, text, lang, source, n_chars))
+           TO '{}/documents.parquet' (FORMAT PARQUET)""".format(d)
+    )
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"):
+        shutil.copyfile(f"{sf_dir}/{t}.parquet", f"{d}/{t}.parquet")
+    cos_pairs = {
+        (r.doc_a, r.doc_b): r.cos2_ppm
+        for r in REGISTRY["dedup_tf_cosine"].fn(spark, d).collect()
+    }
+    assert cos_pairs == {(1, 2): 1_000_000}  # reversed order, cosine 1
+    jac_pairs = REGISTRY["dedup_ngram_jaccard"].fn(spark, d).collect()
+    assert not jac_pairs  # zero shared 5-shingles: invisible to shingles
+
+
 def test_fertility_ranks_spaceless_scripts_higher(spark, multilingual_sf_dir):
     rows = {
         r.lang: r
