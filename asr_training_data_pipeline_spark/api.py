@@ -38,15 +38,15 @@ _PRIORITY = (
     #     buckets), and the ADVICE fixes (basket_lift lift overflow,
     #     cms_join_size empty-row floor, streaming_distinct_hll NULL
     #     gate);
-    #   * the four r8-new operators (first-round-exposure rule):
+    #   * the eight r8-new operators (first-round-exposure rule):
     #     pagerank_coorder, incremental_agg_retract,
-    #     sampled_quantiles_orders, bpe_fertility_by_lang;
+    #     sampled_quantiles_orders, bpe_fertility_by_lang,
+    #     dedup_tf_cosine, top_event_paths, gopher_quality_flags,
+    #     dedup_paragraph;
     #   * the twenty deferred once-green members queued since wave 3/4
     #     (the full api.py queue list) — their SECOND greens;
-    #   * second greens for refactor-adjacent members
-    #     (exact_quantiles_orders — helper extraction;
-    #     incremental_agg_refresh — sibling of the new retract path)
-    #     and the sketch pair kmv/bloom_calibration + heavy_hitter.
+    #   * a second green for the refactor-adjacent
+    #     exact_quantiles_orders (helper extraction).
     # Funded by retiring the CORRECTNESS_r07-green r7 newcomers
     # (dedup_ppjoin, event_transition_matrix, cms_word_counts …), the
     # twice-green ANN/audit/ML block (green r6+r7), and the wave-4
@@ -99,19 +99,23 @@ _PRIORITY = (
     "dedup_incremental",
     "sink_training_shards",
     "event_rate_anomalies",
+    # second green: refactor-adjacent (the _disc_quantiles extraction)
     "exact_quantiles_orders",
-    "incremental_agg_refresh",
-    "kmv_corpus_overlap",
     # r8-new (first-round exposure; slots funded by retiring the
     # twice-green heavy_hitter_words — text keeps bpe×3/langid/pmi
-    # reps — and deferring bloom_calibration's second green: the bloom
-    # family keeps its calibration pytest-pinned every run)
+    # reps — and deferring the second greens of bloom_calibration,
+    # kmv_corpus_overlap and incremental_agg_refresh: the sketch
+    # family keeps hll×3 + cms_join_size in the prefix, IVM keeps the
+    # new retract path, and all three deferred members stay
+    # pytest-oracle-covered every run)
     "dedup_tf_cosine",
     "top_event_paths",
+    "gopher_quality_flags",
+    "dedup_paragraph",
 )
 
 # Rotation queue for the NEXT prefix refresh: after CORRECTNESS_r08,
-# the never-checked set is the four r8-new operators' first rows plus
+# the never-checked set is the eight r8-new operators' first rows plus
 # this wave's twenty second-green attempts. Next candidates to rotate
 # IN: any r9-new operators first, then (a) second greens for the four
 # r8 newcomers and for the r7 first-green members retired this round

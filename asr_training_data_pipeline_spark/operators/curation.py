@@ -171,6 +171,160 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, MassiveText filter bundle)
+# ---------------------------------------------------------------------
+
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_G_MIN_WORDS, _G_MAX_WORDS = 50, 100_000
+_G_MIN_MWL_MILLI, _G_MAX_MWL_MILLI = 3_000, 10_000  # mean word length 3..10
+_G_MAX_SYMBOL_PPM = 100_000   # (# + ellipsis) per word ≤ 0.1
+_G_MAX_BULLET_PPM = 900_000   # < 90% of lines bullet-led
+_G_MAX_ELLIPSIS_PPM = 300_000  # < 30% of lines ellipsis-ended
+_G_MIN_ALPHA_PPM = 800_000    # ≥ 80% of words contain a letter
+
+_STOPS_SQL = ", ".join(f"'{w}'" for w in _GOPHER_STOPS)
+
+_GOPHER_SQL = f"""
+SELECT doc_id, n_words, mean_word_len_milli, symbol_ppm, bullet_ppm,
+       ellipsis_ppm, alpha_word_ppm, stop_hits,
+       (n_words BETWEEN {_G_MIN_WORDS} AND {_G_MAX_WORDS})
+         AND mean_word_len_milli BETWEEN {_G_MIN_MWL_MILLI} AND {_G_MAX_MWL_MILLI}
+         AND symbol_ppm <= {_G_MAX_SYMBOL_PPM}
+         AND bullet_ppm <= {_G_MAX_BULLET_PPM}
+         AND ellipsis_ppm <= {_G_MAX_ELLIPSIS_PPM}
+         AND alpha_word_ppm >= {_G_MIN_ALPHA_PPM}
+         AND stop_hits >= 2 AS keep
+FROM (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_words,
+         CAST(length(array_to_string(t, '')) * 1000 // len(t) AS BIGINT)
+           AS mean_word_len_milli,
+         CAST((length(text) - length(replace(text, '#', ''))
+               + (length(text) - length(replace(text, '...', ''))) // 3
+               + length(text) - length(replace(text, '…', ''))) * 1000000
+              // len(t) AS BIGINT) AS symbol_ppm,
+         CAST(len(list_filter(ls, x -> ltrim(x) LIKE '-%'
+                                    OR ltrim(x) LIKE '*%'
+                                    OR ltrim(x) LIKE '•%')) * 1000000
+              // len(ls) AS BIGINT) AS bullet_ppm,
+         CAST(len(list_filter(ls, x -> rtrim(x) LIKE '%...'
+                                    OR rtrim(x) LIKE '%…')) * 1000000
+              // len(ls) AS BIGINT) AS ellipsis_ppm,
+         CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))
+              * 1000000 // len(t) AS BIGINT) AS alpha_word_ppm,
+         CAST(len(list_filter([{_STOPS_SQL}],
+                              s -> list_contains(t, s))) AS BIGINT) AS stop_hits
+  FROM (SELECT doc_id, text,
+               list_filter(string_split_regex({{fold}}, '\\s+'),
+                           x -> x <> '') AS t,
+               string_split(text, chr(10)) AS ls
+        FROM documents WHERE text IS NOT NULL)
+  WHERE len(t) > 0
+)
+ORDER BY doc_id
+"""
+
+# the tokenizer casefold is the generated translate table (identical
+# on both engines; lower() diverges outside ASCII and İ even changes
+# LENGTH under Spark's lower, skewing mean_word_len)
+from ..functions.casefold import FOLD_DST as _F_DST  # noqa: E402
+from ..functions.casefold import FOLD_SRC as _F_SRC  # noqa: E402
+
+_GOPHER_SQL = _GOPHER_SQL.format(
+    fold=f"translate(text, '{_F_SRC}', '{_F_DST}')"
+)
+
+
+@register("gopher_quality_flags", oracle=_GOPHER_SQL, tags=("text", "quality"))
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GOPHER quality-filter bundle (Rae et al. 2021, Appendix A —
+    the MassiveText rules that RefinedWeb/Dolma-class pipelines reuse):
+    word-count bounds, mean-word-length window, symbol-to-word ratio
+    (#/ellipsis), bullet-led and ellipsis-ended line fractions,
+    alphabetic-word fraction, and a stop-word floor — plus the fused
+    keep flag. Complements repetition_signals (the rule family's other
+    half) and curation_signals_fused.
+
+    Exact-integer surface: every ratio is a bigint ppm/milli floor
+    division, so the DuckDB replay is hash-exact; all signals are
+    per-row column expressions inside one scan — no shuffle at all
+    (the profile shape every 100 TB gate wants: cost = one pass,
+    pruned to the text column)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    t = F.filter(
+        F.split(F.translate(F.col("text"), _F_SRC, _F_DST), r"\s+"),
+        lambda x: x != "",
+    )
+    ls = F.split(F.col("text"), "\n")
+    n_words = F.size(t).cast("bigint")
+    chars = F.length(F.array_join(t, "")).cast("bigint")
+    hashes = F.length("text") - F.length(
+        F.replace(F.col("text"), F.lit("#"), F.lit(""))
+    )
+    dots3 = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    ell = F.length("text") - F.length(
+        F.replace(F.col("text"), F.lit("…"), F.lit(""))
+    )
+    bullets = F.size(
+        F.filter(
+            ls,
+            lambda x: F.ltrim(x).startswith("-")
+            | F.ltrim(x).startswith("*")
+            | F.ltrim(x).startswith("•"),
+        )
+    )
+    ellipsis_lines = F.size(
+        F.filter(
+            ls,
+            lambda x: F.rtrim(x).endswith("...") | F.rtrim(x).endswith("…"),
+        )
+    )
+    alpha_words = F.size(F.filter(t, lambda x: x.rlike("[A-Za-z]")))
+    stops = F.array(*[F.lit(w) for w in _GOPHER_STOPS])
+    stop_hits = F.size(
+        F.filter(stops, lambda s: F.array_contains(t, s))
+    ).cast("bigint")
+    out = docs.filter(n_words > 0).select(
+        "doc_id",
+        n_words.alias("n_words"),
+        (chars * 1000).cast("bigint").alias("_c1000"),
+        ((hashes + dots3.cast("bigint") + ell) * 1_000_000)
+        .cast("bigint")
+        .alias("_sym"),
+        (bullets.cast("bigint") * 1_000_000).alias("_bul"),
+        (ellipsis_lines.cast("bigint") * 1_000_000).alias("_ell"),
+        (alpha_words.cast("bigint") * 1_000_000).alias("_alpha"),
+        F.size(ls).cast("bigint").alias("_nl"),
+        stop_hits.alias("stop_hits"),
+    )
+    out = out.select(
+        "doc_id",
+        "n_words",
+        F.expr("_c1000 div n_words").alias("mean_word_len_milli"),
+        F.expr("_sym div n_words").alias("symbol_ppm"),
+        F.expr("_bul div _nl").alias("bullet_ppm"),
+        F.expr("_ell div _nl").alias("ellipsis_ppm"),
+        F.expr("_alpha div n_words").alias("alpha_word_ppm"),
+        "stop_hits",
+    )
+    keep = (
+        F.col("n_words").between(_G_MIN_WORDS, _G_MAX_WORDS)
+        & F.col("mean_word_len_milli").between(_G_MIN_MWL_MILLI, _G_MAX_MWL_MILLI)
+        & (F.col("symbol_ppm") <= _G_MAX_SYMBOL_PPM)
+        & (F.col("bullet_ppm") <= _G_MAX_BULLET_PPM)
+        & (F.col("ellipsis_ppm") <= _G_MAX_ELLIPSIS_PPM)
+        & (F.col("alpha_word_ppm") >= _G_MIN_ALPHA_PPM)
+        & (F.col("stop_hits") >= 2)
+    )
+    return out.withColumn("keep", keep).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------
 # Deterministic stratified sampling
 # ---------------------------------------------------------------------
 

@@ -1053,6 +1053,114 @@ def dedup_ngram_jaccard_stopshingle(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 # ---------------------------------------------------------------------
+# Paragraph-level dedup (CCNet-style: drop repeated paragraphs)
+# ---------------------------------------------------------------------
+
+_PARA_DEDUP_SQL = """
+WITH paras AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, trim(ls[i]) AS para
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+        FROM documents WHERE text IS NOT NULL),
+       unnest(range(1, len(ls) + 1)) AS u(i)
+  WHERE trim(ls[i]) <> ''
+),
+marked AS (
+  SELECT doc_id, pos, para,
+         ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, pos) = 1 AS kept
+  FROM paras
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_paras,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS kept_ppm,
+       COALESCE(string_agg(para, chr(10) ORDER BY pos)
+                  FILTER (WHERE kept), '') AS cleaned_text
+FROM marked
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("dedup_paragraph", oracle=_PARA_DEDUP_SQL, tags=("dedup", "text"))
+def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAGRAPH-level dedup, the CCNet/RefinedWeb line-dedup shape:
+    split each document on newlines, keep only the GLOBALLY FIRST
+    occurrence of every distinct (trimmed, non-empty) paragraph —
+    first = smallest (doc_id, position) — and reassemble each document
+    from its surviving paragraphs in order. Boilerplate (headers,
+    cookie banners, navigation) repeats across documents at paragraph
+    granularity where whole-document dedup sees distinct texts; this
+    is the operator that strips it. Reports per-doc paragraph counts,
+    survivors, and the kept fraction in exact ppm.
+
+    Scale shape: ownership is ONE groupBy on the paragraph (hash of
+    the text is the key at 100 TB — here the string itself keeps the
+    oracle exact) emitting a min-(doc_id, pos) struct — a map-side-
+    combined aggregate, no window over the corpus; the winners
+    broadcast-or-shuffle back by the same key, and reassembly is the
+    C13 ordered-concat (collect + array_sort, one doc_id exchange).
+    Docs whose every paragraph lost yield cleaned_text = '' (COALESCE
+    on both engines: string_agg over zero rows is NULL)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    paras = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), "\n")).alias("pos0", "para"),
+        )
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).cast("bigint").alias("pos"),
+            F.trim(F.col("para")).alias("para"),
+        )
+        .filter(F.col("para") != "")
+    )
+    owner = paras.groupBy("para").agg(
+        F.min(F.struct("doc_id", "pos")).alias("o")
+    )
+    marked = paras.join(owner, "para").select(
+        "doc_id",
+        "pos",
+        "para",
+        (
+            (F.col("doc_id") == F.col("o.doc_id"))
+            & (F.col("pos") == F.col("o.pos"))
+        ).alias("kept"),
+    )
+    cleaned = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("kept"), F.struct("pos", "para"))
+                )
+            ),
+            lambda s: s["para"],
+        ),
+        "\n",
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_paras"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            cleaned.alias("cleaned_text"),
+        )
+        .select(
+            "doc_id",
+            "n_paras",
+            "n_kept",
+            F.expr("n_kept * 1000000 div n_paras").alias("kept_ppm"),
+            "cleaned_text",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------
 # Weighted lexical similarity: tf-vector cosine join (exact integer)
 # ---------------------------------------------------------------------
 

@@ -94,6 +94,8 @@ FAMILIES = [
     "bpe_fertility_by_lang",
     "dedup_tf_cosine",
     "top_event_paths",
+    "gopher_quality_flags",
+    "dedup_paragraph",
 ]
 
 # row counts that are CONSTANT by design (parameter reports / per-dim

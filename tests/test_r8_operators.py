@@ -155,6 +155,69 @@ def test_tf_cosine_catches_shuffled_duplicate(spark, sf_dir):
     assert not jac_pairs  # zero shared 5-shingles: invisible to shingles
 
 
+@pytest.fixture(scope="module")
+def curation_docs_sf_dir(sf_dir):
+    """Multi-paragraph docs with shared boilerplate + Gopher-rule
+    violations, for dedup_paragraph and gopher_quality_flags."""
+    import shutil
+    import tempfile
+
+    import duckdb
+
+    d = tempfile.mkdtemp(prefix="cur8_sf_")
+    filler = " ".join(f"w{i} of the and that" for i in range(12))
+    duckdb.sql(
+        f"""COPY (SELECT * FROM (VALUES
+             (1, 'COOKIE BANNER' || chr(10) || 'unique first body {filler}'
+                 || chr(10) || 'shared footer text', 'en', 's', 10),
+             (2, 'COOKIE BANNER' || chr(10) || 'unique second body {filler}'
+                 || chr(10) || 'shared footer text', 'en', 's', 10),
+             (3, 'COOKIE BANNER' || chr(10) || '' || chr(10) || 'COOKIE BANNER', 'en', 's', 10),
+             (4, 'good document with the usual words of prose and that tone {filler}', 'en', 's', 10),
+             (5, '- bullet one' || chr(10) || '- bullet two' || chr(10) || '- bullet three', 'en', 's', 10),
+             (6, 'a b c d e f g h', 'en', 's', 10),
+             (7, '#### #### #### trailing dots... more... and more... {filler}', 'en', 's', 10)
+           ) AS t(doc_id, text, lang, source, n_chars))
+           TO '{{}}/documents.parquet' (FORMAT PARQUET)""".format(d)
+    )
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"):
+        shutil.copyfile(f"{sf_dir}/{t}.parquet", f"{d}/{t}.parquet")
+    return d
+
+
+def test_paragraph_dedup_strips_boilerplate(spark, curation_docs_sf_dir):
+    from asr_training_data_pipeline_spark.testing import run_oracle
+    from asr_training_data_pipeline_spark.api import oracles
+    from asr_training_data_pipeline_spark.testing import compare_frames
+
+    spdf = REGISTRY["dedup_paragraph"].fn(spark, curation_docs_sf_dir).toPandas()
+    compare_frames(
+        spdf, run_oracle(oracles()["dedup_paragraph"], curation_docs_sf_dir),
+        "dedup_paragraph",
+    )
+    rows = {int(r.doc_id): r for _, r in spdf.iterrows()}
+    # doc 1 owns the banner + footer; doc 2 keeps only its unique body
+    assert rows[1].n_kept == 3 and rows[1].kept_ppm == 1_000_000
+    assert rows[2].n_kept == 1 and "unique second body" in rows[2].cleaned_text
+    assert "COOKIE BANNER" not in rows[2].cleaned_text
+    # doc 3 (banner twice, empty line dropped): everything lost
+    assert rows[3].n_kept == 0 and rows[3].cleaned_text == ""
+    # reassembly preserves original paragraph order
+    assert rows[1].cleaned_text.split("\n")[0] == "COOKIE BANNER"
+
+
+def test_gopher_flags_fire_per_rule(spark, curation_docs_sf_dir):
+    rows = {
+        r.doc_id: r
+        for r in REGISTRY["gopher_quality_flags"].fn(spark, curation_docs_sf_dir).collect()
+    }
+    assert rows[4].keep, rows[4]  # prose doc passes every rule
+    assert not rows[5].keep and rows[5].bullet_ppm == 1_000_000
+    assert not rows[6].keep and rows[6].n_words < 50
+    assert not rows[7].keep and rows[7].symbol_ppm > 100_000
+
+
 def test_fertility_ranks_spaceless_scripts_higher(spark, multilingual_sf_dir):
     rows = {
         r.lang: r
