@@ -1164,17 +1164,24 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Weighted lexical similarity: tf-vector cosine join (exact integer)
 # ---------------------------------------------------------------------
 
+_TFC_K = 3  # shingle width: unigram vectors degenerate on small-vocab
+#            corpora (the sf fixture draws from 31 words, so EVERY
+#            token is stopword-like and any df cap empties the index);
+#            3-gram frequencies are the discriminative unit
 _TFC_STOP_DF = 32  # df cap, same skew bound as the stopshingle variant
 _TFC_MIN_COS2_PPM = 640_000  # cos >= 0.8  ⇔  cos² >= 0.64
 
 _TF_COSINE_SQL = f"""
 WITH toks AS (
-  SELECT doc_id, w FROM (
-    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
-    WHERE text IS NOT NULL)
-  WHERE w <> ''
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE text IS NOT NULL
 ),
-tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+grams AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS w
+  FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= {_TFC_K}
+),
+tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM grams GROUP BY 1, 2),
 dfreq AS (SELECT w, count(*) AS dfq FROM tf GROUP BY w),
 kept AS (SELECT tf.doc_id, tf.w, tf.tf FROM tf JOIN dfreq USING (w)
          WHERE dfq <= {_TFC_STOP_DF}),
@@ -1200,12 +1207,15 @@ ORDER BY doc_a, doc_b
 
 @register("dedup_tf_cosine", oracle=_TF_COSINE_SQL, tags=("dedup", "text", "skew"))
 def dedup_tf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WEIGHTED lexical near-dup join: cosine over term-FREQUENCY
+    """WEIGHTED lexical near-dup join: cosine over shingle-FREQUENCY
     vectors, the family member between set-Jaccard (PPJoin/shingles —
     ignores repetition) and embedding cosine (needs a model): two
-    documents match when their tf vectors point the same way, so a
-    token repeated 10× counts 10×, and token ORDER is ignored —
-    catching shuffled/reflowed duplicates whose shingles all differ.
+    documents match when their {_TFC_K}-gram count vectors point the
+    same way, so REPETITION counts — a spam doc repeating one phrase
+    10× no longer merges with its single-copy source (their shingle
+    SETS are near-identical, so set-Jaccard calls them duplicates;
+    their count vectors point apart — the CCNet-era repetition-spam
+    failure mode, pytest-pinned).
 
     Exact integer end to end: the threshold test is the RATIONAL form
     dot² · 10⁶ ≥ cos²·(‖a‖²·‖b‖²) — no square root, no float — routed
@@ -1214,20 +1224,30 @@ def dedup_tf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB replay is hash-exact.
 
     Scale shape (the inverted-index thesis, weighted): the only
-    corpus-sized exchanges key on the token (tf build, posting
+    corpus-sized exchanges key on the shingle (tf build, posting
     self-join) and the pair (dot aggregation, map-side combined).
-    Self-join cost is Σ(df²), so tokens with df > {_TFC_STOP_DF} are
+    Self-join cost is Σ(df²), so shingles with df > {_TFC_STOP_DF} are
     dropped on BOTH sides first — the stopshingle skew bound: every
     posting bucket caps at df² pairs, and true near-dups keep their
-    selective terms. At 100 TB this is the lexical-cosine variant of
+    selective shingles. At 100 TB this is the lexical-cosine variant of
     the same inverted-index family as dedup_ngram_jaccard_stopshingle."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = (
+    t = F.split(F.col("text"), " ")
+    grams = (
         docs.filter(F.col("text").isNotNull())
-        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
-        .filter(F.col("w") != "")
+        .select("doc_id", t.alias("t"))
+        .filter(F.size("t") >= _TFC_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (_TFC_K - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, _TFC_K)),
+                )
+            ).alias("w"),
+        )
     )
-    tf = toks.groupBy("doc_id", "w").agg(F.count("*").cast("bigint").alias("tf"))
+    tf = grams.groupBy("doc_id", "w").agg(F.count("*").cast("bigint").alias("tf"))
     # document frequency per token; one hash shuffle on the token,
     # reused immediately by the posting self-join on the same key
     kept = tf.withColumn(

@@ -113,6 +113,12 @@ def main() -> None:
         ("hll_column_profile", BIG),
         ("snm_recall_eval", LINK50K),  # truth side is Σdf² — sample scale
         ("linkage_entities", BIG),  # 500k docs, 34-copy exact cliques
+        # second r8 wave
+        ("dedup_tf_cosine", "/root/testdata/sf0.1"),
+        ("dedup_tf_cosine", BIG),  # df-capped postings at 500k docs
+        ("top_event_paths", "/root/testdata/sf0.1"),
+        ("gopher_quality_flags", BIG),  # one pruned scan, zero exchanges
+        ("dedup_paragraph", BIG),  # paragraph-key groupBy at 500k docs
     ]
     for name, sf in ladder:
         t, mb, n = timed(spark, name, sf)

@@ -123,36 +123,53 @@ def multilingual_sf_dir(sf_dir):
     return d
 
 
-def test_tf_cosine_catches_shuffled_duplicate(spark, sf_dir):
-    """The capability that distinguishes tf-cosine from the shingle
-    family: a token-SHUFFLED duplicate has (almost) no shared
-    5-shingles but an identical tf vector — cosine 1.0. Repetition
-    also counts: doubling one token moves the score, unlike set
-    Jaccard."""
+def test_tf_cosine_is_repetition_aware(spark, sf_dir):
+    """The capability that distinguishes weighted (count-vector)
+    similarity from the set family: docs 1 and 2 interleave the SAME
+    two phrases with OPPOSITE repetition (P×10+Q vs P+Q×10), so their
+    shingle SETS are near-identical — set-Jaccard merges them — while
+    their count vectors point apart and cosine correctly refuses (the
+    CCNet-era repetition-spam failure mode). Exact duplicates still
+    score cos² = 1.0 exactly."""
     import shutil
     import tempfile
 
     import duckdb
 
-    d = tempfile.mkdtemp(prefix="tfc_sf_")
+    p = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+         "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    q = ("one two three four five six seven eight nine ten "
+         "eleven twelve thirteen fourteen fifteen sixteen seventeen "
+         "eighteen nineteen twenty")
+    a = " ".join([p] * 10 + [q])
+    b = " ".join([p] + [q] * 10)
+    c = "an exact duplicate body with distinct shingle content inside here"
+    d_dir = tempfile.mkdtemp(prefix="tfc_sf_")
     duckdb.sql(
         """COPY (SELECT * FROM (VALUES
-             (1, 'alpha beta gamma delta epsilon zeta eta theta iota kappa', 'en', 's', 10),
-             (2, 'kappa iota theta eta zeta epsilon delta gamma beta alpha', 'en', 's', 10),
-             (3, 'unrelated words entirely different tokens here found okay', 'en', 's', 8)
+             (1, '{a}', 'en', 's', 10),
+             (2, '{b}', 'en', 's', 10),
+             (3, '{c}', 'en', 's', 10),
+             (4, '{c}', 'en', 's', 10)
            ) AS t(doc_id, text, lang, source, n_chars))
-           TO '{}/documents.parquet' (FORMAT PARQUET)""".format(d)
+           TO '{d}/documents.parquet' (FORMAT PARQUET)""".format(
+            a=a, b=b, c=c, d=d_dir
+        )
     )
     for t in ("region", "nation", "customer", "supplier", "part",
               "orders", "lineitem", "events", "embeddings"):
-        shutil.copyfile(f"{sf_dir}/{t}.parquet", f"{d}/{t}.parquet")
+        shutil.copyfile(f"{sf_dir}/{t}.parquet", f"{d_dir}/{t}.parquet")
     cos_pairs = {
         (r.doc_a, r.doc_b): r.cos2_ppm
-        for r in REGISTRY["dedup_tf_cosine"].fn(spark, d).collect()
+        for r in REGISTRY["dedup_tf_cosine"].fn(spark, d_dir).collect()
     }
-    assert cos_pairs == {(1, 2): 1_000_000}  # reversed order, cosine 1
-    jac_pairs = REGISTRY["dedup_ngram_jaccard"].fn(spark, d).collect()
-    assert not jac_pairs  # zero shared 5-shingles: invisible to shingles
+    assert cos_pairs.get((3, 4)) == 1_000_000  # exact dup: cosine 1
+    assert (1, 2) not in cos_pairs  # repetition-skewed pair refused
+    jac_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["dedup_ngram_jaccard"].fn(spark, d_dir).collect()
+    }
+    assert (1, 2) in jac_pairs  # …but the SET method merges it
 
 
 @pytest.fixture(scope="module")
