@@ -109,8 +109,10 @@ QUERIES = [
     "pmi_collocations",
     # r7 association/blocking layer: NULL text coalesces to the empty
     # sort key (still ranked, never shingle-verified); the linkage
-    # ASCII gate drops the unicode docs on BOTH engines before the
-    # byte-vs-codepoint Levenshtein divergence can bite
+    # projection gate (r8: fold + ASCII projection replaced the r7
+    # ASCII gate) admits the accented/Cyrillic docs and drops
+    # CJK/emoji on BOTH engines before the byte-vs-codepoint
+    # Levenshtein divergence can bite
     "sorted_neighborhood_pairs",
     "sorted_neighborhood_multikey",
     "record_linkage_fuzzy",
@@ -119,6 +121,15 @@ QUERIES = [
     "dedup_ppjoin",
     "snm_recall_eval",
     "basket_lift",
+    # r8 text wave: NULL text drops from every frame; the repeated
+    # 'loop the loop' doc exercises tf-cosine's count weighting and
+    # gopher's repetition-adjacent ratios; single-paragraph docs make
+    # paragraph dedup degrade to exact first-occurrence; control-char
+    # and emoji docs must not split/fold differently across engines
+    "dedup_tf_cosine",
+    "dedup_paragraph",
+    "gopher_quality_flags",
+    "bpe_fertility_by_lang",
 ]
 
 
