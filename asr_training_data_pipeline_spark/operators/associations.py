@@ -599,15 +599,24 @@ ORDER BY p.doc_id
 """
 
 
-def _linkage_candidates(spark: SparkSession, sf_dir: str):
+def _linkage_candidates(spark: SparkSession, sf_dir: str, residue: bool = False):
     """(accepted candidate pairs, gated key frame) shared by the
     linkage queries. The match key is the FOLDED + ASCII-PROJECTED
     text (module-head _PROJ rationale): the projection makes DuckDB's
     byte-counting levenshtein and Spark's UTF-16-unit one agree
     exactly, so Cyrillic/Greek/accented-Latin records now link
-    (r8, VERDICT r7 task 5 — r7 gated ALL non-ASCII out). Keys whose
-    projection still carries multi-byte codepoints (CJK, emoji) are
-    gated; the gate rejects NULL and empty text too (+ quantifier)."""
+    (r8, VERDICT r7 task 5 — r7 gated ALL non-ASCII out).
+
+    ``residue=False`` (the oracle-exact path) keeps keys whose
+    projection is pure single-byte ASCII; ``residue=True`` selects the
+    complement — non-empty keys still carrying multi-byte codepoints
+    (CJK, Hangul, Arabic, emoji …) — for the codepoint-distance path
+    (:func:`linkage_cjk_residue`, VERDICT r8 task 5), where Spark's
+    levenshtein is already codepoint-exact (probed: CJK and astral
+    substitutions both count 1) but DuckDB's byte count cannot be made
+    to agree, so that path carries a Python-reference oracle instead.
+    Either way NULL/empty text is excluded; every document lands in
+    exactly one of the two paths."""
     docs = load_table(spark, sf_dir, "documents")
     proj = F.translate(
         F.translate(
@@ -616,13 +625,16 @@ def _linkage_candidates(spark: SparkSession, sf_dir: str):
         PROJ_SRC,
         PROJ_DST,
     )
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        F.substring(proj, 1, _RL_KEY_LEN).alias("key"),
+    )
+    gate = F.col("key").rlike(PROJECTED_GATE)
+    if residue:
+        gate = (F.length("key") > 0) & ~gate
     d = (
-        docs.select(
-            "doc_id",
-            "source",
-            F.substring(proj, 1, _RL_KEY_LEN).alias("key"),
-        )
-        .filter(F.col("key").rlike(PROJECTED_GATE))
+        keyed.filter(gate)
         .withColumn("ln", F.length("key").cast("bigint"))
         .withColumn("blk", F.substring("key", 1, _RL_BLOCK_LEN))
     )
@@ -685,10 +697,17 @@ def record_linkage_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     selectivity/recall knob: linkable records must agree on the block
     prefix, exactly as in every blocking scheme."""
     cand, d = _linkage_candidates(spark, sf_dir)
-    # best is one row per MATCHED doc — corpus-proportional on a
-    # duplicate-heavy corpus, so no broadcast hint: the join keys on
-    # doc_id and AQE picks broadcast only when the frame is actually
-    # small.
+    return _best_links(cand, d)
+
+
+def _best_links(cand: DataFrame, d: DataFrame) -> DataFrame:
+    """Best-match selection shared by both linkage paths: min distance
+    per doc, then min match-id among ties — two aggregates over the
+    (already small) accepted-candidate frame, no window over the
+    corpus. ``best`` is one row per MATCHED doc — corpus-proportional
+    on a duplicate-heavy corpus, so no broadcast hint: the join keys on
+    doc_id and AQE picks broadcast only when the frame is actually
+    small."""
     best = cand.groupBy("doc_id").agg(F.min("dist").alias("dist"))
     pick = (
         cand.join(best, ["doc_id", "dist"])
@@ -705,6 +724,41 @@ def record_linkage_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "match_doc", "match_source", "dist")
         .orderBy("doc_id")
     )
+
+
+@register("linkage_cjk_residue", tags=("dedup", "text", "unicode"))
+def linkage_cjk_residue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CODEPOINT-level fuzzy linkage for the documents the oracle-exact
+    path must gate out: non-empty keys whose fold+projection still
+    carries multi-byte codepoints (CJK, Hangul, Arabic, emoji …).
+    Together with :func:`record_linkage_fuzzy` this covers EVERY
+    non-empty document — the r7/r8 exclusion set shrinks to nothing
+    (VERDICT r8 task 5).
+
+    Same blocking (4-codepoint key prefix), length bound and best-match
+    semantics as the main path; the metric is Levenshtein over UNICODE
+    CODEPOINTS, which Spark's `levenshtein` computes natively (probed:
+    '规律'→'规则' = 1, '😀'→'😁' = 1 — astral pairs count as one
+    codepoint, not two UTF-16 units). ZWJ/combining sequences count
+    per codepoint — a documented metric choice (codepoints, not
+    grapheme clusters).
+
+    No DuckDB oracle BY NATURE: DuckDB's levenshtein counts BYTES
+    ('é'→'e' = 2), and no static SQL can re-express codepoint distance
+    there — so the driver records a rows-only check and exactness is
+    pinned by a pure-Python reference kernel over multilingual fixtures
+    (tests/test_unicode_linkage.py: golden distances + full-frame
+    parity vs the Python DP). On a pure-ASCII corpus (the generated
+    testdata) the residue set — and this result — is empty by
+    construction; the oracle-exact path already covers every document
+    there.
+
+    Scale shape: identical to record_linkage_fuzzy — block equi-join,
+    length lower bound, banded JVM levenshtein, two aggregates; the
+    residue is a FILTERED scan of the same corpus, so the two paths
+    partition the work rather than duplicating it."""
+    cand, d = _linkage_candidates(spark, sf_dir, residue=True)
+    return _best_links(cand, d)
 
 
 # ---------------------------------------------------------------------

@@ -124,7 +124,7 @@ def _hll_finalize_sql(regs: str, keys: str) -> str:
     lc_list = ", ".join(str(x) for x in _LC_MILLI[1:])
     return f"""
   SELECT {keys},
-         v AS zero_registers,
+         CAST(v AS BIGINT) AS zero_registers,
          CAST({_HLL_NUM} // s AS BIGINT) AS raw_est_milli,
          CAST(CASE WHEN v > 0 AND {_HLL_NUM} // s <= {_HLL_LC_THRESH_MILLI}
                    THEN (list_extract([{lc_list}], CAST(v AS INT))) // 1000

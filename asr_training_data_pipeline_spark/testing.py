@@ -15,7 +15,9 @@ import math
 
 import duckdb
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import SparkSession
+from pyspark.sql import types as T
 
 from .api import REGISTRY
 from .sources.tables import TABLES
@@ -31,6 +33,114 @@ def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
         return con.sql(sql).df()
     finally:
         con.close()
+
+
+def run_oracle_arrow(sql: str, sf_dir: str) -> pa.Table:
+    """Oracle result as an Arrow table — the representation the driver
+    actually hashes, so output TYPES are visible (DuckDB's ``.df()``
+    coerces e.g. HUGEINT → object/int and hides them)."""
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        return con.sql(sql).arrow()
+    finally:
+        con.close()
+
+
+# ---------------------------------------------------------------------
+# Typed oracle parity (VERDICT r8 task 2)
+#
+# The driver's value hash is type-aware at the Arrow-buffer level: a
+# DuckDB HUGEINT (SUM over integers!) surfaces as decimal128(38,0) and
+# hash-fails against a Spark bigint even when every value is equal —
+# the r7/r8 `hll_distinct`/`hll_column_profile` reds. Python-level
+# value comparison can never see that class, so compare_to_oracle now
+# also asserts CANONICAL TYPE equality between the Spark schema and
+# the DuckDB Arrow schema for every oracle on every suite run.
+# ---------------------------------------------------------------------
+
+
+def _canon_arrow(t: pa.DataType) -> tuple:
+    if pa.types.is_integer(t):
+        return ("int", t.bit_width, pa.types.is_signed_integer(t))
+    if pa.types.is_floating(t):
+        return ("float", t.bit_width)
+    if pa.types.is_decimal(t):
+        return ("decimal", t.precision, t.scale)
+    if pa.types.is_boolean(t):
+        return ("bool",)
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return ("string",)
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return ("binary",)
+    if pa.types.is_date(t):
+        return ("date",)
+    if pa.types.is_timestamp(t):
+        return ("timestamp",)
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return ("list", _canon_arrow(t.value_type))
+    if pa.types.is_struct(t):
+        return (
+            "struct",
+            tuple((f.name, _canon_arrow(f.type)) for f in t),
+        )
+    return ("other", str(t))
+
+
+def _canon_spark(dt: T.DataType) -> tuple:
+    if isinstance(dt, T.LongType):
+        return ("int", 64, True)
+    if isinstance(dt, T.IntegerType):
+        return ("int", 32, True)
+    if isinstance(dt, T.ShortType):
+        return ("int", 16, True)
+    if isinstance(dt, T.ByteType):
+        return ("int", 8, True)
+    if isinstance(dt, T.DoubleType):
+        return ("float", 64)
+    if isinstance(dt, T.FloatType):
+        return ("float", 32)
+    if isinstance(dt, T.DecimalType):
+        return ("decimal", dt.precision, dt.scale)
+    if isinstance(dt, T.BooleanType):
+        return ("bool",)
+    if isinstance(dt, T.StringType):
+        return ("string",)
+    if isinstance(dt, T.BinaryType):
+        return ("binary",)
+    if isinstance(dt, T.DateType):
+        return ("date",)
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return ("timestamp",)
+    if isinstance(dt, T.ArrayType):
+        return ("list", _canon_spark(dt.elementType))
+    if isinstance(dt, T.StructType):
+        return (
+            "struct",
+            tuple((f.name, _canon_spark(f.dataType)) for f in dt.fields),
+        )
+    return ("other", dt.simpleString())
+
+
+def assert_typed_parity(
+    spark_schema: T.StructType, arrow_schema: pa.Schema, name: str
+) -> None:
+    """Canonical-type agreement between a Spark result schema and the
+    oracle's DuckDB-Arrow schema — red on decimal128 (uncast HUGEINT
+    SUM/product), int32-vs-int64 drift, float-vs-int drift."""
+    s = {f.name: _canon_spark(f.dataType) for f in spark_schema.fields}
+    o = {n: _canon_arrow(arrow_schema.field(n).type) for n in arrow_schema.names}
+    assert sorted(s) == sorted(o), (
+        f"{name}: column mismatch spark={sorted(s)} oracle={sorted(o)}"
+    )
+    drift = {c: {"spark": s[c], "oracle": o[c]} for c in s if s[c] != o[c]}
+    assert not drift, (
+        f"{name}: typed oracle drift (driver hashes Arrow buffers — equal "
+        f"values with unequal types still hash-fail): {drift}"
+    )
 
 
 def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -86,6 +196,9 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str)
 def compare_to_oracle(spark: SparkSession, name: str, sf_dir: str) -> None:
     q = REGISTRY[name]
     assert q.oracle is not None, f"{name} has no oracle"
-    spark_pdf = q.fn(spark, sf_dir).toPandas()
+    df = q.fn(spark, sf_dir)
+    tbl = run_oracle_arrow(q.oracle, sf_dir)
+    assert_typed_parity(df.schema, tbl.schema, name)
+    spark_pdf = df.toPandas()
     oracle_pdf = run_oracle(q.oracle, sf_dir)
     compare_frames(spark_pdf, oracle_pdf, name)

@@ -12,12 +12,18 @@ and requires:
   * real linkage power: the Cyrillic typo pair, the Greek CASE pair,
     the accented-vs-stripped French pair, and the Latin/Cyrillic
     HOMOGLYPH pair must all actually link, with the expected distances;
-  * honest scope: the CJK pair (character edit distance is not a
-    meaningful metric there) is gated out, not silently mis-scored.
+  * residue coverage (r9, VERDICT r8 task 5): documents whose
+    projection is still multibyte (CJK, emoji, Arabic) link through
+    `linkage_cjk_residue` — codepoint-level Levenshtein, which Spark
+    computes natively and DuckDB (byte-counting) cannot, so that path
+    is verified against a pure-Python reference kernel (Python strings
+    ARE codepoint sequences) instead of a SQL oracle. Between the two
+    paths no non-empty document is excluded from entity resolution.
 """
 
 from __future__ import annotations
 
+import re
 import shutil
 import tempfile
 
@@ -25,6 +31,12 @@ import duckdb
 import pytest
 
 from asr_training_data_pipeline_spark.api import REGISTRY, oracles
+from asr_training_data_pipeline_spark.functions.casefold import (
+    FOLD_DST,
+    FOLD_SRC,
+    PROJ_DST,
+    PROJ_SRC,
+)
 from asr_training_data_pipeline_spark.testing import compare_frames, run_oracle
 
 # Two feeds (src_a / src_b) carrying the same records with small
@@ -48,14 +60,22 @@ SELECT * FROM (VALUES
   -- HOMOGLYPH: Cyrillic а/е/о/р/с/у/х typed inside Latin text
   (9,  'data pipeline report for the sales group analysis', 'en', 'src_a', 50),
   (10, 'dаta pipeline repоrt for the sаles grоup analysis', 'en', 'src_b', 50),
-  -- CJK: same-block pair that must be GATED (no linkage rows)
+  -- CJK: gated from the oracle-exact path; links via the residue path
   (11, '机器学习模型需要大量训练数据来学习语言统计规律', 'zh', 'src_a', 23),
   (12, '机器学习模型需要大量训练数据来学习语言统计规则', 'zh', 'src_b', 23),
   -- unpaired distractors + degenerates
   (13, 'совершенно другой текст про погоду и климат сибири', 'ru', 'src_a', 51),
   (14, 'an unrelated english document about spark planning', 'en', 'src_b', 51),
   (15, NULL, 'en', 'src_a', 0),
-  (16, '', 'en', 'src_b', 0)
+  (16, '', 'en', 'src_b', 0),
+  -- emoji: astral substitution must count ONE codepoint (residue path)
+  (17, 'launch status 🚀 all systems go for deployment today', 'en', 'src_a', 52),
+  (18, 'launch status 🔥 all systems go for deployment today', 'en', 'src_b', 52),
+  -- Arabic: one substituted letter mid-key (residue path)
+  (19, 'بيانات التدريب تحدد جودة النموذج اللغوي الكبير', 'ar', 'src_a', 46),
+  (20, 'بيانات التدريب تحدد جوده النموذج اللغوي الكبير', 'ar', 'src_b', 46),
+  -- CJK distractor: same block as nothing, must stay unmatched
+  (21, '深度神经网络在自然语言处理领域取得巨大进展', 'zh', 'src_a', 20)
 ) AS t(doc_id, text, lang, source, n_chars)
 """
 
@@ -104,6 +124,110 @@ def test_nonascii_records_link_with_expected_distances(spark, linkage_sf_dir):
     # have no cross-source match within distance 8
     for absent in (11, 12, 13, 14, 15, 16):
         assert absent not in rows, rows.get(absent)
+
+
+# ---------------------------------------------------------------------
+# Residue path: codepoint-level linkage for CJK/emoji/Arabic documents
+# (linkage_cjk_residue has no SQL oracle BY NATURE — DuckDB levenshtein
+# counts bytes — so the reference here is a pure-Python kernel: Python
+# strings are codepoint sequences, exactly Spark's levenshtein domain.)
+# ---------------------------------------------------------------------
+
+_RL_KEY_LEN, _RL_BLOCK_LEN, _RL_MAX_DIST = 40, 4, 8
+_FOLD_MAP = str.maketrans(FOLD_SRC, FOLD_DST)
+_PROJ_MAP = str.maketrans(PROJ_SRC, PROJ_DST)
+
+
+def _py_key(text):
+    return (text or "").translate(_FOLD_MAP).translate(_PROJ_MAP)[:_RL_KEY_LEN]
+
+
+def _py_lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _py_residue_links(rows):
+    """Reference replay of linkage_cjk_residue: residue gate, 4-codepoint
+    block, length bound, codepoint Levenshtein <= 8, best = (min dist,
+    min match_doc)."""
+    keyed = [
+        (doc_id, source, k)
+        for doc_id, text, source in rows
+        for k in [_py_key(text)]
+        if k and not re.fullmatch("[\x01-\x7e]+", k)
+    ]
+    best = {}
+    for da, sa, ka in keyed:
+        for db, sb, kb in keyed:
+            if sa == sb or ka[:_RL_BLOCK_LEN] != kb[:_RL_BLOCK_LEN]:
+                continue
+            if abs(len(ka) - len(kb)) > _RL_MAX_DIST:
+                continue
+            d = _py_lev(ka, kb)
+            if d > _RL_MAX_DIST:
+                continue
+            cur = best.get(da)
+            if cur is None or (d, db) < (cur[2], cur[0]):
+                best[da] = (db, sb, d, sa)
+    return sorted(
+        (da, sa, db, sb, d) for da, (db, sb, d, sa) in best.items()
+    )
+
+
+def test_cjk_residue_matches_python_reference(spark, linkage_sf_dir):
+    rows = [
+        (r.doc_id, r.text, r.source)
+        for r in duckdb.sql(
+            f"SELECT doc_id, text, source FROM "
+            f"'{linkage_sf_dir}/documents.parquet'"
+        ).df().itertuples()
+    ]
+    expect = _py_residue_links(rows)
+    got = sorted(
+        (r.doc_id, r.source, r.match_doc, r.match_source, r.dist)
+        for r in REGISTRY["linkage_cjk_residue"].fn(spark, linkage_sf_dir).collect()
+    )
+    assert got == expect, f"\ngot   ={got}\nexpect={expect}"
+    assert len(got) > 0  # the fixture must actually exercise the path
+
+
+def test_cjk_residue_golden_distances(spark, linkage_sf_dir):
+    rows = {
+        r.doc_id: r
+        for r in REGISTRY["linkage_cjk_residue"].fn(spark, linkage_sf_dir).collect()
+    }
+    # CJK one-character typo (规律/规则): codepoint distance exactly 1
+    assert rows[11].match_doc == 12 and rows[11].dist == 1, rows.get(11)
+    assert rows[12].match_doc == 11 and rows[12].dist == 1, rows.get(12)
+    # astral substitution 🚀→🔥 counts ONE codepoint, not two UTF-16 units
+    assert rows[17].match_doc == 18 and rows[17].dist == 1, rows.get(17)
+    # Arabic one-letter typo (ة→ه)
+    assert rows[19].match_doc == 20 and rows[19].dist == 1, rows.get(19)
+    # unpaired CJK distractor and every ASCII-projectable doc stay out
+    for absent in (1, 2, 3, 9, 10, 13, 14, 15, 16, 21):
+        assert absent not in rows, rows.get(absent)
+
+
+def test_residue_and_projected_paths_partition_corpus(spark, linkage_sf_dir):
+    """Every non-empty document reaches exactly one linkage path's key
+    frame — no document is silently excluded from entity resolution."""
+    from asr_training_data_pipeline_spark.operators.associations import (
+        _linkage_candidates,
+    )
+
+    _, d_main = _linkage_candidates(spark, linkage_sf_dir)
+    _, d_res = _linkage_candidates(spark, linkage_sf_dir, residue=True)
+    main_ids = {r.doc_id for r in d_main.select("doc_id").collect()}
+    res_ids = {r.doc_id for r in d_res.select("doc_id").collect()}
+    assert main_ids & res_ids == set()
+    # 15 (NULL) and 16 ('') are the only exclusions
+    assert main_ids | res_ids == set(range(1, 22)) - {15, 16}
 
 
 def test_homoglyph_pair_forms_one_entity(spark, linkage_sf_dir):
