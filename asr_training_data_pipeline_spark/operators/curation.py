@@ -1582,3 +1582,185 @@ def logreg_irls_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("c2", 6).alias("beta2"),
         F.round(c("hit").cast("double") / c("n"), 6).alias("train_accuracy"),
     )
+
+
+# ---------------------------------------------------------------------
+# DSIR: data selection via importance resampling (hashed-ngram LMs)
+# ---------------------------------------------------------------------
+
+_DSIR_B = 4096          # hashed-feature buckets (the paper's "hashed n-grams")
+_DSIR_SCALE = 1_000_000  # micro-nat fixed point, same as the perplexity ops
+# u ∈ (0,1) strictly: 13 md5 hex chars = 52 uniform bits, +1, / (2^52+2)
+_DSIR_U_DEN = (1 << 52) + 2
+
+_DSIR_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         string_split(translate(text, '{{fsrc}}', '{{fdst}}'), ' ') AS t
+  FROM documents WHERE text IS NOT NULL
+),
+tl AS (SELECT min(lang) AS tlang FROM d),
+fb AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(g), 1, 8))::BIGINT % {_DSIR_B} AS b,
+         lang = tlang AS is_t
+  FROM (
+    SELECT doc_id, lang, unnest(t) AS g FROM d
+    UNION ALL
+    SELECT doc_id, lang,
+           unnest([t[i] || ' ' || t[i + 1] for i in range(1, len(t))]) AS g
+    FROM d
+  ), tl
+),
+cnts AS (
+  SELECT b, count(*) AS cr, sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct
+  FROM fb GROUP BY b
+),
+tots AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM cnts),
+lam AS (
+  SELECT b,
+         CAST(floor((ln(CAST(ct + 1 AS DOUBLE) / (nt + {_DSIR_B}))
+                     - ln(CAST(cr + 1 AS DOUBLE) / (nr + {_DSIR_B})))
+                    * {_DSIR_SCALE} + 0.5) AS BIGINT) AS lam_u
+  FROM cnts, tots
+),
+s AS (
+  SELECT fb.doc_id,
+         CAST(count(*) AS BIGINT) AS n_feats,
+         CAST(sum(lam.lam_u) AS BIGINT) AS logratio_u,
+         CAST(max(CASE WHEN fb.is_t THEN 1 ELSE 0 END) AS BOOLEAN) AS is_target
+  FROM fb JOIN lam USING (b)
+  GROUP BY fb.doc_id
+),
+g AS (
+  SELECT doc_id,
+         CAST(floor(-ln(-ln(
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1)
+             / {_DSIR_U_DEN}.0))
+             * {_DSIR_SCALE} + 0.5) AS BIGINT) AS g_u
+  FROM s
+)
+SELECT s.doc_id, s.n_feats, s.logratio_u,
+       round(CAST(s.logratio_u AS DOUBLE) / (s.n_feats * {_DSIR_SCALE}.0), 6)
+         AS avg_logratio,
+       CAST(s.logratio_u + g.g_u AS BIGINT) AS resample_key_u,
+       s.is_target
+FROM s JOIN g USING (doc_id)
+ORDER BY s.doc_id
+"""
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=_DSIR_SQL.format(fsrc=_F_SRC, fdst=_F_DST),
+    tags=("curation", "sampling", "quality"),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.,
+    NeurIPS 2023): score every raw document by how much more likely a
+    TARGET-domain hashed-ngram language model makes it than the raw-
+    corpus model, then emit Gumbel-perturbed resampling keys so a
+    top-k over ``resample_key_u`` draws k documents ∝ their importance
+    weight without replacement — the standard pretraining-corpus
+    selection recipe (select web data that "looks like" the curated
+    target).
+
+    Mechanics: features are hashed uni+bigrams (md5 → {_DSIR_B}
+    buckets — the portable-hash family the CMS/minhash paths share, so
+    both engines bucket identically); the target here is the corpus'
+    lexicographically-least ``lang`` slice (a deterministic stand-in
+    for "curated target set" — production passes its own target
+    table). Per-bucket add-one smoothing over B buckets; the
+    log-likelihood-ratio λ(b) = ln p_t(b) − ln p_r(b) is quantized
+    ONCE per DISTINCT bucket to integer micro-nats (the perplexity
+    ops' exactness recipe) so the per-document Σλ is an
+    order-independent bigint sum. The Gumbel key adds
+    ⌊−ln(−ln(u))·1e6⌉ with u drawn from 52 md5 bits of doc_id —
+    fully deterministic, identical in both engines.
+
+    Scale shape: one token-stream pass builds the B-bucket count
+    table (map-side combined; the exchange is ≤ B rows per partition);
+    λ broadcasts back to the feature stream (B = {_DSIR_B} rows —
+    trivially under any broadcast budget, and CONSTANT in corpus
+    size, unlike a word-keyed LM); the only corpus-keyed exchange is
+    the final doc_id aggregation. Selection = TakeOrdered on the key
+    (no global window). At 100 TB: same plan, B stays 4096.
+
+    Ref coverage: extends SURVEY §6's curation family (sampling/
+    quality); no reference §2 counterpart (reference is an ASR
+    pipeline) — this is north-star LLM-data tooling.
+    """
+    from .text_analysis import _bigram_structs
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    t = F.split(F.translate(F.col("text"), _F_SRC, _F_DST), " ")
+    d = docs.select("doc_id", "lang", t.alias("t"))
+    tl = d.agg(F.min("lang").alias("tlang"))
+    uni = d.select("doc_id", "lang", F.explode("t").alias("g"))
+    bi = d.select(
+        "doc_id",
+        "lang",
+        F.explode(_bigram_structs(F.col("t"))).alias("bg"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.concat(F.col("bg.w1"), F.lit(" "), F.col("bg.w2")).alias("g"),
+    )
+    fb = (
+        uni.unionByName(bi)
+        .crossJoin(F.broadcast(tl))
+        .select(
+            "doc_id",
+            F.pmod(
+                F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long"),
+                F.lit(_DSIR_B),
+            ).alias("b"),
+            (F.col("lang") == F.col("tlang")).alias("is_t"),
+        )
+    )
+    cnts = fb.groupBy("b").agg(
+        F.count("*").alias("cr"),
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("ct"),
+    )
+    tots = cnts.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
+    lam_u = F.floor(
+        (
+            F.log((F.col("ct") + 1).cast("double") / (F.col("nt") + _DSIR_B))
+            - F.log((F.col("cr") + 1).cast("double") / (F.col("nr") + _DSIR_B))
+        )
+        * _DSIR_SCALE
+        + 0.5
+    ).cast("bigint")
+    lam = cnts.crossJoin(F.broadcast(tots)).select("b", lam_u.alias("lam_u"))
+    s = (
+        fb.join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_feats"),
+            F.sum("lam_u").cast("bigint").alias("logratio_u"),
+            F.max(F.when(F.col("is_t"), 1).otherwise(0))
+            .cast("boolean")
+            .alias("is_target"),
+        )
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10
+        ).cast("long")
+        + 1
+    ).cast("double") / float(_DSIR_U_DEN)
+    g_u = F.floor(-F.log(-F.log(u)) * _DSIR_SCALE + 0.5).cast("bigint")
+    return s.select(
+        "doc_id",
+        "n_feats",
+        "logratio_u",
+        F.round(
+            F.col("logratio_u").cast("double")
+            / (F.col("n_feats") * float(_DSIR_SCALE)),
+            6,
+        ).alias("avg_logratio"),
+        (F.col("logratio_u") + g_u).cast("bigint").alias("resample_key_u"),
+        "is_target",
+    ).orderBy("doc_id")

@@ -1687,3 +1687,185 @@ def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_drifted"
         ),
     ).orderBy("dim")
+
+
+# ---------------------------------------------------------------------
+# Greedy k-center coreset (Gonzalez farthest-point selection)
+# ---------------------------------------------------------------------
+
+_KC_K = 8
+
+
+def _kc_d2(m: str, c: str) -> str:
+    return (
+        f"list_dot_product({m}.e, {m}.e) - 2 * list_dot_product({m}.e, {c}.ce)"
+        f" + list_dot_product({c}.ce, {c}.ce)"
+    )
+
+
+def _kc_sql() -> str:
+    """Unrolled DuckDB replay of the greedy selection: cent0 = min
+    vec_id; each round picks the point with the LARGEST running
+    min-d2 (strictly > 0, ties to the lower vec_id); the final
+    assignment re-ranks every point against the chosen set with the
+    same (d2 asc, cid asc) rule as the KMeans oracle."""
+    k = _KC_K
+    parts = [f"""WITH v AS (SELECT vec_id, cast(embedding AS double[]) AS e
+  FROM embeddings WHERE {_VALID_WHERE}),
+cent0 AS (SELECT vec_id AS cid, e AS ce FROM v
+          WHERE vec_id = (SELECT min(vec_id) FROM v)),
+m0 AS (SELECT m.vec_id, m.e, {_kc_d2('m', 'c')} AS md2 FROM v m, cent0 c)"""]
+    for i in range(1, k):
+        p = i - 1
+        d2 = _kc_d2("m", "c")
+        parts.append(f""",
+n{i} AS (SELECT vec_id FROM m{p} WHERE md2 > 0
+         ORDER BY md2 DESC, vec_id LIMIT 1),
+cent{i} AS (SELECT v.vec_id AS cid, v.e AS ce FROM v JOIN n{i} USING (vec_id)),
+m{i} AS (
+  SELECT m.vec_id, m.e,
+         CASE WHEN c.cid IS NULL THEN m.md2
+              WHEN {d2} < m.md2 THEN {d2}
+              ELSE m.md2 END AS md2
+  FROM m{p} m LEFT JOIN cent{i} c ON TRUE
+)""")
+    sel_union = "\n        UNION ALL ".join(
+        ["SELECT cid, 0 AS sel_idx FROM cent0"]
+        + [f"SELECT cid, {i} AS sel_idx FROM cent{i}" for i in range(1, k)]
+    )
+    d2a = _kc_d2("m", "c")
+    parts.append(f""",
+sel AS ({sel_union}),
+centv AS (SELECT s.cid, v.e AS ce FROM sel s JOIN v ON v.vec_id = s.cid),
+assign AS (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT m.vec_id, c.cid, {d2a} AS d2,
+           row_number() OVER (PARTITION BY m.vec_id
+                              ORDER BY {d2a}, c.cid) AS rn
+    FROM v m, centv c
+  ) WHERE rn = 1
+)
+SELECT a.vec_id, CAST(a.cid AS BIGINT) AS center_id, round(a.d2, 6) AS d2,
+       CAST(s.sel_idx AS BIGINT) AS sel_idx
+FROM assign a LEFT JOIN sel s ON s.cid = a.vec_id
+ORDER BY a.vec_id""")
+    return "".join(parts)
+
+
+@register(
+    "kcenter_coreset",
+    oracle=_kc_sql(),
+    tags=("similarity", "sampling", "iterative"),
+)
+def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GREEDY K-CENTER coreset (Gonzalez 1985 farthest-point
+    traversal): pick the min-vec_id seed, then k−1 times the point
+    FARTHEST from the chosen set — the classic 2-approximation to the
+    k-center cover, used as a diversity-maximizing coreset selector
+    over embeddings (complementing DSIR's distribution-matching
+    selection: k-center picks what's DIFFERENT, DSIR picks what's
+    target-like). Output: every valid vector with its nearest chosen
+    center, the squared distance (the covering radius is the max), and
+    the selection index for chosen rows.
+
+    Exactness: squared-L2 by the three-dot identity over sequential
+    double folds (the proven KMeans recipe, bit-equal to DuckDB's
+    list_dot_product); the running min is a pure LEAST over doubles
+    (no tie-dependent state), argmax ties break to the lower vec_id in
+    both engines, and a next center is only accepted at md2 > 0 — so
+    exact-duplicate points can never produce a duplicate center and
+    the unrolled oracle replays the identical trajectory.
+
+    Scale shape: k scans total (selection is inherently sequential in
+    k). Each round evaluates d2 against ≤ k center LITERALS scan-side
+    (no join, no window) and reduces with a TakeOrdered(1) — the only
+    thing ever collected is one (vec_id) row per round plus the k
+    center vectors (k·d doubles — the driver owns the model, exactly
+    as in KMeans/PQ). The final assignment is the KMeans argmin shape:
+    one scan against a sorted candidate-literal array. At 100 TB:
+    k·(scan cost); no corpus-keyed exchange at any point.
+    """
+    from ..caching import hold
+
+    emb = load_embeddings(spark, sf_dir)
+    v = hold(
+        "kcenter_v",
+        emb.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("e"),
+            dot_col(F.col("embedding"), F.col("embedding")).alias("ee"),
+        ),
+    )
+
+    def py_dot(xs):
+        acc = 0.0
+        for x in xs:
+            acc = acc + x * x
+        return acc
+
+    def d2_col(ce):
+        return (
+            F.col("ee")
+            - 2 * dot_col(F.col("e"), F.array(*[F.lit(float(x)) for x in ce]))
+            + F.lit(py_dot(ce))
+        )
+
+    empty = v.select(
+        "vec_id",
+        F.lit(None).cast("bigint").alias("center_id"),
+        F.lit(None).cast("double").alias("d2"),
+        F.lit(None).cast("bigint").alias("sel_idx"),
+    ).limit(0)
+    seed = v.agg(F.min("vec_id").alias("m")).collect()[0].m
+    if seed is None:
+        return empty
+
+    def center_vec(cid):
+        return list(
+            v.filter(F.col("vec_id") == cid).select("e").collect()[0].e
+        )
+
+    cents = [(int(seed), center_vec(seed))]
+    for _ in range(1, _KC_K):
+        d2s = [d2_col(ce) for _, ce in cents]
+        md2 = d2s[0] if len(d2s) == 1 else F.least(*d2s)
+        top = (
+            v.select("vec_id", md2.alias("md2"))
+            .filter(F.col("md2") > 0)
+            .orderBy(F.col("md2").desc(), "vec_id")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        nid = int(top[0].vec_id)
+        cents.append((nid, center_vec(nid)))
+
+    cands = F.array(
+        *[
+            F.struct(
+                d2_col(ce).alias("d2"), F.lit(cid).cast("long").alias("cid")
+            )
+            for cid, ce in cents
+        ]
+    )
+    best = F.element_at(
+        F.array_sort(
+            cands,
+            lambda l, r: F.when(l["d2"] < r["d2"], F.lit(-1))
+            .when(l["d2"] > r["d2"], F.lit(1))
+            .when(l["cid"] < r["cid"], F.lit(-1))
+            .otherwise(F.lit(1)),
+        ),
+        1,
+    )
+    sel = F.lit(None).cast("bigint")
+    for idx, (cid, _) in enumerate(cents):
+        sel = F.when(F.col("vec_id") == cid, F.lit(idx).cast("bigint")).otherwise(sel)
+    out = v.select("vec_id", best.alias("best"), sel.alias("sel_idx"))
+    return out.select(
+        "vec_id",
+        F.col("best.cid").cast("bigint").alias("center_id"),
+        F.round("best.d2", 6).alias("d2"),
+        "sel_idx",
+    ).orderBy("vec_id")
