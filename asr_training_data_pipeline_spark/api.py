@@ -26,92 +26,96 @@ from .streaming import stateful, windows  # noqa: F401
 
 _PRIORITY = (
     # ------------------------------------------------------------------
-    # r8 rotation wave 5 (VERDICT r7 tasks 1+3). Composition of the 50:
-    #   * the flagship + the two r7 driver REDS (hll_distinct /
-    #     hll_column_profile stay until a green driver row exists —
-    #     VERDICT r7 task 1; their green sibling hll_merge_shards stays
-    #     as the family cross-check);
-    #   * every query whose CODE changed this round, which therefore
-    #     needs a fresh driver row: the fold-dependent trained-text and
-    #     SNM/linkage queries (generated Unicode casefold + ASCII
-    #     projection), the distributed_rank consumers (sampled-boundary
-    #     buckets), and the ADVICE fixes (basket_lift lift overflow,
-    #     cms_join_size empty-row floor, streaming_distinct_hll NULL
-    #     gate);
-    #   * the eight r8-new operators (first-round-exposure rule):
-    #     pagerank_coorder, incremental_agg_retract,
-    #     sampled_quantiles_orders, bpe_fertility_by_lang,
-    #     dedup_tf_cosine, top_event_paths, gopher_quality_flags,
-    #     dedup_paragraph;
-    #   * the twenty deferred once-green members queued since wave 3/4
-    #     (the full api.py queue list) — their SECOND greens;
-    #   * a second green for the refactor-adjacent
-    #     exact_quantiles_orders (helper extraction).
-    # Funded by retiring the CORRECTNESS_r07-green r7 newcomers
-    # (dedup_ppjoin, event_transition_matrix, cms_word_counts …), the
-    # twice-green ANN/audit/ML block (green r6+r7), and the wave-4
-    # rows-only members after their first driver row (streaming_bloom_
-    # gate, vad, mllib tfidf/brp, multimodal_frame_sample). Every
-    # retiree stays pytest-oracle-covered on every suite run.
+    # r9 rotation wave 6 (VERDICT r8 tasks 1+4). Composition of the 50:
+    #   * flagship word_coverage;
+    #   * the two r7/r8 driver REDS hll_distinct / hll_column_profile —
+    #     root-caused this round (uncast HUGEINT SUM → decimal128 in
+    #     the oracle's zero_registers; fixed at sketches.py
+    #     _hll_finalize_sql) — they stay at the head until the driver
+    #     confirms green, with hll_merge_shards as the family
+    #     cross-check;
+    #   * changed-code re-validations: record_linkage_fuzzy /
+    #     linkage_entities (the _linkage_candidates residue-gate
+    #     refactor + _best_links extraction);
+    #   * the three r9-new operators (first-round exposure):
+    #     linkage_cjk_residue (rows-only BY NATURE — codepoint
+    #     Levenshtein has no byte-exact DuckDB form; Python-reference
+    #     pinned), dsir_importance_weights, kcenter_coreset;
+    #   * second greens for the eight r8 newcomers (pagerank_coorder …
+    #     dedup_paragraph) and for the eight r7 first-green members
+    #     retired in wave 5 (dedup_ppjoin, event_transition_matrix,
+    #     cms_word_counts, streaming_bloom_gate, vad_speech_segments,
+    #     mllib_tfidf_features, mllib_brp_ann_topk,
+    #     multimodal_frame_sample);
+    #   * the standing rows-only reference-pipeline core
+    #     (dedup_minhash_lsh, asr_pipeline_clips, asr_pipeline_summary,
+    #     sink_export_manifest) — the composite that drives J1-J4,
+    #     F2-F6, W1-W4, A3/A8, C4-C7, C13 under the driver each round;
+    #   * the remaining 21 slots pay down verification debt with the
+    #     OLDEST single-green members (the r2 relational block:
+    #     anti_join … skew_join_salted — each last checked in
+    #     CORRECTNESS_r02). topk_orders_per_cust (also 1-green r2) is
+    #     deferred one wave: it runs under bench.py every round and the
+    #     r2 block fills the slots; next wave takes it plus the r3
+    #     singles (group_concat_ordered, doc_fingerprint, …).
+    # Funded by retiring the twenty wave-5 second-green members and the
+    # changed-code re-validations CORRECTNESS_r08 confirmed green
+    # (rfm_segments, snm pair/multikey/recall, bpe_merges/vocab,
+    # langid_trained, pmi_collocations, basket_lift, cms_join_size,
+    # streaming_distinct_hll, vocab_coverage … event_rate_anomalies,
+    # exact_quantiles_orders). Every retiree stays DuckDB-checked on
+    # every suite run via tests/test_oracle_parity.py.
     # ------------------------------------------------------------------
     "word_coverage",
     "hll_distinct",
     "hll_column_profile",
     "hll_merge_shards",
-    "rfm_segments",
-    "sorted_neighborhood_pairs",
-    "sorted_neighborhood_multikey",
-    "snm_recall_eval",
     "record_linkage_fuzzy",
     "linkage_entities",
-    "bpe_merges",
-    "bpe_vocab",
-    "langid_trained",
-    "pmi_collocations",
-    "basket_lift",
-    "cms_join_size",
-    "streaming_distinct_hll",
+    "linkage_cjk_residue",
+    "dsir_importance_weights",
+    "kcenter_coreset",
     "pagerank_coorder",
     "incremental_agg_retract",
     "sampled_quantiles_orders",
     "bpe_fertility_by_lang",
-    "dedup_minhash_lsh",
-    "asr_pipeline_clips",
-    "asr_pipeline_summary",
-    "sink_export_manifest",
-    "vocab_coverage",
-    "lang_id_confusion",
-    "embedding_centroids",
-    "validate_embeddings",
-    "cohort_retention",
-    "dedup_cluster_stats",
-    "mixture_weights",
-    "minhash_calibration",
-    "length_filter_adaptive",
-    "profile_embeddings",
-    "dedup_substring_spans",
-    "mllib_minhash_pairs",
-    "multimodal_image_resize",
-    "pack_sequences",
-    "train_test_split",
-    "bottomk_sample_per_lang",
-    "funnel_stages",
-    "dedup_incremental",
-    "sink_training_shards",
-    "event_rate_anomalies",
-    # second green: refactor-adjacent (the _disc_quantiles extraction)
-    "exact_quantiles_orders",
-    # r8-new (first-round exposure; slots funded by retiring the
-    # twice-green heavy_hitter_words — text keeps bpe×3/langid/pmi
-    # reps — and deferring the second greens of bloom_calibration,
-    # kmv_corpus_overlap and incremental_agg_refresh: the sketch
-    # family keeps hll×3 + cms_join_size in the prefix, IVM keeps the
-    # new retract path, and all three deferred members stay
-    # pytest-oracle-covered every run)
     "dedup_tf_cosine",
     "top_event_paths",
     "gopher_quality_flags",
     "dedup_paragraph",
+    "dedup_ppjoin",
+    "event_transition_matrix",
+    "cms_word_counts",
+    "streaming_bloom_gate",
+    "vad_speech_segments",
+    "mllib_tfidf_features",
+    "mllib_brp_ann_topk",
+    "multimodal_frame_sample",
+    "dedup_minhash_lsh",
+    "asr_pipeline_clips",
+    "asr_pipeline_summary",
+    "sink_export_manifest",
+    "anti_join_customers",
+    "conditional_agg_orders",
+    "corr_qty_price",
+    "correlated_min_subquery",
+    "cube_quantities",
+    "cust_order_distribution",
+    "distinct_counts",
+    "filter_pushdown_projection",
+    "grouping_sets_revenue",
+    "join_broadcast_dims",
+    "ntile_quartiles",
+    "percentile_prices",
+    "pivot_revenue_by_status",
+    "q18_large_volume",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "rollup_revenue",
+    "semi_join_customers",
+    "set_ops_segments",
+    "skew_join_salted",
 )
 
 # Rotation queue for the NEXT prefix refresh: after CORRECTNESS_r08,
