@@ -62,9 +62,11 @@ def build_cjk50k() -> None:
 COPY (
   SELECT i AS doc_id,
          array_to_string(
-           [chr(19968 + ((i // 2) * 31 + j * 7) % 2000) for j in range(29)],
+           [chr(CAST(19968 + ((i // 2) * 31 + j * 7) % 2000 AS INTEGER))
+            for j in range(29)],
            '')
-         || chr(19968 + 2100 + ((i // 2) % 400) * 2 + (i % 2)) AS text,
+         || chr(CAST(19968 + 2100 + ((i // 2) % 400) * 2 + (i % 2)
+                     AS INTEGER)) AS text,
          'zh' AS lang,
          CASE WHEN i % 2 = 0 THEN 'src_a' ELSE 'src_b' END AS source,
          CAST(30 AS BIGINT) AS n_chars
