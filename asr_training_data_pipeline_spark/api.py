@@ -37,10 +37,11 @@ _PRIORITY = (
     #   * changed-code re-validations: record_linkage_fuzzy /
     #     linkage_entities (the _linkage_candidates residue-gate
     #     refactor + _best_links extraction);
-    #   * the three r9-new operators (first-round exposure):
+    #   * the four r9-new operators (first-round exposure):
     #     linkage_cjk_residue (rows-only BY NATURE — codepoint
     #     Levenshtein has no byte-exact DuckDB form; Python-reference
-    #     pinned), dsir_importance_weights, kcenter_coreset;
+    #     pinned), dsir_importance_weights, kcenter_coreset,
+    #     token_psi_drift;
     #   * second greens for the eight r8 newcomers (pagerank_coorder …
     #     dedup_paragraph) and for the eight r7 first-green members
     #     retired in wave 5 (dedup_ppjoin, event_transition_matrix,
@@ -53,11 +54,12 @@ _PRIORITY = (
     #     F2-F6, W1-W4, A3/A8, C4-C7, C13 under the driver each round;
     #   * the remaining 21 slots pay down verification debt with the
     #     OLDEST single-green members (the r2 relational block:
-    #     anti_join … skew_join_salted — each last checked in
-    #     CORRECTNESS_r02). topk_orders_per_cust (also 1-green r2) is
-    #     deferred one wave: it runs under bench.py every round and the
-    #     r2 block fills the slots; next wave takes it plus the r3
-    #     singles (group_concat_ordered, doc_fingerprint, …).
+    #     anti_join … set_ops_segments — each last checked in
+    #     CORRECTNESS_r02). topk_orders_per_cust and skew_join_salted
+    #     (also 1-green r2) are deferred one wave: topk runs under
+    #     bench.py every round and the slots ran out; next wave takes
+    #     them plus the r3 singles (group_concat_ordered,
+    #     doc_fingerprint, …).
     # Funded by retiring the twenty wave-5 second-green members and the
     # changed-code re-validations CORRECTNESS_r08 confirmed green
     # (rfm_segments, snm pair/multikey/recall, bpe_merges/vocab,
@@ -75,6 +77,7 @@ _PRIORITY = (
     "linkage_cjk_residue",
     "dsir_importance_weights",
     "kcenter_coreset",
+    "token_psi_drift",
     "pagerank_coorder",
     "incremental_agg_retract",
     "sampled_quantiles_orders",
@@ -115,7 +118,6 @@ _PRIORITY = (
     "rollup_revenue",
     "semi_join_customers",
     "set_ops_segments",
-    "skew_join_salted",
 )
 
 # Rotation queue for the NEXT prefix refresh: after CORRECTNESS_r08,

@@ -1992,3 +1992,142 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("lift_ppm").desc(), "w1", "w2"
     ).limit(_PMI_TOPK)
+
+
+# ---------------------------------------------------------------------
+# Token-distribution drift: Population Stability Index over hashed
+# buckets between two corpus snapshots
+# ---------------------------------------------------------------------
+
+_PSI_B = 1024           # hashed token buckets
+_PSI_SCALE = 1_000_000  # micro fixed point for the per-bucket PSI term
+
+_PSI_SQL = f"""
+WITH d AS (
+  SELECT lang, doc_id % 2 = 0 AS in_a,
+         unnest(string_split(translate(text, '{_FOLD_SRC}', '{_FOLD_DST}'),
+                ' ')) AS w
+  FROM documents WHERE text IS NOT NULL
+),
+cnt AS (
+  SELECT lang,
+         ('0x' || substr(md5(w), 1, 8))::BIGINT % {_PSI_B} AS b,
+         sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS cb
+  FROM d GROUP BY lang, b
+),
+grid AS (
+  SELECT l.lang, g.b, COALESCE(c.ca, 0) AS ca, COALESCE(c.cb, 0) AS cb
+  FROM (SELECT DISTINCT lang FROM d) l
+  CROSS JOIN (SELECT CAST(range AS BIGINT) AS b FROM range(0, {_PSI_B})) g
+  LEFT JOIN cnt c ON c.lang = l.lang AND c.b = g.b
+),
+tot AS (SELECT lang, sum(ca) AS na, sum(cb) AS nb FROM grid GROUP BY lang),
+term AS (
+  SELECT g.lang, g.b, t.na, t.nb,
+         CAST(floor(
+           (CAST(g.ca + 1 AS DOUBLE) / (t.na + {_PSI_B})
+            - CAST(g.cb + 1 AS DOUBLE) / (t.nb + {_PSI_B}))
+           * ln((CAST(g.ca + 1 AS DOUBLE) / (t.na + {_PSI_B}))
+                / (CAST(g.cb + 1 AS DOUBLE) / (t.nb + {_PSI_B})))
+           * {_PSI_SCALE} + 0.5) AS BIGINT) AS c_u
+  FROM grid g JOIN tot t USING (lang)
+)
+SELECT lang,
+       CAST(any_value(na) AS BIGINT) AS n_tokens_a,
+       CAST(any_value(nb) AS BIGINT) AS n_tokens_b,
+       CAST(sum(c_u) AS BIGINT) AS psi_micro,
+       CAST(arg_min(b, (0 - c_u) * {_PSI_B} + b) AS BIGINT) AS top_bucket,
+       CAST(max(c_u) AS BIGINT) AS top_contrib_micro
+FROM term
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("token_psi_drift", oracle=_PSI_SQL, tags=("text", "drift", "quality"))
+def token_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-DISTRIBUTION drift between two corpus snapshots by
+    Population Stability Index over hashed token buckets — the text
+    counterpart of ``embedding_drift``: ingest monitoring that fires
+    when a feed's language/token mix shifts (new boilerplate, encoding
+    regressions, upstream filter changes) before the shift poisons a
+    training mix. Snapshot split here is the deterministic doc_id
+    parity stand-in (the bigram-LM precedent); production feeds two
+    real snapshot tables.
+
+    PSI = Σ_b (p_A(b) − p_B(b))·ln(p_A(b)/p_B(b)) over B={_PSI_B}
+    md5-hashed buckets (the portable-hash family), add-one smoothed so
+    every bucket is finite; each bucket's term is non-negative (both
+    factors share sign), so psi_micro ≥ top_contrib_micro ≥ 0 —
+    pinned in tests. The standard reading: <0.1·1e6 stable,
+    >0.25·1e6 shifted.
+
+    Exactness: one libm evaluation per DISTINCT (lang, bucket) row,
+    quantized to integer micro units — the per-lang reduction is an
+    order-independent bigint sum (the perplexity/DSIR recipe); the
+    top-contributor argmax ties to the lower bucket id in both
+    engines.
+
+    Scale shape: the only corpus-sized input is the token stream; it
+    reduces map-side into a ≤ langs·{_PSI_B}-row count grid (the
+    HLL/CMS flat-shuffle thesis — constant width in corpus volume),
+    and everything after operates on that grid. At 100 TB the
+    exchange is still ≤ langs·1024 rows per partition.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = docs.select(
+        "lang",
+        (F.col("doc_id") % 2 == 0).alias("in_a"),
+        F.explode(
+            F.split(F.translate(F.col("text"), _FOLD_SRC, _FOLD_DST), " ")
+        ).alias("w"),
+    )
+    cnt = toks.select(
+        "lang",
+        F.pmod(
+            F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long"),
+            F.lit(_PSI_B),
+        ).alias("b"),
+        "in_a",
+    ).groupBy("lang", "b").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("in_a"), 0).otherwise(1)).alias("cb"),
+    )
+    grid = (
+        toks.select("lang")
+        .distinct()
+        .select(
+            "lang",
+            F.explode(F.sequence(F.lit(0), F.lit(_PSI_B - 1))).alias("b"),
+        )
+        .withColumn("b", F.col("b").cast("long"))
+        .join(cnt, ["lang", "b"], "left")
+        .fillna({"ca": 0, "cb": 0})
+    )
+    tot = grid.groupBy("lang").agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    pa = (F.col("ca") + 1).cast("double") / (F.col("na") + _PSI_B)
+    pb = (F.col("cb") + 1).cast("double") / (F.col("nb") + _PSI_B)
+    c_u = F.floor((pa - pb) * F.log(pa / pb) * _PSI_SCALE + 0.5).cast("bigint")
+    term = grid.join(F.broadcast(tot), "lang").select(
+        "lang", "b", "na", "nb", c_u.alias("c_u")
+    )
+    return (
+        term.groupBy("lang")
+        .agg(
+            F.first("na").cast("bigint").alias("n_tokens_a"),
+            F.first("nb").cast("bigint").alias("n_tokens_b"),
+            F.sum("c_u").cast("bigint").alias("psi_micro"),
+            # composite argmin key (unique: b < B, so max-c_u ties to
+            # the lower bucket id deterministically in both engines)
+            F.expr(f"min_by(b, (0 - c_u) * {_PSI_B} + b)")
+            .cast("bigint")
+            .alias("top_bucket"),
+            F.max("c_u").cast("bigint").alias("top_contrib_micro"),
+        )
+        .orderBy("lang")
+    )

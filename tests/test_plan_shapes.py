@@ -398,3 +398,41 @@ def test_sampled_quantiles_share_the_histogram_shape(spark, sf_dir):
     plan = _executed_plan(spark, sf_dir, "sampled_quantiles_orders")
     assert "percentile" not in plan.lower()
     assert plan.count("BroadcastHashJoin") >= 2, "bucket targets not broadcast"
+
+
+def test_dsir_lambda_table_broadcasts(spark, sf_dir):
+    """The B=4096 λ table must BROADCAST to the feature stream (it is
+    constant-size in corpus volume — the whole point of hashed-ngram
+    LMs), and the only hash exchanges may carry the bucket id or the
+    doc_id — never token/gram columns."""
+    plan = _executed_plan(spark, sf_dir, "dsir_importance_weights")
+    assert "BroadcastHashJoin" in plan
+    exchange_keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    for k in exchange_keys:
+        assert k.lstrip().startswith(("b#", "doc_id#")), exchange_keys
+    # no sort-merge join anywhere: every join side is broadcast-sized
+    assert "SortMergeJoin" not in plan
+
+
+def test_kcenter_assignment_no_shuffle_no_window(spark, sf_dir):
+    """The final assignment is ONE scan against center literals: no
+    Window over the corpus, no join, no hash exchange of vectors —
+    the only allowed exchanges serve the output orderBy (range
+    partitioning) — and the argmin is the scan-side sorted candidate
+    array."""
+    plan = _executed_plan(spark, sf_dir, "kcenter_coreset")
+    spark.catalog.clearCache()
+    assert "Window" not in plan
+    assert "Join" not in plan  # centers are literals, never a joined frame
+    assert "Exchange hashpartitioning" not in plan
+    assert "array_sort" in plan
+
+
+def test_cjk_residue_no_cartesian(spark, sf_dir):
+    """The residue path must keep the main path's shape: block
+    equi-join (never a cartesian), length bound before the edit
+    distance."""
+    plan = _executed_plan(spark, sf_dir, "linkage_cjk_residue")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan

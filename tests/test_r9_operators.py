@@ -218,3 +218,59 @@ def test_kcenter_farthest_property(spark, sf_dir):
         chosen = min(d2(cents[idx], c) for c in prior)
         for i in vecs:
             assert min(d2(i, c) for c in prior) <= chosen or i in prior
+
+
+# ---------------------------------------------------------------------
+# token PSI drift
+# ---------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def psi_sf_dir(sf_dir):
+    """lang 'dr' drifts hard between the doc_id-parity snapshots
+    (disjoint vocabularies); lang 'st' is token-identical across them."""
+    d = tempfile.mkdtemp(prefix="psi_sf_")
+    rows = []
+    for i in range(0, 200, 2):
+        rows.append((i, "alpha beta gamma delta epsilon", "dr", "s", 30))
+        rows.append((i + 1, "zeta eta theta iota kappa", "dr", "s", 26))
+        rows.append((1000 + i, "stable corpus words here now", "st", "s", 29))
+        rows.append((1001 + i, "stable corpus words here now", "st", "s", 29))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents(doc_id BIGINT, text VARCHAR, lang VARCHAR,"
+        " source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?,?,?,?,?)", rows)
+    con.execute(f"COPY documents TO '{d}/documents.parquet' (FORMAT PARQUET)")
+    con.close()
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "embeddings",
+    ):
+        shutil.copyfile(f"{sf_dir}/{t}.parquet", f"{d}/{t}.parquet")
+    return d
+
+
+def test_psi_separates_drifted_from_stable(spark, psi_sf_dir):
+    rows = {
+        r.lang: r
+        for r in REGISTRY["token_psi_drift"].fn(spark, psi_sf_dir).collect()
+    }
+    # disjoint-vocabulary drift fires well past the 0.25 alarm line
+    assert rows["dr"].psi_micro > 250_000, rows["dr"]
+    # token-identical halves sit essentially at zero (smoothing residue
+    # only — n_a == n_b makes even that vanish)
+    assert rows["st"].psi_micro < 10_000, rows["st"]
+    assert rows["dr"].psi_micro > 50 * max(rows["st"].psi_micro, 1)
+    # the top contributor is a real constituent of the PSI sum
+    for r in rows.values():
+        assert 0 <= r.top_contrib_micro <= r.psi_micro
+
+
+def test_psi_nonnegative_everywhere(spark, sf_dir):
+    out = REGISTRY["token_psi_drift"].fn(spark, sf_dir)
+    assert out.filter(
+        (F.col("psi_micro") < 0) | (F.col("top_contrib_micro") < 0)
+    ).count() == 0
+    assert out.count() > 0
