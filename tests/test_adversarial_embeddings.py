@@ -45,6 +45,10 @@ QUERIES = [
     "dedup_semantic",
     "dedup_semantic_clustered",
     "corpus_curation_multimodal",
+    # r9: the greedy coreset runs on the same valid-gated domain; the
+    # zero vector is quarantined, duplicates (vec_id 1/2) can never
+    # both become centers (md2 > 0 acceptance), denormals are valid
+    "kcenter_coreset",
 ]
 
 

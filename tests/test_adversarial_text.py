@@ -130,6 +130,13 @@ QUERIES = [
     "dedup_paragraph",
     "gopher_quality_flags",
     "bpe_fertility_by_lang",
+    # r9 text wave: NULL text drops before feature extraction; the
+    # hostile tokens (NUL bytes, emoji, RTL, huge words) round-trip
+    # through the md5 bucket hash as identical UTF-8 bytes in both
+    # engines; DSIR's min(lang) target pick and PSI's doc_id-parity
+    # split are data-independent of the text content
+    "dsir_importance_weights",
+    "token_psi_drift",
 ]
 
 

@@ -61,6 +61,12 @@ MONO_QUERIES = [
     "linreg_closed_form",
     "logreg_irls_probe",
     "unigram_perplexity",
+    # r9: one lang makes the DSIR target = the whole corpus (λ ≡ 0,
+    # every weight exactly zero) and the PSI halves token-identical
+    # (every term exactly zero) — the all-zero paths must still be
+    # hash-exact
+    "dsir_importance_weights",
+    "token_psi_drift",
 ]
 
 DISTINCT_QUERIES = [
@@ -68,6 +74,8 @@ DISTINCT_QUERIES = [
     "heavy_hitter_words",
     "bpe_merges",
     "bpe_vocab",
+    "dsir_importance_weights",
+    "token_psi_drift",
 ]
 
 
