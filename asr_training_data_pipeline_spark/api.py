@@ -37,11 +37,11 @@ _PRIORITY = (
     #   * changed-code re-validations: record_linkage_fuzzy /
     #     linkage_entities (the _linkage_candidates residue-gate
     #     refactor + _best_links extraction);
-    #   * the four r9-new operators (first-round exposure):
+    #   * the five r9-new operators (first-round exposure):
     #     linkage_cjk_residue (rows-only BY NATURE — codepoint
     #     Levenshtein has no byte-exact DuckDB form; Python-reference
     #     pinned), dsir_importance_weights, kcenter_coreset,
-    #     token_psi_drift;
+    #     token_psi_drift, streaming_psi_monitor;
     #   * second greens for the eight r8 newcomers (pagerank_coorder …
     #     dedup_paragraph) and for the eight r7 first-green members
     #     retired in wave 5 (dedup_ppjoin, event_transition_matrix,
@@ -54,12 +54,12 @@ _PRIORITY = (
     #     F2-F6, W1-W4, A3/A8, C4-C7, C13 under the driver each round;
     #   * the remaining 21 slots pay down verification debt with the
     #     OLDEST single-green members (the r2 relational block:
-    #     anti_join … set_ops_segments — each last checked in
-    #     CORRECTNESS_r02). topk_orders_per_cust and skew_join_salted
-    #     (also 1-green r2) are deferred one wave: topk runs under
-    #     bench.py every round and the slots ran out; next wave takes
-    #     them plus the r3 singles (group_concat_ordered,
-    #     doc_fingerprint, …).
+    #     anti_join … semi_join_customers — each last checked in
+    #     CORRECTNESS_r02). topk_orders_per_cust, set_ops_segments and
+    #     skew_join_salted (also 1-green r2) are deferred one wave:
+    #     topk runs under bench.py every round and the slots ran out;
+    #     next wave takes them plus the r3 singles
+    #     (group_concat_ordered, doc_fingerprint, …).
     # Funded by retiring the twenty wave-5 second-green members and the
     # changed-code re-validations CORRECTNESS_r08 confirmed green
     # (rfm_segments, snm pair/multikey/recall, bpe_merges/vocab,
@@ -78,6 +78,7 @@ _PRIORITY = (
     "dsir_importance_weights",
     "kcenter_coreset",
     "token_psi_drift",
+    "streaming_psi_monitor",
     "pagerank_coorder",
     "incremental_agg_retract",
     "sampled_quantiles_orders",
@@ -117,7 +118,6 @@ _PRIORITY = (
     "q5_local_supplier_volume",
     "rollup_revenue",
     "semi_join_customers",
-    "set_ops_segments",
 )
 
 # Rotation queue for the NEXT prefix refresh: after CORRECTNESS_r08,

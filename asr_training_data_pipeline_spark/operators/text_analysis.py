@@ -2086,20 +2086,28 @@ def token_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("w"),
     )
     cnt = toks.select(
-        "lang",
-        F.pmod(
-            F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long"),
-            F.lit(_PSI_B),
-        ).alias("b"),
-        "in_a",
+        "lang", psi_bucket_col("w").alias("b"), "in_a"
     ).groupBy("lang", "b").agg(
         F.sum(F.when(F.col("in_a"), 1).otherwise(0)).alias("ca"),
         F.sum(F.when(F.col("in_a"), 0).otherwise(1)).alias("cb"),
     )
+    return psi_report(cnt, toks.select("lang").distinct())
+
+
+def psi_bucket_col(w) -> F.Column:
+    """md5 portable bucket hash (the CMS/minhash/DSIR family)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"),
+        F.lit(_PSI_B),
+    )
+
+
+def psi_report(cnt: DataFrame, langs: DataFrame) -> DataFrame:
+    """(lang, b, ca, cb) sparse bucket counts + lang domain → the PSI
+    report frame — the shared finalize of :func:`token_psi_drift` and
+    the streaming monitor. Operates on the ≤ langs·B-row grid only."""
     grid = (
-        toks.select("lang")
-        .distinct()
-        .select(
+        langs.select(
             "lang",
             F.explode(F.sequence(F.lit(0), F.lit(_PSI_B - 1))).alias("b"),
         )

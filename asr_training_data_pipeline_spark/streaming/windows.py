@@ -522,3 +522,75 @@ def streaming_distinct_hll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fin.join(exact, "window_start_us").select(
         "window_start_us", "live_registers", "exact_users", "hll_users"
     ).orderBy("window_start_us")
+
+
+# ---------------------------------------------------------------------
+# Streaming PSI drift monitor (token-distribution shift on ingest)
+# ---------------------------------------------------------------------
+
+
+def _psi_stream_sql() -> str:
+    # Identical math to the batch token_psi_drift oracle: the streaming
+    # side processes the odd-doc_id "new feed" while the even half is
+    # the batch-side reference — exactly the in_a parity split.
+    from ..operators.text_analysis import _PSI_SQL
+
+    return _PSI_SQL
+
+
+@register(
+    "streaming_psi_monitor",
+    oracle=_psi_stream_sql(),
+    tags=("streaming", "drift", "sketch"),
+)
+def streaming_psi_monitor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The token-PSI drift monitor ON A STREAM — distribution-shift
+    detection at ingest time: the arriving feed (here the odd-doc_id
+    half of the staged documents, the same parity split as the batch
+    query) maintains ONLY a (lang, bucket) → count state — at most
+    langs·1024 rows, CONSTANT in stream volume (the HLL-registers
+    thesis applied to a frequency sketch) — and the PSI finalize runs
+    batch-side on the materialized count table against the reference
+    half's counts, reusing the exact shared finalize
+    (operators.text_analysis.psi_report). Alarm reading is the batch
+    query's: psi_micro > 250 000 means the feed has shifted.
+
+    Exactness: bucket hash, smoothing, micro-nat quantization and the
+    top-contributor argmin are the batch operator's own Columns, so
+    the DuckDB oracle is the batch PSI SQL verbatim — the streaming
+    result is hash-exact, not approximately checked.
+
+    At 100 TB feeds: the stream-side state never grows (counts, not
+    sets); the reference count grid ships as a ≤ langs·1024-row batch
+    frame rebuilt per monitoring cycle — no per-batch corpus join.
+    """
+    from ..functions.casefold import FOLD_DST, FOLD_SRC
+    from ..operators.text_analysis import psi_bucket_col, psi_report
+
+    fold = lambda c: F.translate(c, FOLD_SRC, FOLD_DST)  # noqa: E731
+
+    raw = _probed_stream(spark, _stage_dir(sf_dir, "documents"))
+    new_toks = (
+        raw.filter(F.col("text").isNotNull() & (F.col("doc_id") % 2 == 1))
+        .select(
+            "lang", F.explode(F.split(fold(F.col("text")), " ")).alias("w")
+        )
+        .select("lang", psi_bucket_col("w").alias("b"))
+    )
+    scnt = new_toks.groupBy("lang", "b").agg(F.count("*").alias("cb"))
+    stream_counts = _run_to_memory(scnt, mode="complete")
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    ref = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(
+            "lang", F.explode(F.split(fold(F.col("text")), " ")).alias("w")
+        )
+        .select("lang", psi_bucket_col("w").alias("b"))
+        .groupBy("lang", "b")
+        .agg(F.count("*").alias("ca"))
+    )
+    cnt = ref.join(stream_counts, ["lang", "b"], "full")
+    return psi_report(cnt, docs.select("lang").distinct())

@@ -274,3 +274,16 @@ def test_psi_nonnegative_everywhere(spark, sf_dir):
         (F.col("psi_micro") < 0) | (F.col("top_contrib_micro") < 0)
     ).count() == 0
     assert out.count() > 0
+
+
+def test_streaming_psi_equals_batch(spark, sf_dir):
+    """The stateless-plan unification guarantee: the streaming monitor
+    (odd half streamed, even half as batch reference) must equal the
+    batch token_psi_drift frame row-for-row."""
+    batch = sorted(
+        map(tuple, REGISTRY["token_psi_drift"].fn(spark, sf_dir).collect())
+    )
+    stream = sorted(
+        map(tuple, REGISTRY["streaming_psi_monitor"].fn(spark, sf_dir).collect())
+    )
+    assert batch == stream and len(batch) > 0
