@@ -771,6 +771,122 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# Duplication analytics: which SOURCES mirror each other — the
+# curation question the pair set exists to answer at 100 TB (drop or
+# down-weight whole feeds, not individual docs).
+# ---------------------------------------------------------------------
+
+
+def _rate_by_source_sql() -> str:
+    """Oracle: the full portable-MinHash pipeline as a CTE, labelled
+    with each side's source and aggregated per normalized source
+    pair."""
+    from ..functions.exact import davg_sql
+
+    return f"""
+WITH mh AS ({_minhash_portable_sql()}),
+lab AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b,
+         m.est_jaccard
+  FROM mh m
+  JOIN documents da ON m.doc_a = da.doc_id
+  JOIN documents db ON m.doc_b = db.doc_id
+),
+agg AS (
+  SELECT source_a, source_b,
+         cast(count(*) AS bigint) AS dup_pairs,
+         round({davg_sql('est_jaccard')}, 6) AS avg_est
+  FROM lab GROUP BY source_a, source_b
+),
+cnt AS (SELECT source, cast(count(*) AS bigint) AS n_docs
+        FROM documents GROUP BY source)
+SELECT a.source_a, a.source_b, a.dup_pairs, a.avg_est,
+       ca.n_docs AS docs_a, cb.n_docs AS docs_b
+FROM agg a
+JOIN cnt ca ON a.source_a = ca.source
+JOIN cnt cb ON a.source_b = cb.source
+ORDER BY dup_pairs DESC, source_a, source_b
+"""
+
+
+@register(
+    "dedup_rate_by_source",
+    oracle=_rate_by_source_sql(),
+    tags=("dedup", "lsh", "curation"),
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: MinHash near-dup pairs labelled
+    by each side's source, aggregated per normalized (source_a ≤
+    source_b) pair with per-source doc counts — within-source rows
+    (source_a = source_b) measure internal redundancy, off-diagonal
+    rows measure feed mirroring.
+
+    Scale: the expensive part is the pair set itself (the banded
+    MinHash join, measured in SCALING.md); this layer adds two
+    doc_id-keyed projections of (doc_id, source) — 16-byte rows — and
+    a broadcast of the per-source count table (|sources| rows). The
+    oracle replays the ENTIRE pipeline including the portable
+    signatures, so the aggregation is exact end-to-end, not just
+    sampled."""
+    from ..functions.exact import davg
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select("doc_id", "source")
+    pairs = dedup_minhash_portable(spark, sf_dir)
+    labelled = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+            "est_jaccard",
+        )
+    )
+    agg = labelled.groupBy("source_a", "source_b").agg(
+        F.count("*").cast("bigint").alias("dup_pairs"),
+        F.round(davg("est_jaccard"), 6).alias("avg_est"),
+    )
+    counts = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    return (
+        agg.join(
+            F.broadcast(
+                counts.select(
+                    F.col("source").alias("source_a"),
+                    F.col("n_docs").alias("docs_a"),
+                )
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                counts.select(
+                    F.col("source").alias("source_b"),
+                    F.col("n_docs").alias("docs_b"),
+                )
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a", "source_b", "dup_pairs", "avg_est", "docs_a", "docs_b"
+        )
+        .orderBy(F.desc("dup_pairs"), "source_a", "source_b")
+    )
+
+
+# ---------------------------------------------------------------------
 # SimHash (frequency-weighted 64-bit fingerprint)
 # ---------------------------------------------------------------------
 

@@ -245,3 +245,144 @@ def multimodal_image_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_part = spark.sparkContext.defaultParallelism
     media = media_table(spark, sf_dir).repartition(n_part)
     return image_resize(media).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------
+# Perceptual-hash (pHash) near-duplicate detection over the image
+# column: the LAION-style image dedup pass — DCT fingerprint in ONE
+# Arrow stage, Hamming-ball candidate generation via band-equality
+# LSH, popcount verification JVM-side.
+# ---------------------------------------------------------------------
+
+_PHASH_N = 32  # thumbnail side fed to the 2-D DCT
+_PHASH_BLOCK = 8  # low-frequency block kept (64 coeffs, DC dropped)
+_PHASH_BANDS = 4  # 4 × 16-bit slices of the 64-bit fingerprint
+_PHASH_HAMMING_MAX = 3  # < _PHASH_BANDS ⇒ band LSH is EXACT (pigeonhole)
+_PHASH_BITS = _PHASH_BLOCK * _PHASH_BLOCK - 1  # 63: sign bit stays clear
+
+
+def _dct_mat(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix (type-II, norm='ortho') — the
+    scipy.fft.dct equivalent written out so the container needs no
+    scipy: row k is cos(pi*(2i+1)k / 2n) scaled to unit norm."""
+    k = np.arange(n, dtype=np.float64)[:, None]
+    i = np.arange(n, dtype=np.float64)[None, :]
+    m = np.cos(np.pi * (2.0 * i + 1.0) * k / (2.0 * n))
+    m[0] *= np.sqrt(1.0 / n)
+    m[1:] *= np.sqrt(2.0 / n)
+    return m
+
+
+def image_phash(media: DataFrame) -> DataFrame:
+    """(media_id, phash) — 63-bit DCT perceptual hash per image in a
+    single mapInPandas stage.
+
+    Kernel (the standard pHash recipe): decode → strided
+    ``_PHASH_N``×``_PHASH_N`` grayscale thumbnail → 2-D DCT-II →
+    keep the top-left ``_PHASH_BLOCK``² low-frequency coefficients,
+    drop DC → bit b = (coeff b > median of kept coeffs). The DCT is
+    one batched matmul over the whole Arrow chunk (``D @ T @ D.T``
+    broadcast across the (batch, N, N) thumbnail stack), not a
+    per-image Python loop; 63 bits keep the packed value strictly
+    positive in a signed long, so no sign-bit special case exists
+    anywhere downstream.
+
+    Scale: pixels never leave this stage — the frame that shuffles is
+    8 bytes per image. At 100 TB of images the candidate join runs on
+    (band_no, band_val) keys derived from that long JVM-side."""
+    dct = _dct_mat(_PHASH_N)
+    shifts = np.arange(_PHASH_BITS - 1, -1, -1, dtype=np.uint64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = np.empty((len(pdf), _PHASH_N, _PHASH_N), dtype=np.float64)
+            for row, payload in enumerate(pdf["payload"]):
+                img = _decode_image_stub(bytes(payload))
+                sh, sw = img.shape
+                ys = (np.arange(_PHASH_N) * sh // _PHASH_N).clip(0, sh - 1)
+                xs = (np.arange(_PHASH_N) * sw // _PHASH_N).clip(0, sw - 1)
+                thumbs[row] = img[np.ix_(ys, xs)]
+            coeffs = (dct @ thumbs) @ dct.T  # batched 2-D DCT
+            block = coeffs[:, :_PHASH_BLOCK, :_PHASH_BLOCK].reshape(
+                len(pdf), -1
+            )[:, 1:]  # drop DC
+            bits = block > np.median(block, axis=1, keepdims=True)
+            packed = (bits.astype(np.uint64) << shifts).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "phash": packed.view(np.int64),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, "media_id long, phash long"
+    )
+
+
+def phash_near_dup_pairs(
+    hashes: DataFrame, max_hamming: int = _PHASH_HAMMING_MAX
+) -> DataFrame:
+    """Hamming-ball self-join over (media_id, phash): pairs at XOR
+    popcount ≤ ``max_hamming``, found via band-equality LSH.
+
+    The 64-bit fingerprint splits into ``_PHASH_BANDS`` 16-bit slices
+    (derived JVM-side — shiftrightunsigned + mask, no second Python
+    pass); a pair within Hamming distance d < bands differs in at most
+    d slices, so at least one slice matches EXACTLY (pigeonhole) —
+    band equality is a complete candidate generator, verified by
+    ``bit_count(a XOR b)``. 16-bit band values keep bucket selectivity
+    at scale (vs 8-bit bands whose 256-value domain would pool
+    thousands of images per bucket at 100 TB)."""
+    if max_hamming >= _PHASH_BANDS:
+        raise ValueError(
+            f"band LSH is exact only for hamming < {_PHASH_BANDS}"
+        )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_no"),
+                F.shiftrightunsigned(F.col("phash"), b * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("band_val"),
+            )
+            for b in range(_PHASH_BANDS)
+        ]
+    )
+    banded = hashes.select(
+        "media_id", "phash", F.explode(bands).alias("bk")
+    ).select("media_id", "phash", "bk.band_no", "bk.band_val")
+    x, y = banded.alias("x"), banded.alias("y")
+    hamming = F.bit_count(
+        F.col("x.phash").bitwiseXOR(F.col("y.phash"))
+    ).cast("int")
+    return (
+        x.join(
+            y,
+            (F.col("x.band_no") == F.col("y.band_no"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col("x.media_id") < F.col("y.media_id")),
+        )
+        .select(
+            F.col("x.media_id").alias("media_id_a"),
+            F.col("y.media_id").alias("media_id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["media_id_a", "media_id_b"])
+    )
+
+
+@register("multimodal_phash_dedup", tags=("multimodal", "dedup", "lsh"))
+def multimodal_phash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs by perceptual hash: decode-stub →
+    DCT pHash (one Arrow stage, 8 bytes/image out) → 4×16-bit-band
+    Hamming LSH → popcount verify. Rows-only BY NATURE (the DCT kernel
+    has no SQL form); the LSH pair set is pinned EQUAL to the
+    brute-force Hamming join and the kernel to a loop-written
+    reference in tests/test_phash.py."""
+    n_part = spark.sparkContext.defaultParallelism
+    media = media_table(spark, sf_dir).repartition(n_part)
+    return phash_near_dup_pairs(image_phash(media)).orderBy(
+        "media_id_a", "media_id_b"
+    )

@@ -1844,6 +1844,248 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q7_SQL = f"""
+SELECT supp_nation, cust_nation, l_year,
+       {dsum_sql('volume')} AS revenue
+FROM (
+  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         cast(year(l_shipdate) AS int) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  WHERE ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+      OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+    AND l_shipdate >= timestamp '1996-01-01'
+    AND l_shipdate <  timestamp '1998-01-01'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("q7_volume_shipping", oracle=_Q7_SQL, tags=("join", "agg"))
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional two-nation trade volume — the
+    same dimension table (nation) joined TWICE under different roles
+    with an OR-of-pairs predicate that Catalyst cannot split into
+    either join alone, grouped by shipping year.
+
+    Scale: both nation copies broadcast (25 rows); supplier broadcasts
+    into lineitem so the fact table never re-shuffles for the supplier
+    side; the only co-shuffle is orders⋈lineitem on orderkey. The
+    OR-pair filter runs after both nation names are in-row — a
+    residual on broadcast outputs, zero extra exchanges."""
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pair = ("NATION_1", "NATION_2")  # the testdata's synthetic nation names
+    ns = nation.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    nc = nation.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            (
+                (F.col("supp_nation") == pair[0])
+                & (F.col("cust_nation") == pair[1])
+            )
+            | (
+                (F.col("supp_nation") == pair[1])
+                & (F.col("cust_nation") == pair[0])
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# The testdata's reduced lineitem has no commit/receipt dates, so
+# "late" is adapted to l_shipdate > o_orderdate + 60 days; the Q21
+# decorrelation STRUCTURE (semi + anti self-joins on the same fact
+# with a suppkey inequality) is preserved exactly.
+_Q21_LATE_DAYS = 60
+
+_Q21_SQL = f"""
+SELECT s_name, cast(count(*) AS bigint) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND n_name = 'NATION_3'
+  AND l1.l_shipdate > o_orderdate + INTERVAL {_Q21_LATE_DAYS} DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL {_Q21_LATE_DAYS} DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+"""
+
+
+@register("q21_waiting_supplier", oracle=_Q21_SQL, tags=("join", "agg"))
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    multi-supplier order — a correlated EXISTS (another supplier
+    shipped in the order) plus a correlated NOT EXISTS (no OTHER
+    supplier was late), decorrelated as a left-semi and a left-anti
+    self-join on the same fact table with a suppkey-inequality
+    residual.
+
+    Scale: both self-joins co-shuffle on l_orderkey — one exchange
+    feeds the join AND both probes (same key), so AQE reuses the
+    partitioning; the probes ship (orderkey, suppkey[, late]) thin
+    rows, never the full lineitem width. Nation broadcasts; "late"
+    needs o_orderdate, which rides the already-required orders join.
+    """
+    late_iv = F.expr(f"INTERVAL {_Q21_LATE_DAYS} DAYS")
+    late_cut = F.col("o_orderdate") + late_iv
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    l1 = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > late_cut)
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    # EXISTS: some other supplier in the same order
+    others = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+    )
+    multi = l1.join(
+        others,
+        (F.col("l_orderkey") == F.col("o2_orderkey"))
+        & (F.col("l_suppkey") != F.col("o2_suppkey")),
+        "left_semi",
+    )
+    # NOT EXISTS: no other LATE supplier in the same order
+    late_others = (
+        li.join(
+            orders.select(
+                F.col("o_orderkey").alias("o3_orderkey"),
+                F.col("o_orderdate").alias("o3_orderdate"),
+            ),
+            F.col("l_orderkey") == F.col("o3_orderkey"),
+        )
+        .filter(F.col("l_shipdate") > F.col("o3_orderdate") + late_iv)
+        .select(
+            F.col("l_orderkey").alias("o4_orderkey"),
+            F.col("l_suppkey").alias("o4_suppkey"),
+        )
+    )
+    sole_late = multi.join(
+        late_others,
+        (F.col("l_orderkey") == F.col("o4_orderkey"))
+        & (F.col("l_suppkey") != F.col("o4_suppkey")),
+        "left_anti",
+    )
+    return (
+        sole_late.join(
+            F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+# Adaptations to the testdata's reduced schema: customer has no phone
+# column, so Q22's country-code grouping becomes the nation dimension;
+# and every synthetic customer has at least one order, so "never
+# ordered" becomes "no order since _Q22_RECENT" (the anti-join probe
+# gains a pushed-down filter — the decorrelation shape is unchanged).
+_Q22_RECENT = "2000-01-01"
+
+_Q22_SQL = f"""
+SELECT n_name, cast(count(*) AS bigint) AS numcust,
+       cast(sum(cast(c_acctbal AS decimal(27,6))) AS double) AS totacctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (SELECT cast(sum(cast(c_acctbal AS decimal(27,6))) AS double)
+                          / count(c_acctbal)
+                   FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= timestamp '{_Q22_RECENT}')
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+@register("q22_global_sales_opportunity", oracle=_Q22_SQL, tags=("join", "agg"))
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: positive-balance customers above the GLOBAL
+    average balance (scalar aggregate subquery as a filter threshold)
+    with no recent order (NOT EXISTS → left-anti join against a
+    filtered orders probe), tallied per nation.
+
+    Scale: the scalar average is one map-side-combined aggregate
+    reduced to a single row and broadcast into the filter (a literal
+    at runtime via crossJoin of a 1-row frame — no driver collect in
+    the plan); the anti-join ships only o_custkey; nation broadcasts.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(_Q22_RECENT).cast("timestamp"))
+        .select("o_custkey")
+    )
+    threshold = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(davg("c_acctbal", "thresh"))  # exact decimal mean: the
+        # threshold is ORDER-INSENSITIVE, so engine partition order
+        # cannot flip a borderline customer's membership
+    )
+    return (
+        cust.crossJoin(F.broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("thresh"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("bigint").alias("numcust"),
+            dsum("c_acctbal", "totacctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
 _Q18_QTY_THRESHOLD = 300
 
 _Q18_SQL = f"""

@@ -1,0 +1,145 @@
+"""Perceptual-hash image dedup (multimodal_phash_dedup): the DCT
+kernel against a loop-written reference, band-LSH completeness against
+the brute-force Hamming join, and engineered near-duplicate recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from asr_training_data_pipeline_spark.operators.multimodal import (
+    _PHASH_BANDS,
+    _PHASH_BLOCK,
+    _PHASH_HAMMING_MAX,
+    _PHASH_N,
+    _decode_image_stub,
+    image_phash,
+    media_table,
+    phash_near_dup_pairs,
+)
+
+
+def _reference_phash(payload: bytes) -> int:
+    """Independent pHash written the slow, obvious way: explicit
+    O(n^2) DCT-II sums per coefficient — no basis-matrix matmul, no
+    batching — so a transcription bug in the engine kernel cannot be
+    mirrored here."""
+    img = _decode_image_stub(payload)
+    sh, sw = img.shape
+    n = _PHASH_N
+    thumb = np.empty((n, n), dtype=np.float64)
+    for r in range(n):
+        for c in range(n):
+            thumb[r, c] = img[min(r * sh // n, sh - 1), min(c * sw // n, sw - 1)]
+    coeffs = np.empty((_PHASH_BLOCK, _PHASH_BLOCK), dtype=np.float64)
+    for k in range(_PHASH_BLOCK):
+        for l_ in range(_PHASH_BLOCK):
+            sk = np.sqrt(1.0 / n) if k == 0 else np.sqrt(2.0 / n)
+            sl = np.sqrt(1.0 / n) if l_ == 0 else np.sqrt(2.0 / n)
+            acc = 0.0
+            for i in range(n):
+                row = 0.0
+                for j in range(n):
+                    row += thumb[i, j] * np.cos(
+                        np.pi * (2 * j + 1) * l_ / (2 * n)
+                    )
+                acc += row * np.cos(np.pi * (2 * i + 1) * k / (2 * n))
+            coeffs[k, l_] = sk * sl * acc
+    block = coeffs.ravel()[1:]
+    bits = block > np.median(block)
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v
+
+
+_BASE_TEXTS = [
+    "the quick brown fox jumps over the lazy dog " * 8,
+    "pack my box with five dozen liquor jugs " * 9,
+    "sphinx of black quartz judge my vow " * 10,
+    "how vexingly quick daft zebras jump " * 11,
+]
+
+
+def _mutate(text: str, pos: int) -> str:
+    # flip one character: a near-identical image under the byte decode
+    return text[:pos] + ("#" if text[pos] != "#" else "@") + text[pos + 1 :]
+
+
+@pytest.fixture(scope="module")
+def media_fixture(spark):
+    rows = []
+    mid = 0
+    for t in _BASE_TEXTS:
+        rows.append((mid, t.encode("utf-8")))
+        mid += 1
+        rows.append((mid, _mutate(t, 7).encode("utf-8")))  # near-dup
+        mid += 1
+    rows.append((100, _BASE_TEXTS[0].encode("utf-8")))  # exact dup of 0
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+def test_phash_kernel_matches_loop_reference(media_fixture):
+    got = {
+        r["media_id"]: r["phash"]
+        for r in image_phash(media_fixture).collect()
+    }
+    for mid, payload in media_fixture.collect():
+        assert got[mid] == _reference_phash(bytes(payload)), mid
+        assert got[mid] >= 0  # 63 bits: sign bit never set
+
+
+def test_band_lsh_equals_brute_force(media_fixture, spark, sf_dir):
+    # real corpus + the engineered fixture: LSH pair set must equal
+    # the O(n^2) Hamming join at the exact-recall threshold
+    corpus = media_table(spark, sf_dir).select("media_id", "payload")
+    hashes = image_phash(corpus).collect()
+    hs = {r["media_id"]: r["phash"] for r in hashes}
+    ids = sorted(hs)
+    brute = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if bin(hs[a] ^ hs[b]).count("1") <= _PHASH_HAMMING_MAX:
+                brute.add((a, b))
+    lsh = {
+        (r["media_id_a"], r["media_id_b"])
+        for r in phash_near_dup_pairs(
+            image_phash(corpus), _PHASH_HAMMING_MAX
+        ).collect()
+    }
+    assert lsh == brute
+
+
+def test_engineered_near_dups_found(media_fixture):
+    pairs = {
+        (r["media_id_a"], r["media_id_b"]): r["hamming"]
+        for r in phash_near_dup_pairs(image_phash(media_fixture)).collect()
+    }
+    # the exact duplicate is at distance 0
+    assert pairs[(0, 100)] == 0
+    # every single-character mutation stays within the Hamming ball
+    for base in range(0, 8, 2):
+        assert (base, base + 1) in pairs, f"near-dup pair {base} missed"
+        assert pairs[(base, base + 1)] <= _PHASH_HAMMING_MAX
+
+
+def test_band_lsh_rejects_threshold_at_band_count(media_fixture):
+    with pytest.raises(ValueError):
+        phash_near_dup_pairs(image_phash(media_fixture), _PHASH_BANDS)
+
+
+def test_phash_pixels_never_shuffle(media_fixture):
+    """Plan shape: the only exchange below the pair join carries the
+    8-byte hash (and band keys), never the payload column."""
+    plan = phash_near_dup_pairs(
+        image_phash(media_fixture)
+    )._jdf.queryExecution().executedPlan().toString()
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange" in ln
+    ]
+    assert exchanges, "expected at least one exchange in the pair join"
+    assert "payload" not in plan.split("MapInPandas")[0] or all(
+        "payload" not in ln for ln in exchanges
+    )
