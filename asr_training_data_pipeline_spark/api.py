@@ -111,18 +111,21 @@ _PRIORITY = (
     #     in tests/test_phash.py);
     #   * q7/q21/q22 TPC-H decorrelation shapes (all exact oracles;
     #     q21/q22 predicates adapted to the reduced testdata schema —
-    #     see their docstrings).
+    #     see their docstrings);
+    #   * unigram_lm_vocab — the SentencePiece unigram-LM tokenizer
+    #     trained by hard EM, with the Viterbi DP replayed EXACTLY in
+    #     SQL (Bellman-Ford unrolled over word positions).
     "dedup_rate_by_source",
     "multimodal_phash_dedup",
     "q7_volume_shipping",
     "q21_waiting_supplier",
     "q22_global_sales_opportunity",
+    "unigram_lm_vocab",
     "anti_join_customers",
     "conditional_agg_orders",
     "corr_qty_price",
     "correlated_min_subquery",
     "cust_order_distribution",
-    "distinct_counts",
     "filter_pushdown_projection",
     "join_broadcast_dims",
     "percentile_prices",

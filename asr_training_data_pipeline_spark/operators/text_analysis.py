@@ -8,6 +8,8 @@ order, so equality is exact.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -1630,6 +1632,269 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_chars * 1000000 div n_tokens").alias("chars_per_token_ppm"),
         )
         .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------
+# Unigram-LM tokenizer (SentencePiece-style, Kudo 2018) — the second
+# tokenizer family: hard-EM over a piece vocabulary with Viterbi
+# segmentation, trained end-to-end with an EXACT SQL oracle (the
+# Viterbi DP replayed as Bellman-Ford unrolled over word positions,
+# with min-(score, path) tie-breaks identical in both engines).
+# ---------------------------------------------------------------------
+
+_ULM_ROUNDS = 2  # hard-EM rounds after vocabulary init
+_ULM_MAXLEN = 16  # word types longer than this are excluded (doc'd)
+_ULM_MAXPIECE = 4  # max piece length considered
+_ULM_TOPK = 500  # multi-char seed pieces kept at init
+# Path separator: below every printable code point, so comparing the
+# JOINED path strings == comparing piece lists element-wise (the radix
+# argument) — the tie-break is then ONE string min on both engines.
+_ULM_SEP = "\x1f"
+
+
+def _ulm_viterbi_path(w: str, cost: dict[str, float]) -> str | None:
+    """Best segmentation of ``w`` under piece probabilities ``cost``
+    as a _ULM_SEP-joined string; None if unreachable.
+
+    State per position: (d, path) with d = -(Π piece probs), the
+    product accumulated LEFT-TO-RIGHT (each relaxation multiplies the
+    predecessor's d by the edge prob) — the same operand order the SQL
+    replay uses, so d is bit-identical per path across engines. Ties
+    break on min path string (binary UTF-8 in DuckDB == code-point
+    order in Python: UTF-8 preserves code-point order)."""
+    best: dict[int, tuple[float, str]] = {0: (-1.0, "")}
+    for i in range(1, len(w) + 1):
+        cands = []
+        for j in range(max(0, i - _ULM_MAXPIECE), i):
+            if j not in best:
+                continue
+            c = cost.get(w[j:i])
+            if c is None:
+                continue
+            d, path = best[j]
+            cands.append(
+                (d * c, path + _ULM_SEP + w[j:i] if path else w[j:i])
+            )
+        if cands:
+            best[i] = min(cands)
+    return best.get(len(w), (None, None))[1]
+
+
+def _ulm_bf_sql(tag: str, cost_cte: str) -> str:
+    """Oracle CTE block: one E-step — Viterbi via Bellman-Ford
+    unrolled ``_ULM_MAXLEN`` times over (word, position) states.
+    ``AS MATERIALIZED`` is load-bearing: each dp CTE is referenced
+    twice, and without it DuckDB's inlining makes the plan size
+    exponential in the unroll depth."""
+    parts = [f"""
+edges_{tag} AS MATERIALIZED (
+  SELECT t.w, u.j, u.j + l.l AS i, substr(t.w, u.j + 1, l.l) AS piece, c.c
+  FROM types t,
+       unnest(range(0, len(t.w))) AS u(j),
+       (SELECT unnest(range(1, {_ULM_MAXPIECE + 1})) AS l) l,
+       {cost_cte} c
+  WHERE u.j + l.l <= len(t.w)
+    AND c.piece = substr(t.w, u.j + 1, l.l)
+),
+dp_{tag}_0 AS MATERIALIZED (
+  SELECT w, 0 AS i, -1.0::DOUBLE AS d, '' AS path FROM types)"""]
+    for r in range(1, _ULM_MAXLEN + 1):
+        parts.append(f""",
+cand_{tag}_{r} AS MATERIALIZED (
+  SELECT w, i, d, path FROM dp_{tag}_{r - 1}
+  UNION ALL
+  SELECT e.w, e.i, dp.d * e.c AS d,
+         CASE WHEN dp.path = '' THEN e.piece
+              ELSE dp.path || chr(31) || e.piece END AS path
+  FROM dp_{tag}_{r - 1} dp JOIN edges_{tag} e ON e.w = dp.w AND e.j = dp.i
+),
+dp_{tag}_{r} AS MATERIALIZED (
+  SELECT w, i, d, min(path) AS path FROM (
+    SELECT w, i, d, path, min(d) OVER (PARTITION BY w, i) AS dm
+    FROM cand_{tag}_{r}) s
+  WHERE d = dm GROUP BY w, i, d
+)""")
+    parts.append(f""",
+ecnt_{tag} AS (
+  SELECT piece, cast(sum(cnt) AS bigint) AS cnt
+  FROM (SELECT t.cnt, unnest(string_split(dp.path, chr(31))) AS piece
+        FROM dp_{tag}_{_ULM_MAXLEN} dp JOIN types t ON t.w = dp.w
+        WHERE dp.i = len(dp.w))
+  GROUP BY piece
+)""")
+    return "".join(parts)
+
+
+def _ulm_mstep_sql(v_next: str, ecnt: str) -> str:
+    """M-step CTE: multi-char pieces survive on E-count > 0; single
+    chars always survive with +1 smoothing (keeps every word
+    segmentable next round)."""
+    return f"""
+{v_next} AS (
+  SELECT coalesce(e.piece, ch.piece) AS piece,
+         CASE WHEN ch.piece IS NOT NULL THEN coalesce(e.cnt, 0) + 1
+              ELSE e.cnt END AS cnt
+  FROM {ecnt} e FULL JOIN chars ch ON ch.piece = e.piece
+  WHERE ch.piece IS NOT NULL OR e.cnt > 0
+)"""
+
+
+def _ulm_sql() -> str:
+    parts = [f"""
+WITH types AS MATERIALIZED (
+  SELECT w, cast(count(*) AS bigint) AS cnt FROM (
+    SELECT unnest(string_split({_FOLD_SQL}, ' ')) AS w FROM documents)
+  WHERE len(w) BETWEEN 1 AND {_ULM_MAXLEN}
+  GROUP BY w
+),
+chars AS MATERIALIZED (
+  SELECT substr(w, u.k + 1, 1) AS piece, cast(sum(cnt) AS bigint) AS cnt
+  FROM types, unnest(range(0, len(w))) AS u(k) GROUP BY 1
+),
+subs AS (
+  SELECT substr(w, u.j + 1, l.l) AS piece, cast(sum(cnt) AS bigint) AS cnt
+  FROM types,
+       unnest(range(0, len(w))) AS u(j),
+       (SELECT unnest(range(2, {_ULM_MAXPIECE + 1})) AS l) l
+  WHERE u.j + l.l <= len(w)
+  GROUP BY 1
+),
+top AS (SELECT piece, cnt FROM subs ORDER BY cnt DESC, piece LIMIT {_ULM_TOPK}),
+v0 AS (
+  SELECT piece, max(cnt) AS cnt FROM (
+    SELECT piece, cnt FROM top UNION ALL SELECT piece, cnt FROM chars)
+  GROUP BY piece
+)"""]
+    for r in range(_ULM_ROUNDS):
+        parts.append(f""",
+cost_{r} AS MATERIALIZED (
+  SELECT piece, cnt::DOUBLE / (SELECT sum(cnt) FROM v{r})::DOUBLE AS c
+  FROM v{r}
+),{_ulm_bf_sql(f'r{r}', f'cost_{r}')},{_ulm_mstep_sql(f'v{r + 1}', f'ecnt_r{r}')}""")
+    parts.append(f"""
+SELECT v.piece, cast(v.cnt AS bigint) AS token_count,
+       (ch.piece IS NOT NULL) AS is_char
+FROM v{_ULM_ROUNDS} v LEFT JOIN chars ch ON ch.piece = v.piece
+ORDER BY token_count DESC, v.piece""")
+    return "".join(parts)
+
+
+def unigram_lm_train(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Train the unigram-LM piece vocabulary over a documents frame:
+    init (all single chars + top-K multi-char substrings by weighted
+    frequency), then ``_ULM_ROUNDS`` of hard EM — E-step: Viterbi-
+    segment every word TYPE under current piece probabilities (an
+    Arrow-batched UDF over the type table; the corpus is reduced
+    ONCE); M-step: piece counts from the segmentations, chars smoothed
+    +1, zero-count multis dropped.
+
+    Scale shape (the bpe_merges thesis): every EM round runs on the
+    word-TYPE table (MBs at 100 TB corpus); the model — the piece
+    table, ≤ topK + |alphabet| rows — is the only driver
+    materialization, collected once per round exactly like BPE's
+    per-round argmax. The E-step count aggregation exchanges (piece,
+    count) partials, map-side combined."""
+    toks = docs.select(
+        F.explode(
+            F.split(F.translate("text", _ASCII_UP, _ASCII_LO), " ")
+        ).alias("w")
+    )
+    types = (
+        toks.filter(F.length("w").between(1, _ULM_MAXLEN))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    types = hold("ulm_word_types", types)
+
+    chars = {
+        r["piece"]: int(r["cnt"])
+        for r in types.select(
+            F.explode(F.split("w", "")).alias("piece"), "cnt"
+        )
+        .filter(F.length("piece") >= 1)  # split('') yields no empties
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    j = F.explode(F.sequence(F.lit(0), F.length("w") - 1)).alias("j")
+    l_ = F.explode(
+        F.sequence(F.lit(2), F.lit(_ULM_MAXPIECE))
+    ).alias("l")
+    subs = (
+        types.select("w", "cnt", j)
+        .select("w", "cnt", "j", l_)
+        .filter(F.col("j") + F.col("l") <= F.length("w"))
+        .select(F.expr("substring(w, j + 1, l)").alias("piece"), "cnt")
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "piece")
+        .limit(_ULM_TOPK)
+        .collect()
+    )
+    vocab = {r["piece"]: int(r["cnt"]) for r in subs}
+    for ch, c in chars.items():
+        vocab[ch] = max(vocab.get(ch, 0), c)
+
+    out_schema = "piece string, token_count bigint, is_char boolean"
+    for _ in range(_ULM_ROUNDS):
+        if not vocab:
+            return spark.createDataFrame([], out_schema)
+        total = sum(vocab.values())
+        cost = {p: c / total for p, c in vocab.items()}
+
+        @F.pandas_udf("string")
+        def seg_path(ws: pd.Series) -> pd.Series:
+            return ws.map(lambda w: _ulm_viterbi_path(w, cost))
+
+        ecnt = {
+            r["piece"]: int(r["cnt"])
+            for r in types.select(
+                F.explode(
+                    F.split(seg_path(F.col("w")), _ULM_SEP)
+                ).alias("piece"),
+                "cnt",
+            )
+            .groupBy("piece")
+            .agg(F.sum("cnt").alias("cnt"))
+            .collect()
+        }
+        vocab = {p: c for p, c in ecnt.items() if len(p) >= 2 and c > 0}
+        for ch in chars:
+            vocab[ch] = ecnt.get(ch, 0) + 1
+
+    rows = sorted(
+        ((p, c, p in chars) for p, c in vocab.items()),
+        key=lambda t: (-t[1], t[0]),
+    )
+    return spark.createDataFrame(rows, out_schema)
+
+
+@register(
+    "unigram_lm_vocab",
+    oracle=_ulm_sql(),
+    tags=("text", "tokenizer", "iterative"),
+)
+def unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER INDUCTION, family #2: the SentencePiece unigram
+    language model (Kudo, ACL 2018) trained by hard EM — Viterbi
+    segmentation of every word type under current piece probabilities,
+    piece counts re-estimated from the winning segmentations, chars
+    +1-smoothed so every word stays reachable. Complements bpe_merges
+    (greedy agglomerative) with the probabilistic top-down family.
+
+    The DuckDB oracle replays the ENTIRE training run exactly: the
+    Viterbi DP is Bellman-Ford unrolled over word positions with state
+    (d = -(Π probs), path), min-(d, path) per state; the FP products
+    accumulate in the same left-to-right operand order in both
+    engines, so scores are bit-identical per path and tie-breaks (the
+    joined path-string min) agree. Word types above {maxlen} code
+    points are excluded from training on both sides (documented
+    corpus-domain bound; the long tail falls back to char pieces at
+    encode time).""".format(maxlen=_ULM_MAXLEN)
+    return (
+        unigram_lm_train(spark, load_table(spark, sf_dir, "documents"))
+        .orderBy(F.col("token_count").desc(), "piece")
     )
 
 

@@ -137,6 +137,14 @@ QUERIES = [
     # split are data-independent of the text content
     "dsir_importance_weights",
     "token_psi_drift",
+    # r9 late wave: unigram-LM EM trains on the hostile word types
+    # (NULL text drops; words over the length bound fall out on both
+    # engines; control chars ride the md5-free fold untouched — and a
+    # chr(31) inside a word corrupts the path join IDENTICALLY in
+    # both engines, so parity holds even then); rate_by_source rides
+    # the already-swept portable-MinHash pair set
+    "unigram_lm_vocab",
+    "dedup_rate_by_source",
 ]
 
 

@@ -96,6 +96,15 @@ FAMILIES = [
     "top_event_paths",
     "gopher_quality_flags",
     "dedup_paragraph",
+    # r9 late wave: empty corpora → empty vocab/pair/report frames
+    # (q22's scalar threshold aggregates to NULL over zero customers;
+    # the comparison is then never true on either engine)
+    "unigram_lm_vocab",
+    "dedup_rate_by_source",
+    "multimodal_phash_dedup",
+    "q7_volume_shipping",
+    "q21_waiting_supplier",
+    "q22_global_sales_opportunity",
 ]
 
 # row counts that are CONSTANT by design (parameter reports / per-dim

@@ -436,3 +436,50 @@ def test_cjk_residue_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "levenshtein" in plan
+
+
+def test_phash_pair_join_is_banded_equi_join(spark, sf_dir):
+    """The pHash near-dup join must be a hash equi-join on band keys —
+    never a cartesian/Hamming scan — and exactly ONE Python boundary
+    (the DCT kernel) may exist in the plan."""
+    plan = _executed_plan(spark, sf_dir, "multimodal_phash_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    outside = plan.split("InMemoryRelation", 1)[0]
+    assert outside.count("ArrowEvalPython") + outside.count("MapInPandas") <= 2
+    assert "bit_count" in plan  # popcount verify is JVM-side codegen
+
+
+def test_rate_by_source_counts_broadcast(spark, sf_dir):
+    """The per-source count table joins as a broadcast (|sources|
+    rows); the pair frame must never sort-merge against it."""
+    plan = _executed_plan(spark, sf_dir, "dedup_rate_by_source")
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+
+
+def test_q7_dimensions_broadcast_single_fact_shuffle(spark, sf_dir):
+    """Both nation roles and supplier broadcast; the only co-shuffle
+    is orders⋈lineitem (plus agg exchanges) — the fact table must not
+    re-shuffle for any dimension."""
+    plan = _executed_plan(spark, sf_dir, "q7_volume_shipping")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_probes_are_semi_and_anti(spark, sf_dir):
+    """The Q21 decorrelation: one LeftSemi and one LeftAnti against
+    the same fact, no row-duplicating inner join for the EXISTS."""
+    plan = _executed_plan(spark, sf_dir, "q21_waiting_supplier")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_threshold_is_broadcast_not_collect(spark, sf_dir):
+    """The scalar-average threshold enters the plan as a broadcast of
+    a 1-row aggregate (BroadcastNestedLoopJoin over the crossJoin is
+    fine at 1 row), never via a driver collect; the orders anti-join
+    stays a hash join shipping only o_custkey."""
+    plan = _executed_plan(spark, sf_dir, "q22_global_sales_opportunity")
+    assert "LeftAnti" in plan
+    assert "BroadcastExchange" in plan
