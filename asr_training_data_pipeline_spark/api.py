@@ -121,9 +121,9 @@ _PRIORITY = (
     "q21_waiting_supplier",
     "q22_global_sales_opportunity",
     "unigram_lm_vocab",
+    "unigram_lm_fertility",
     "anti_join_customers",
     "conditional_agg_orders",
-    "corr_qty_price",
     "correlated_min_subquery",
     "cust_order_distribution",
     "filter_pushdown_projection",

@@ -1870,6 +1870,100 @@ def unigram_lm_train(spark: SparkSession, docs: DataFrame) -> DataFrame:
     return spark.createDataFrame(rows, out_schema)
 
 
+def _ulm_fertility_sql() -> str:
+    """Oracle: the full training chain, then ONE more Viterbi pass
+    under the final piece probabilities, joined to the per-(lang,
+    word) count table."""
+    base = _ulm_sql().rsplit("\nSELECT", 1)[0]  # training CTEs only
+    r = _ULM_ROUNDS
+    return f"""{base},
+cost_{r} AS MATERIALIZED (
+  SELECT piece, cnt::DOUBLE / (SELECT sum(cnt) FROM v{r})::DOUBLE AS c
+  FROM v{r}
+),{_ulm_bf_sql(f'r{r}', f'cost_{r}')},
+plen AS (
+  SELECT w, cast(len(string_split(path, chr(31))) AS bigint) AS np
+  FROM dp_r{r}_{_ULM_MAXLEN} WHERE i = len(w)
+),
+wl AS (
+  SELECT lang, w, cast(count(*) AS bigint) AS n FROM (
+    SELECT lang, unnest(string_split({_FOLD_SQL}, ' ')) AS w FROM documents)
+  WHERE len(w) BETWEEN 1 AND {_ULM_MAXLEN}
+  GROUP BY lang, w
+)
+SELECT lang,
+       cast(sum(n) AS bigint) AS n_words,
+       cast(sum(n * np) AS bigint) AS n_tokens,
+       cast(sum(n * np) * 1000000 // sum(n) AS bigint) AS fertility_ppm
+FROM wl JOIN plen ON plen.w = wl.w
+GROUP BY lang
+ORDER BY lang"""
+
+
+@register(
+    "unigram_lm_fertility",
+    oracle=_ulm_fertility_sql(),
+    tags=("text", "tokenizer", "iterative"),
+)
+def unigram_lm_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language under the UNIGRAM-LM model —
+    the bpe_fertility_by_lang twin for the second tokenizer family:
+    pieces-per-word per lang after one Viterbi pass under the final
+    trained probabilities. A language paying 2× pieces per word pays
+    2× context budget; comparing this row set against the BPE one is
+    the vocabulary-choice analysis itself.
+
+    Same scale shape as training: the segmentation touches only the
+    word-TYPE table; the per-(lang, word) counts are one map-side-
+    combined aggregation; ppm ratios are exact bigint floor divisions
+    so the replay is hash-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab_rows = unigram_lm_train(spark, docs).collect()
+    vocab = {r["piece"]: int(r["token_count"]) for r in vocab_rows}
+    out_schema = (
+        "lang string, n_words bigint, n_tokens bigint, fertility_ppm bigint"
+    )
+    if not vocab:
+        return spark.createDataFrame([], out_schema)
+    total = sum(vocab.values())
+    cost = {p: c / total for p, c in vocab.items()}
+
+    @F.pandas_udf("long")
+    def n_pieces(ws: pd.Series) -> pd.Series:
+        def np_of(w: str) -> int:
+            path = _ulm_viterbi_path(w, cost)
+            return path.count(_ULM_SEP) + 1 if path is not None else 0
+
+        return ws.map(np_of)
+
+    toks = docs.select(
+        "lang",
+        F.explode(
+            F.split(F.translate("text", _ASCII_UP, _ASCII_LO), " ")
+        ).alias("w"),
+    )
+    wl = (
+        toks.filter(F.length("w").between(1, _ULM_MAXLEN))
+        .groupBy("lang", "w")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .withColumn("np", n_pieces(F.col("w")))
+    )
+    return (
+        wl.groupBy("lang")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_words"),
+            F.sum(F.col("n") * F.col("np")).cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_tokens",
+            F.expr("n_tokens * 1000000 div n_words").alias("fertility_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
 @register(
     "unigram_lm_vocab",
     oracle=_ulm_sql(),

@@ -144,6 +144,7 @@ QUERIES = [
     # both engines, so parity holds even then); rate_by_source rides
     # the already-swept portable-MinHash pair set
     "unigram_lm_vocab",
+    "unigram_lm_fertility",
     "dedup_rate_by_source",
 ]
 

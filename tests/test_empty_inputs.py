@@ -100,6 +100,7 @@ FAMILIES = [
     # (q22's scalar threshold aggregates to NULL over zero customers;
     # the comparison is then never true on either engine)
     "unigram_lm_vocab",
+    "unigram_lm_fertility",
     "dedup_rate_by_source",
     "multimodal_phash_dedup",
     "q7_volume_shipping",
