@@ -122,8 +122,8 @@ _PRIORITY = (
     "q22_global_sales_opportunity",
     "unigram_lm_vocab",
     "unigram_lm_fertility",
+    "multimodal_audio_dedup",
     "anti_join_customers",
-    "conditional_agg_orders",
     "correlated_min_subquery",
     "cust_order_distribution",
     "filter_pushdown_projection",

@@ -103,6 +103,7 @@ FAMILIES = [
     "unigram_lm_fertility",
     "dedup_rate_by_source",
     "multimodal_phash_dedup",
+    "multimodal_audio_dedup",
     "q7_volume_shipping",
     "q21_waiting_supplier",
     "q22_global_sales_opportunity",

@@ -143,3 +143,68 @@ def test_phash_pixels_never_shuffle(media_fixture):
     assert "payload" not in plan.split("MapInPandas")[0] or all(
         "payload" not in ln for ln in exchanges
     )
+
+
+# ---------------- audio fingerprint (multimodal_audio_dedup) --------
+
+def _audio_fixture(spark, texts):
+    rows = []
+    for i, t in enumerate(texts):
+        rows.append((i, t.encode("utf-8"),
+                     {"mime": "audio/fake-pcm", "frame_rate": 16000,
+                      "content_length": len(t), "lang": "en"}))
+    return spark.createDataFrame(
+        rows,
+        "media_id long, payload binary, "
+        "meta struct<mime:string,frame_rate:int,content_length:bigint,lang:string>",
+    )
+
+
+def test_audio_hash_deterministic_and_positive(spark):
+    from asr_training_data_pipeline_spark.operators.multimodal import audio_ahash
+
+    texts = [t * 12 for t in _BASE_TEXTS]
+    media = _audio_fixture(spark, texts + texts)  # duplicate block
+    got = audio_ahash(media).collect()
+    hs = {r["media_id"]: r["phash"] for r in got}
+    n = len(texts)
+    for i in range(n):
+        assert hs[i] == hs[i + n]  # identical payloads, identical hash
+        assert hs[i] >= 0  # 63 bits: sign clear
+
+
+def test_audio_near_dups_found_and_lsh_complete(spark):
+    from asr_training_data_pipeline_spark.operators.multimodal import (
+        audio_ahash,
+        phash_near_dup_pairs,
+    )
+
+    base = [t * 12 for t in _BASE_TEXTS]
+    texts = []
+    for t in base:
+        texts.append(t)
+        texts.append(_mutate(t, len(t) // 2))  # same length, one byte off
+    media = _audio_fixture(spark, texts)
+    hashes = {r["media_id"]: r["phash"] for r in audio_ahash(media).collect()}
+    brute = {
+        (a, b)
+        for i, a in enumerate(sorted(hashes))
+        for b in sorted(hashes)[i + 1 :]
+        if bin(hashes[a] ^ hashes[b]).count("1") <= _PHASH_HAMMING_MAX
+    }
+    lsh = {
+        (r["media_id_a"], r["media_id_b"])
+        for r in phash_near_dup_pairs(audio_ahash(media)).collect()
+    }
+    assert lsh == brute
+    # robustness: a single flipped byte moves few cells — every
+    # mutation pair stays within a loose Hamming bound, and at least
+    # half sit inside the exact-recall ball (cells NEAR the grid
+    # median legitimately flip, so d <= 3 for ALL pairs would be an
+    # over-claim the fingerprint doesn't make)
+    dists = [
+        bin(hashes[k] ^ hashes[k + 1]).count("1")
+        for k in range(0, len(texts), 2)
+    ]
+    assert all(d <= 10 for d in dists), dists
+    assert sum(d <= _PHASH_HAMMING_MAX for d in dists) >= len(dists) // 2, dists
