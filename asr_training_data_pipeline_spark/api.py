@@ -123,12 +123,13 @@ _PRIORITY = (
     "unigram_lm_vocab",
     "unigram_lm_fertility",
     "multimodal_audio_dedup",
+    "bm25_topk",
+    "q10_returned_items",
+    "q14_promo_effect",
     "anti_join_customers",
     "correlated_min_subquery",
-    "cust_order_distribution",
     "filter_pushdown_projection",
     "join_broadcast_dims",
-    "percentile_prices",
     "q18_large_volume",
     "q3_shipping_priority",
     "q4_order_priority",

@@ -1636,6 +1636,145 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# BM25 ranked retrieval (Robertson-Spärck Jones / Okapi): the search
+# surface a curation team uses to pull targeted slices out of the
+# corpus (decontamination probes, topic audits). Per-language queries
+# derived deterministically from the corpus itself.
+# ---------------------------------------------------------------------
+
+_BM25_K1 = "1.2"
+_BM25_B = "0.75"
+_BM25_TOPK = 5
+_BM25_QTERMS = 2
+_BM25_SCALE = 1_000_000
+
+# ONE expression template instantiated in BOTH engines (same literal
+# parse tree → same double operand order); ln is the only libm call,
+# neutralized by micro-unit quantization (floor(x*1e6 + .5) as bigint,
+# boundary distance pinned in tests/test_libm_boundaries.py).
+_BM25_CONTRIB = (
+    "cast(floor(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)"
+    f" * ((tf * ({_BM25_K1} + 1.0))"
+    f" / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl)))"
+    f" * {_BM25_SCALE}.0 + 0.5) as bigint)"
+)
+
+_BM25_SQL = f"""
+WITH toks AS (
+  SELECT lang, doc_id, unnest(string_split({_FOLD_SQL}, ' ')) AS w
+  FROM documents
+),
+tf AS (SELECT lang, doc_id, w, cast(count(*) AS bigint) AS tf
+       FROM toks GROUP BY lang, doc_id, w),
+dl AS (SELECT lang, doc_id, cast(count(*) AS bigint) AS dl
+       FROM toks GROUP BY lang, doc_id),
+stats AS (SELECT lang, cast(count(*) AS bigint) AS n_docs,
+                 cast(sum(dl) AS double) / count(*) AS avgdl
+          FROM dl GROUP BY lang),
+df AS (SELECT lang, w, cast(count(*) AS bigint) AS df
+       FROM tf GROUP BY lang, w),
+q AS (
+  SELECT lang, w FROM (
+    SELECT lang, w,
+           row_number() OVER (PARTITION BY lang ORDER BY df DESC, w) AS rn
+    FROM df) WHERE rn <= {_BM25_QTERMS}
+),
+sc AS (
+  SELECT t.lang, t.doc_id, sum({_BM25_CONTRIB}) AS score_u
+  FROM tf t
+  JOIN q ON q.lang = t.lang AND q.w = t.w
+  JOIN df ON df.lang = t.lang AND df.w = t.w
+  JOIN dl ON dl.lang = t.lang AND dl.doc_id = t.doc_id
+  JOIN stats ON stats.lang = t.lang
+  GROUP BY t.lang, t.doc_id
+)
+SELECT lang, doc_id, cast(score_u AS bigint) AS score_u,
+       cast(rnk AS int) AS rnk
+FROM (SELECT lang, doc_id, score_u,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY score_u DESC, doc_id) AS rnk
+      FROM sc)
+WHERE rnk <= {_BM25_TOPK}
+ORDER BY lang, rnk
+"""
+
+
+@register("bm25_topk", oracle=_BM25_SQL, tags=("text", "ranking"))
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANKED RETRIEVAL: Okapi BM25 top-k per language, with the query
+    terms derived deterministically from the corpus (each language's
+    top-{_BM25_QTERMS} terms by document frequency — the audit probe a
+    curation team would start from). Scores are exact bigint
+    micro-units (per-(doc, term) contribution quantized at 1e-6), so
+    ranking and hashes are engine-exact despite the ln() call.
+
+    Scale: tf/df/dl are three map-side-combined aggregations of the
+    token stream; the stats and query-term tables are |langs|-sized
+    broadcasts; the score join keys on (lang, w) against the tf table
+    — candidate rows are only docs CONTAINING a query term (inverted-
+    index semantics, never a corpus × queries product); top-k is a
+    per-lang window over scored docs only.""".replace(
+        "{_BM25_QTERMS}", str(_BM25_QTERMS)
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        "doc_id",
+        F.explode(
+            F.split(F.translate("text", _ASCII_UP, _ASCII_LO), " ")
+        ).alias("w"),
+    )
+    toks = hold("bm25_toks", toks)
+    tf = toks.groupBy("lang", "doc_id", "w").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    dl = toks.groupBy("lang", "doc_id").agg(
+        F.count("*").cast("bigint").alias("dl")
+    )
+    stats = dl.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    df_t = tf.groupBy("lang", "w").agg(
+        F.count("*").cast("bigint").alias("df")
+    )
+    qterms = (
+        df_t.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("lang").orderBy(F.col("df").desc(), "w")
+            ),
+        )
+        .filter(F.col("rn") <= _BM25_QTERMS)
+        .select("lang", "w")
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), ["lang", "w"])
+        .join(df_t, ["lang", "w"])
+        .join(dl, ["lang", "doc_id"])
+        .join(F.broadcast(stats), "lang")
+        .groupBy("lang", "doc_id")
+        .agg(F.sum(F.expr(_BM25_CONTRIB)).alias("score_u"))
+    )
+    return (
+        scored.withColumn(
+            "rnk",
+            F.row_number().over(
+                W.partitionBy("lang").orderBy(F.col("score_u").desc(), "doc_id")
+            ),
+        )
+        .filter(F.col("rnk") <= _BM25_TOPK)
+        .select(
+            "lang",
+            "doc_id",
+            F.col("score_u").cast("bigint").alias("score_u"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+        .orderBy("lang", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------
 # Unigram-LM tokenizer (SentencePiece-style, Kudo 2018) — the second
 # tokenizer family: hard-EM over a piece vocabulary with Viterbi
 # segmentation, trained end-to-end with an EXACT SQL oracle (the

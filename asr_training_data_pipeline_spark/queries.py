@@ -2086,6 +2086,94 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q10_SQL = f"""
+SELECT c_custkey, c_name,
+       {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+       c_acctbal, n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= timestamp '1996-01-01'
+  AND o_orderdate <  timestamp '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("q10_returned_items", oracle=_Q10_SQL, tags=("join", "agg", "topk"))
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: per-customer revenue lost to returned items in
+    a quarter, top-20 — fact-to-fact join narrowed by both a dimension
+    filter (returnflag) and a date window, grouped on a HIGH-
+    cardinality key (customers) with a deterministic top-k.
+
+    Scale: both fact filters prune at the scan; orders⋈lineitem
+    co-shuffles on orderkey, then one customer-keyed exchange for the
+    group; nation broadcasts; the top-20 is a TakeOrdered, never a
+    full sort."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# The testdata's p_type is a flat category set (PROMO/ECONOMY/…), so
+# Q14's LIKE 'PROMO%' prefix becomes exact equality — same shape.
+_Q14_SQL = f"""
+SELECT round(100.0
+       * {dsum_sql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+       / {dsum_sql('l_extendedprice * (1 - l_discount)')}, 6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= timestamp '1996-09-01'
+  AND l_shipdate <  timestamp '1996-10-01'
+"""
+
+
+@register("q14_promo_effect", oracle=_Q14_SQL, tags=("join", "agg"))
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promotion revenue share for one month — a
+    conditional aggregate ratio over a fact⋈dimension join, the
+    global-scalar-report query class.
+
+    Scale: the shipdate filter prunes the lineitem scan; part
+    broadcasts into it; both sums are one map-side-combined global
+    aggregate routed through exact decimal (order-insensitive), so
+    the ratio is engine-exact before the final rounding."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * dsum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / dsum(rev),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
 _Q18_QTY_THRESHOLD = 300
 
 _Q18_SQL = f"""

@@ -146,6 +146,10 @@ QUERIES = [
     "unigram_lm_vocab",
     "unigram_lm_fertility",
     "dedup_rate_by_source",
+    # bm25's ln() micro-quantization must hold on hostile tokens too
+    # (the boundary audit covers the driver fixtures; this pins the
+    # engineered unicode corpus end-to-end)
+    "bm25_topk",
 ]
 
 

@@ -107,6 +107,9 @@ FAMILIES = [
     "q7_volume_shipping",
     "q21_waiting_supplier",
     "q22_global_sales_opportunity",
+    "bm25_topk",
+    "q10_returned_items",
+    "q14_promo_effect",  # global agg: ONE all-NULL ratio row
 ]
 
 # row counts that are CONSTANT by design (parameter reports / per-dim
@@ -120,6 +123,7 @@ _EXPECTED_NONZERO = {
     "profile_events": 5,  # one row per profiled column
     "cms_join_size": 1,  # global report: one all-zero row
     "snm_recall_eval": 2,  # one row per method, vacuous 100% ppm
+    "q14_promo_effect": 1,  # global ratio report: one NULL row
 }
 
 

@@ -136,3 +136,42 @@ def test_logreg_sigmoid_inputs_off_boundary(sf_dir):
         pu = max(1, min(999, math.floor(pu_v + 0.5)))
         zu_v = (eta + (1000 * y - pu) * 1000.0 / (pu * (1000 - pu))) * 1000.0
         assert _floor_boundary_dist(zu_v) > EPS, (y, x1, x2, eta)
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_bm25_contribs_off_boundary(sf_dir):
+    """bm25_topk: every per-(doc, query-term) contribution — the one
+    ln() call times the tf normalization, scaled to micro-units —
+    lands ≥EPS from a floor boundary on the driver fixtures."""
+    from asr_training_data_pipeline_spark.operators.text_analysis import (
+        _BM25_QTERMS,
+        _BM25_SCALE,
+        _FOLD_SQL,
+    )
+
+    con = _docs(sf_dir)
+    rows = con.sql(f"""
+WITH toks AS (
+  SELECT lang, doc_id, unnest(string_split({_FOLD_SQL}, ' ')) AS w
+  FROM documents),
+tf AS (SELECT lang, doc_id, w, count(*) AS tf FROM toks GROUP BY ALL),
+dl AS (SELECT lang, doc_id, count(*) AS dl FROM toks GROUP BY ALL),
+stats AS (SELECT lang, count(*) AS n_docs,
+                 cast(sum(dl) AS double)/count(*) AS avgdl
+          FROM dl GROUP BY lang),
+df AS (SELECT lang, w, count(*) AS df FROM tf GROUP BY ALL),
+q AS (SELECT lang, w FROM (
+        SELECT lang, w, row_number() OVER (PARTITION BY lang
+               ORDER BY df DESC, w) AS rn FROM df) WHERE rn <= {_BM25_QTERMS})
+SELECT DISTINCT t.tf, df.df, dl.dl, stats.n_docs, stats.avgdl
+FROM tf t
+JOIN q ON q.lang = t.lang AND q.w = t.w
+JOIN df ON df.lang = t.lang AND df.w = t.w
+JOIN dl ON dl.lang = t.lang AND dl.doc_id = t.doc_id
+JOIN stats ON stats.lang = t.lang
+""").fetchall()
+    assert rows
+    for tf, dfv, dlv, n, avgdl in rows:
+        idf = math.log((n - dfv + 0.5) / (dfv + 0.5) + 1.0)
+        contrib = idf * ((tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dlv / avgdl)))
+        assert _floor_boundary_dist(contrib * _BM25_SCALE) > EPS, (tf, dfv, dlv)
