@@ -126,8 +126,8 @@ _PRIORITY = (
     "bm25_topk",
     "q10_returned_items",
     "q14_promo_effect",
+    "streaming_simhash_gate",
     "anti_join_customers",
-    "correlated_min_subquery",
     "filter_pushdown_projection",
     "join_broadcast_dims",
     "q18_large_volume",

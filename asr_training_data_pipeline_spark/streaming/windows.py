@@ -594,3 +594,94 @@ def streaming_psi_monitor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cnt = ref.join(stream_counts, ["lang", "b"], "full")
     return psi_report(cnt, docs.select("lang").distinct())
+
+
+# ---------------------------------------------------------------------
+# Streaming NEAR-dup gate: SimHash band index against arriving docs
+# ---------------------------------------------------------------------
+
+_SIMGATE_MOD = 5  # doc_id % MOD == 0 -> the arriving cycle (bloom's split)
+
+
+def streaming_simhash_gate_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(streaming result, batch twin) for the near-dup ingest gate.
+
+    The Bloom gate screens EXACT duplicates; this is its near-dup
+    sibling: the existing corpus (doc_id % MOD != 0) is fingerprinted
+    ONCE batch-side into a (band_id, band_key, matched_id, matched_fp)
+    index, and each arriving document (doc_id % MOD == 0) computes its
+    own 64-bit SimHash in the stream, derives 4×16-bit band keys, and
+    stream-static-joins the index — a match verified by
+    bit_count(xor) ≤ radius flags a near-duplicate of a SPECIFIC
+    existing document. Output keys include band_id, so the frame is
+    deterministic without any stateful dedup: ZERO state store, and
+    the static side is one broadcastable band index (8-byte keys; at
+    100 TB the index ships per ingest cycle like the Bloom literal,
+    or co-partitions by band_key when it outgrows broadcast).
+
+    No SQL oracle BY NATURE (xxhash64 fingerprints); instead the
+    streaming frame is pinned EQUAL to the batch twin built from the
+    same expressions — the stateless-plan unification guarantee the
+    Bloom gate established."""
+    from ..functions.text import whitespace_tokens_col
+    from ..operators.dedup import (
+        _HAMMING_MAX,
+        _SIMHASH_BANDS,
+        simhash_col,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def bands_of(fp_frame: DataFrame, id_out: str, fp_out: str) -> DataFrame:
+        structs = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band_id"),
+                    F.shiftright(F.col("fp"), i * 16)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("band_key"),
+                )
+                for i in range(_SIMHASH_BANDS)
+            ]
+        )
+        return fp_frame.select(
+            F.col("doc_id").alias(id_out),
+            F.col("fp").alias(fp_out),
+            F.explode(structs).alias("bk"),
+        ).select(id_out, fp_out, "bk.band_id", "bk.band_key")
+
+    corpus_fp = docs.filter(F.col("doc_id") % _SIMGATE_MOD != 0).select(
+        "doc_id", simhash_col(whitespace_tokens_col("text")).alias("fp")
+    )
+    index = bands_of(corpus_fp, "matched_id", "matched_fp")
+
+    def gate(arrivals: DataFrame) -> DataFrame:
+        fp = arrivals.filter(F.col("doc_id") % _SIMGATE_MOD == 0).select(
+            "doc_id", simhash_col(whitespace_tokens_col("text")).alias("fp")
+        )
+        ham = F.bit_count(F.col("fp").bitwiseXOR(F.col("matched_fp")))
+        return (
+            bands_of(fp, "doc_id", "fp")
+            .join(F.broadcast(index), ["band_id", "band_key"])
+            .withColumn("hamming", ham.cast("int"))
+            .filter(F.col("hamming") <= _HAMMING_MAX)
+            .select("doc_id", "band_id", "matched_id", "hamming")
+        )
+
+    raw = _probed_stream(spark, _stage_dir(sf_dir, "documents"))
+    streamed = _run_to_memory(gate(raw), mode="append").orderBy(
+        "doc_id", "band_id", "matched_id"
+    )
+    batch_twin = gate(docs).orderBy("doc_id", "band_id", "matched_id")
+    return streamed, batch_twin
+
+
+@register("streaming_simhash_gate", oracle=None, tags=("streaming", "dedup", "lsh"))
+def streaming_simhash_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate ingest gate ON A STREAM — see
+    :func:`streaming_simhash_gate_frames`. tests/test_dedup.py pins
+    stream == batch-twin frame equality."""
+    streamed, _ = streaming_simhash_gate_frames(spark, sf_dir)
+    return streamed

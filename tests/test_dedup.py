@@ -568,3 +568,25 @@ def test_ppjoin_prefix_index_is_thin(spark, sf_dir):
         (r.doc_a, r.doc_b) for r in dedup_ngram_jaccard(spark, sf_dir).collect()
     }
     assert pp == full
+
+
+def test_streaming_simhash_gate_equals_batch_twin(spark, sf_dir):
+    """The near-dup ingest gate: the streamed frame must EQUAL the
+    batch twin built from the same expressions (stateless-plan
+    unification, as the Bloom gate), and every flagged pair must
+    verify at hamming <= radius against the static fingerprint."""
+    from asr_training_data_pipeline_spark.operators.dedup import _HAMMING_MAX
+    from asr_training_data_pipeline_spark.streaming.windows import (
+        _SIMGATE_MOD,
+        streaming_simhash_gate_frames,
+    )
+
+    streamed, twin = streaming_simhash_gate_frames(spark, sf_dir)
+    got = [tuple(r) for r in streamed.collect()]
+    want = [tuple(r) for r in twin.collect()]
+    assert got == want
+    assert got  # the fixture flags real near-dups; equality isn't vacuous
+    for doc_id, _band, matched_id, hamming in got:
+        assert doc_id % _SIMGATE_MOD == 0
+        assert matched_id % _SIMGATE_MOD != 0
+        assert 0 <= hamming <= _HAMMING_MAX

@@ -110,6 +110,7 @@ FAMILIES = [
     "bm25_topk",
     "q10_returned_items",
     "q14_promo_effect",  # global agg: ONE all-NULL ratio row
+    "streaming_simhash_gate",
 ]
 
 # row counts that are CONSTANT by design (parameter reports / per-dim
