@@ -131,8 +131,8 @@ _PRIORITY = (
     "filter_pushdown_projection",
     "join_broadcast_dims",
     "q18_large_volume",
-    "q3_shipping_priority",
-    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q15_top_supplier",
     "q5_local_supplier_volume",
     "semi_join_customers",
 )

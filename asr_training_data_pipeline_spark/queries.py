@@ -2086,6 +2086,84 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q6_SQL = f"""
+SELECT {dsum_sql('l_extendedprice * l_discount')} AS revenue,
+       cast(count(*) AS bigint) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= timestamp '1996-01-01'
+  AND l_shipdate <  timestamp '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("q6_forecast_revenue", oracle=_Q6_SQL, tags=("agg", "scan"))
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure scan-side query — three conjunctive
+    range predicates and one global conditional sum, no join at all.
+    The benchmark's predicate-pushdown probe: every filter must reach
+    the parquet scan (locked in tests/test_plan_shapes.py), and the
+    aggregate is one map-side-combined scalar."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+        F.count("*").cast("bigint").alias("n_lines"),
+    )
+
+
+_Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {dsum_sql('l_extendedprice * (1 - l_discount)')} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= timestamp '1996-01-01'
+    AND l_shipdate <  timestamp '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+@register("q15_top_supplier", oracle=_Q15_SQL, tags=("join", "agg"))
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: a derived revenue view consumed twice — once
+    as the join input and once under a scalar MAX subquery selecting
+    the top supplier(s), ties included (the semantics LIMIT 1 would
+    get wrong).
+
+    Scale: the view aggregates map-side on suppkey; the scalar max is
+    a 1-row broadcast back onto the same frame (the view is computed
+    once per consumer — at 100 TB one would persist it; here it is a
+    thin pre-aggregated frame); supplier broadcasts. The equality
+    filter is on the exact-decimal revenue, so ties are engine-exact.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue")
+    )
+    top = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
 _Q10_SQL = f"""
 SELECT c_custkey, c_name,
        {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,

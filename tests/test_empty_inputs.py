@@ -111,6 +111,8 @@ FAMILIES = [
     "q10_returned_items",
     "q14_promo_effect",  # global agg: ONE all-NULL ratio row
     "streaming_simhash_gate",
+    "q6_forecast_revenue",  # global agg: ONE row (NULL sum, zero count)
+    "q15_top_supplier",
 ]
 
 # row counts that are CONSTANT by design (parameter reports / per-dim
@@ -125,6 +127,7 @@ _EXPECTED_NONZERO = {
     "cms_join_size": 1,  # global report: one all-zero row
     "snm_recall_eval": 2,  # one row per method, vacuous 100% ppm
     "q14_promo_effect": 1,  # global ratio report: one NULL row
+    "q6_forecast_revenue": 1,  # global aggregate: one NULL/zero row
 }
 
 

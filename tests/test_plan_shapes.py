@@ -483,3 +483,28 @@ def test_q22_threshold_is_broadcast_not_collect(spark, sf_dir):
     plan = _executed_plan(spark, sf_dir, "q22_global_sales_opportunity")
     assert "LeftAnti" in plan
     assert "BroadcastExchange" in plan
+
+
+def test_q6_filters_reach_the_scan(spark, sf_dir):
+    """TPC-H Q6 is the pushdown probe: the shipdate/discount/quantity
+    predicates must appear as parquet PushedFilters, the scan must
+    read only the four referenced columns, and no join may exist."""
+    plan = _executed_plan(spark, sf_dir, "q6_forecast_revenue")
+    # toString truncates long filter lists ("...,"), so assert presence
+    # rather than parsing to the closing bracket
+    pushed = plan.split("PushedFilters: [", 1)
+    assert len(pushed) == 2, "no pushed-filter section on the scan"
+    assert "IsNotNull" in pushed[1][:200]
+    # all three predicate columns reach the scan's DataFilters
+    data = plan.split("DataFilters: [", 1)
+    assert len(data) == 2
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in data[1][:120] or col in plan.split("Filter ")[1], col
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas
+    for s in schemas:
+        cols = {c.split(":")[0] for c in s.split(",")}
+        assert cols <= {
+            "l_shipdate", "l_discount", "l_quantity", "l_extendedprice"
+        }, cols
+    assert "Join" not in plan
