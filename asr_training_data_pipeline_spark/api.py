@@ -127,7 +127,7 @@ _PRIORITY = (
     "q10_returned_items",
     "q14_promo_effect",
     "streaming_simhash_gate",
-    "anti_join_customers",
+    "window_rank_functions",
     "filter_pushdown_projection",
     "join_broadcast_dims",
     "q18_large_volume",

@@ -2407,6 +2407,56 @@ def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# percent_rank is (rank-1)/(n-1): a ratio of exact integers computed
+# as ONE division in both engines, rounded to 6 dp; cume_dist is
+# rank'/n likewise. Both windows are totally ordered so the integer
+# numerators are engine-exact.
+_RANK_FNS_SQL = """
+SELECT o_orderstatus, o_orderkey,
+       cast(rank()       OVER w AS bigint) AS rnk,
+       cast(dense_rank() OVER w AS bigint) AS drnk,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist()    OVER w, 6) AS cume,
+       cast(row_number() OVER (PARTITION BY o_orderstatus
+                               ORDER BY o_totalprice DESC, o_orderkey)
+            AS bigint) AS rn
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+QUALIFY rn <= 10
+ORDER BY o_orderstatus, rn
+"""
+
+
+@register("window_rank_functions", oracle=_RANK_FNS_SQL, tags=("window",))
+def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family in one window (rank,
+    dense_rank, percent_rank, cume_dist, row_number) over a totally
+    ordered per-status frame, top-10 per group — completing the §2.6
+    window surface beyond ntile/row_number.
+
+    percent_rank/cume_dist are integer-ratio divisions (engine-exact
+    numerators from the total order), rounded at 6 dp only to absorb
+    the division's last bit. Scale: one exchange on the partition key;
+    the QUALIFY top-10 prunes before the final sort."""
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        orders.select(
+            "o_orderstatus",
+            "o_orderkey",
+            F.rank().over(w).cast("bigint").alias("rnk"),
+            F.dense_rank().over(w).cast("bigint").alias("drnk"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .filter(F.col("rn") <= 10)
+        .orderBy("o_orderstatus", "rn")
+    )
+
+
 _GROUPING_SETS_SQL = f"""
 SELECT l_returnflag, l_linestatus,
        cast(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS bigint) AS gid,

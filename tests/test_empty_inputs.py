@@ -113,6 +113,7 @@ FAMILIES = [
     "streaming_simhash_gate",
     "q6_forecast_revenue",  # global agg: ONE row (NULL sum, zero count)
     "q15_top_supplier",
+    "window_rank_functions",
 ]
 
 # row counts that are CONSTANT by design (parameter reports / per-dim
