@@ -52,13 +52,17 @@ _PRIORITY = (
     #     (dedup_minhash_lsh, asr_pipeline_clips, asr_pipeline_summary,
     #     sink_export_manifest) — the composite that drives J1-J4,
     #     F2-F6, W1-W4, A3/A8, C4-C7, C13 under the driver each round;
-    #   * the remaining 21 slots pay down verification debt with the
-    #     OLDEST single-green members (the r2 relational block:
-    #     anti_join … semi_join_customers — each last checked in
-    #     CORRECTNESS_r02). topk_orders_per_cust, set_ops_segments and
-    #     skew_join_salted (also 1-green r2) are deferred one wave:
-    #     topk runs under bench.py every round and the slots ran out;
-    #     next wave takes them plus the r3 singles
+    #   * the remaining slots split between the r9 LATE-WAVE operators
+    #     (first-round exposure, see the block comment below) and
+    #     verification-debt paydown for the oldest single-green r2
+    #     members that still fit (correlated_min_subquery …
+    #     semi_join_customers). The r2 singles displaced by the late
+    #     wave (anti_join_customers, conditional_agg_orders,
+    #     corr_qty_price, cust_order_distribution, distinct_counts,
+    #     cube/rollup/grouping-sets/ntile/pivot/percentile, q3, q4)
+    #     plus topk_orders_per_cust, set_ops_segments and
+    #     skew_join_salted defer one wave — all stay DuckDB-checked on
+    #     every suite run; next wave takes them plus the r3 singles
     #     (group_concat_ordered, doc_fingerprint, …).
     # Funded by retiring the twenty wave-5 second-green members and the
     # changed-code re-validations CORRECTNESS_r08 confirmed green
@@ -128,7 +132,6 @@ _PRIORITY = (
     "q14_promo_effect",
     "streaming_simhash_gate",
     "window_rank_functions",
-    "filter_pushdown_projection",
     "join_broadcast_dims",
     "q18_large_volume",
     "q6_forecast_revenue",
