@@ -1725,18 +1725,24 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("w"),
     )
     toks = hold("bm25_toks", toks)
-    tf = toks.groupBy("lang", "doc_id", "w").agg(
-        F.count("*").cast("bigint").alias("tf")
-    )
+    # ONE token-stream-sized exchange total (the irreducible
+    # inverted-index build): df comes from a count-free DISTINCT, and
+    # tf is computed ONLY for the query-term survivors (a broadcast
+    # filter on the re-scan) — materializing a global tf table first
+    # would pay the token-stream shuffle TWICE (measured 617 s /
+    # 516 MB vs ~half that at the 500k-doc fixture, SCALING.md)
     dl = toks.groupBy("lang", "doc_id").agg(
         F.count("*").cast("bigint").alias("dl")
-    )
+    )  # doc-keyed: map-side combined to |docs| rows
     stats = dl.groupBy("lang").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     )
-    df_t = tf.groupBy("lang", "w").agg(
-        F.count("*").cast("bigint").alias("df")
+    df_t = (
+        toks.select("lang", "w", "doc_id")
+        .distinct()
+        .groupBy("lang", "w")
+        .agg(F.count("*").cast("bigint").alias("df"))
     )
     # df rides the query-term broadcast: joining the FULL df table
     # would shuffle a vocabulary-sized frame against the tiny
@@ -1752,6 +1758,11 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _BM25_QTERMS)
         .select("lang", "w", "df")
     )
+    tf = (
+        toks.join(F.broadcast(qterms.select("lang", "w")), ["lang", "w"])
+        .groupBy("lang", "doc_id", "w")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )  # only query-term tokens survive the scan: docs × QTERMS rows
     scored = (
         tf.join(F.broadcast(qterms), ["lang", "w"])
         .join(dl, ["lang", "doc_id"])
