@@ -140,17 +140,19 @@ _PRIORITY = (
     "semi_join_customers",
 )
 
-# Rotation queue for the NEXT prefix refresh: after CORRECTNESS_r08,
-# the never-checked set is the eight r8-new operators' first rows plus
-# this wave's twenty second-green attempts. Next candidates to rotate
-# IN: any r9-new operators first, then (a) second greens for the four
-# r8 newcomers and for the r7 first-green members retired this round
-# (dedup_ppjoin, event_transition_matrix, cms_word_counts,
-# streaming_bloom_gate, vad_speech_segments, mllib_tfidf_features,
-# mllib_brp_ann_topk, multimodal_frame_sample), then (b) third greens
-# for the long-retired r2/r3 blocks. Fund slots by retiring whichever
-# members CORRECTNESS_r08 confirms at ≥2 cumulative greens (the
-# twenty deferred members above + the changed-code re-validations).
+# Rotation queue for the NEXT (wave-7) prefix refresh, in order:
+# (a) second greens for the fifteen r9 late-wave newcomers
+#     (dedup_rate_by_source … window_rank_functions) and the five
+#     r9-early ones (linkage_cjk_residue … streaming_psi_monitor);
+# (b) the r2 debt block the late wave displaced (anti_join_customers,
+#     conditional_agg_orders, corr_qty_price, correlated_min_subquery,
+#     cust_order_distribution, distinct_counts,
+#     filter_pushdown_projection, percentile_prices, the
+#     cube/rollup/grouping-sets/ntile/pivot block, q3, q4) plus
+#     topk_orders_per_cust, set_ops_segments, skew_join_salted;
+# (c) the r3 singles (group_concat_ordered, doc_fingerprint, …).
+# Fund slots by retiring whichever members CORRECTNESS_r09 confirms
+# at ≥2 cumulative greens.
 
 
 def _reorder_registry() -> None:
