@@ -388,6 +388,52 @@ def multimodal_phash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_phash_canonical", tags=("multimodal", "dedup", "pipeline")
+)
+def multimodal_phash_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END image dedup: pHash pairs → connected components →
+    keep/drop manifest — the full decision artifact (LAION-style
+    image dedup), not just the pair list. Survivor = the smallest
+    media_id of each Hamming cluster (the components' label),
+    singletons keep themselves.
+
+    Scale: composes three already-measured stages — the one-Arrow-pass
+    hash, the banded pair join (8-byte keys), and the two-regime
+    connected components whose closure runs over ACCEPTED pairs only
+    (key-only edges); the corpus-level manifest join broadcasts the
+    clustered subset back onto the id scan, exactly dedup_canonical's
+    locked shape. Rows-only BY NATURE (the DCT kernel); the cluster
+    algebra is pinned on an engineered fixture in tests/test_phash.py."""
+    from .dedup import connected_components
+
+    n_part = spark.sparkContext.defaultParallelism
+    media = media_table(spark, sf_dir).repartition(n_part)
+    hashes = image_phash(media)
+    pairs = phash_near_dup_pairs(hashes)
+    comp = connected_components(pairs, "media_id_a", "media_id_b")
+    sizes = comp.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("cluster_size")
+    )
+    clustered = comp.withColumnRenamed("v", "media_id").join(
+        sizes, "label"
+    )
+    survivor = F.coalesce(F.col("label"), F.col("media_id"))
+    return (
+        media.select("media_id")
+        .join(F.broadcast(clustered), "media_id", "left")
+        .select(
+            "media_id",
+            survivor.alias("survivor_id"),
+            F.coalesce(F.col("cluster_size"), F.lit(1))
+            .cast("bigint")
+            .alias("cluster_size"),
+            (survivor == F.col("media_id")).alias("keep"),
+        )
+        .orderBy("media_id")
+    )
+
+
 # ---------------------------------------------------------------------
 # Audio fingerprint near-dup: the Haitsma-Kalker idea (sign of
 # band-energy structure) reduced to a 63-bit robust hash so the SAME

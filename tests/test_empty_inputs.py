@@ -104,6 +104,7 @@ FAMILIES = [
     "dedup_rate_by_source",
     "multimodal_phash_dedup",
     "multimodal_audio_dedup",
+    "multimodal_phash_canonical",
     "q7_volume_shipping",
     "q21_waiting_supplier",
     "q22_global_sales_opportunity",

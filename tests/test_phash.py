@@ -208,3 +208,49 @@ def test_audio_near_dups_found_and_lsh_complete(spark):
     ]
     assert all(d <= 10 for d in dists), dists
     assert sum(d <= _PHASH_HAMMING_MAX for d in dists) >= len(dists) // 2, dists
+
+
+def test_phash_canonical_cluster_algebra(spark, media_fixture, tmp_path):
+    """End-to-end manifest on the engineered fixture: the exact copy
+    and the near-dup of base 0 collapse into ONE cluster surviving as
+    media_id 0; every other (base, mutation) pair survives as the
+    base; the manifest covers every input exactly once."""
+    import duckdb as _duck
+    import shutil as _sh
+
+    d = str(tmp_path / "sfc")
+    import os as _os
+
+    _os.makedirs(d, exist_ok=True)
+    rows = [(int(r["media_id"]), bytes(r["payload"]).decode("utf-8"))
+            for r in media_fixture.collect()]
+    con = _duck.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    con.execute(f"""
+COPY (SELECT doc_id, text, 'en' AS lang, 'srcP' AS source,
+             CAST(length(text) AS BIGINT) AS n_chars FROM t)
+TO '{d}/documents.parquet' (FORMAT PARQUET)""")
+    src = "/root/testdata/sf0.001"
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"):
+        _sh.copyfile(f"{src}/{t}.parquet", f"{d}/{t}.parquet")
+
+    from asr_training_data_pipeline_spark.api import REGISTRY
+
+    got = {
+        r["media_id"]: (r["survivor_id"], r["cluster_size"], r["keep"])
+        for r in REGISTRY["multimodal_phash_canonical"].fn(spark, d).collect()
+    }
+    assert set(got) == {r[0] for r in rows}
+    # base 0's cluster: {0 (base), 1 (mutation), 100 (exact copy)}
+    assert got[0] == (0, 3, True)
+    assert got[1] == (0, 3, False)
+    assert got[100] == (0, 3, False)
+    # the other engineered pairs survive as their even base
+    for base in (2, 4, 6):
+        assert got[base] == (base, 2, True)
+        assert got[base + 1] == (base, 2, False)
+    # exactly one survivor per cluster
+    survivors = [m for m, (_s, _c, k) in got.items() if k]
+    assert sorted(survivors) == [0, 2, 4, 6]
