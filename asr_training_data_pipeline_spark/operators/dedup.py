@@ -810,30 +810,24 @@ ORDER BY dup_pairs DESC, source_a, source_b
 """
 
 
-@register(
-    "dedup_rate_by_source",
-    oracle=_rate_by_source_sql(),
-    tags=("dedup", "lsh", "curation"),
-)
-def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-source duplication matrix: MinHash near-dup pairs labelled
-    by each side's source, aggregated per normalized (source_a ≤
-    source_b) pair with per-source doc counts — within-source rows
-    (source_a = source_b) measure internal redundancy, off-diagonal
-    rows measure feed mirroring.
+def rate_by_source_over(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame
+) -> DataFrame:
+    """Cross-source duplication matrix over an arbitrary (doc_a,
+    doc_b, est_jaccard) pair set: pairs labelled by each side's
+    source, aggregated per normalized (source_a ≤ source_b) pair with
+    per-source doc counts — within-source rows (source_a = source_b)
+    measure internal redundancy, off-diagonal rows measure feed
+    mirroring.
 
     Scale: the expensive part is the pair set itself (the banded
     MinHash join, measured in SCALING.md); this layer adds two
     doc_id-keyed projections of (doc_id, source) — 16-byte rows — and
-    a broadcast of the per-source count table (|sources| rows). The
-    oracle replays the ENTIRE pipeline including the portable
-    signatures, so the aggregation is exact end-to-end, not just
-    sampled."""
+    a broadcast of the per-source count table (|sources| rows)."""
     from ..functions.exact import davg
 
     docs = load_table(spark, sf_dir, "documents")
     src = docs.select("doc_id", "source")
-    pairs = dedup_minhash_portable(spark, sf_dir)
     labelled = (
         pairs.join(
             src.select(
@@ -883,6 +877,43 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source_a", "source_b", "dup_pairs", "avg_est", "docs_a", "docs_b"
         )
         .orderBy(F.desc("dup_pairs"), "source_a", "source_b")
+    )
+
+
+@register(
+    "dedup_rate_by_source",
+    oracle=_rate_by_source_sql(),
+    tags=("dedup", "lsh", "curation"),
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked form of the cross-source duplication matrix: the
+    PORTABLE (md5-derived) MinHash pair set, so DuckDB replays the
+    ENTIRE pipeline including the signatures and the aggregation is
+    exact end-to-end. The md5 signature kernel costs ~10× the xxhash64
+    one (SCALING.md: 898.5 s vs the minhash pipeline's own cost at
+    500k docs) — it buys oracle portability, nothing else, so
+    production use at scale should call dedup_rate_by_source_fast."""
+    return rate_by_source_over(
+        spark, sf_dir, dedup_minhash_portable(spark, sf_dir)
+    )
+
+
+@register(
+    "dedup_rate_by_source_fast",
+    tags=("dedup", "lsh", "curation"),
+)
+def dedup_rate_by_source_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION default of the cross-source duplication matrix
+    (VERDICT r9 task 4): the same matrix layer composed over
+    dedup_minhash_lsh's xxhash64 pair set — identical downstream
+    shape, ~10× cheaper signatures, plus the exact-dup signature
+    pre-collapse the portable form lacks. Rows-only BY NATURE (the
+    xxhash64 pair set is hash-function specific); the matrix algebra
+    itself is the oracle-green dedup_rate_by_source's, re-pinned
+    against an independent pandas recomputation in
+    tests/test_dedup.py::test_rate_by_source_fast_matrix_algebra."""
+    return rate_by_source_over(
+        spark, sf_dir, dedup_minhash_lsh(spark, sf_dir)
     )
 
 

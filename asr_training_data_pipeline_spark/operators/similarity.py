@@ -1816,21 +1816,19 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("d2"),
         F.lit(None).cast("bigint").alias("sel_idx"),
     ).limit(0)
-    seed = v.agg(F.min("vec_id").alias("m")).collect()[0].m
-    if seed is None:
+    # One scan per round: the selection TakeOrdered(1) carries the
+    # center's vector `e` alongside its id, so no second point-lookup
+    # scan is needed to fetch the chosen vector (k scans total, not 2k).
+    seed_row = v.orderBy("vec_id").select("vec_id", "e").limit(1).collect()
+    if not seed_row:
         return empty
 
-    def center_vec(cid):
-        return list(
-            v.filter(F.col("vec_id") == cid).select("e").collect()[0].e
-        )
-
-    cents = [(int(seed), center_vec(seed))]
+    cents = [(int(seed_row[0].vec_id), list(seed_row[0].e))]
     for _ in range(1, _KC_K):
         d2s = [d2_col(ce) for _, ce in cents]
         md2 = d2s[0] if len(d2s) == 1 else F.least(*d2s)
         top = (
-            v.select("vec_id", md2.alias("md2"))
+            v.select("vec_id", "e", md2.alias("md2"))
             .filter(F.col("md2") > 0)
             .orderBy(F.col("md2").desc(), "vec_id")
             .limit(1)
@@ -1838,8 +1836,7 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if not top:
             break
-        nid = int(top[0].vec_id)
-        cents.append((nid, center_vec(nid)))
+        cents.append((int(top[0].vec_id), list(top[0].e)))
 
     cands = F.array(
         *[

@@ -1703,8 +1703,8 @@ ORDER BY lang, rnk
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANKED RETRIEVAL: Okapi BM25 top-k per language, with the query
     terms derived deterministically from the corpus (each language's
-    top-{_BM25_QTERMS} terms by document frequency — the audit probe a
-    curation team would start from). Scores are exact bigint
+    top-N terms by document frequency, N = _BM25_QTERMS — the audit
+    probe a curation team would start from). Scores are exact bigint
     micro-units (per-(doc, term) contribution quantized at 1e-6), so
     ranking and hashes are engine-exact despite the ln() call.
 
@@ -1713,9 +1713,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts; the score join keys on (lang, w) against the tf table
     — candidate rows are only docs CONTAINING a query term (inverted-
     index semantics, never a corpus × queries product); top-k is a
-    per-lang window over scored docs only.""".replace(
-        "{_BM25_QTERMS}", str(_BM25_QTERMS)
-    )
+    per-lang window over scored docs only."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "lang",
@@ -2135,10 +2133,10 @@ def unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     (d = -(Π probs), path), min-(d, path) per state; the FP products
     accumulate in the same left-to-right operand order in both
     engines, so scores are bit-identical per path and tie-breaks (the
-    joined path-string min) agree. Word types above {maxlen} code
+    joined path-string min) agree. Word types above _ULM_MAXLEN code
     points are excluded from training on both sides (documented
     corpus-domain bound; the long tail falls back to char pieces at
-    encode time).""".format(maxlen=_ULM_MAXLEN)
+    encode time)."""
     return (
         unigram_lm_train(spark, load_table(spark, sf_dir, "documents"))
         .orderBy(F.col("token_count").desc(), "piece")

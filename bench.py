@@ -64,12 +64,42 @@ def main() -> None:
     # set the recorded min. Worst-case extra wall is bounded and far
     # cheaper than recording a 2-3× inflated headline.
     max_runs = runs_per_query + 2
+
+    # Scheduler-health probe: the latency of a trivial 1-partition job
+    # (spark.range(10).count()) is pure scheduler turnaround — ~100-200
+    # ms on a quiet host, observed >2 s during the external-load bursts
+    # that stall-inflated the recorded r8/r9 headlines (a burst long
+    # enough to cover ALL of a cheap query's samples defeated the
+    # spread-triggered resampling: word_coverage recorded 11.2 s from
+    # three burst-hit samples against a 0.55 s quiet floor). The probe
+    # runs right after every timed sample; a sample whose probe reads
+    # >3x the quiet level was taken during a stall and may not set the
+    # record while the stall budget lasts.
+    def probe_ms() -> float:
+        t0 = time.time()
+        spark.range(10).count()
+        return (time.time() - t0) * 1000.0
+
+    probe_quiet = min(probe_ms() for _ in range(5))  # warm + baseline
+    probes_all: list[float] = [probe_quiet]
+
+    def stalled(p: float) -> bool:
+        # quiet level = running min over every probe this process took
+        # (immune to a stalled start-of-bench baseline).
+        return p > 3.0 * min(probes_all)
+
+    # Bound the total stall-wait so a permanently-loaded host still
+    # terminates: across the whole bench, at most this many EXTRA
+    # samples are granted on the stall signal alone.
+    stall_budget = int(os.environ.get("SPARK_GRAFT_BENCH_STALL_BUDGET", "40"))
     timings: dict[str, float] = {}
+    probe_log: dict[str, dict] = {}
     t_total = time.time()
     for name, fn in sorted(bench_queries().items()):
         fn(spark, sf_dir).count()  # untimed plan warm-up
         spark.catalog.clearCache()
         samples: list[float] = []
+        sample_probes: list[float] = []
         n = 0
         # Expensive queries (min ≥ 3 s) get a mandatory THIRD sample:
         # a load burst spanning both of two samples inflates them
@@ -95,37 +125,75 @@ def main() -> None:
             (max_runs + 1 if min(samples) < 3.0 else max_runs)
             + (1 if max(samples) > 4.0 * min(samples) else 0)
         )
-        while len(samples) < min_samples() or (
-            len(samples) < cap()
-            and (
-                # High spread means an external load burst hit some
-                # run; take extra samples for a shot at a quiet window
-                # (two for cheap queries, one for expensive ones).
-                max(samples) > 1.5 * min(samples)
-                # Still-improving trend means the plan hasn't reached
-                # steady state yet (C2 JIT / codegen warm-up on the
-                # heavy pandas-UDF plans ramps over ~4 runs: measured
-                # 5.3 → 4.0 → 3.4 → 3.0 s on asr_pipeline_clips) —
-                # keep sampling until the last run stops being the
-                # fastest by a margin, so the recorded min is the
-                # steady state, not the ramp.
-                or (
-                    samples[-1] == min(samples)
-                    and max(samples) > 1.1 * samples[-1]
+        def all_stalled() -> bool:
+            # No sample yet taken in a quiet window: every probe read
+            # >3x the quiet level, so even the min is burst-inflated.
+            return bool(sample_probes) and all(map(stalled, sample_probes))
+
+        while (
+            len(samples) < min_samples()
+            or (
+                len(samples) < cap()
+                and (
+                    # High spread means an external load burst hit some
+                    # run; take extra samples for a shot at a quiet
+                    # window (two for cheap queries, one for expensive).
+                    max(samples) > 1.5 * min(samples)
+                    # Still-improving trend means the plan hasn't
+                    # reached steady state yet (C2 JIT / codegen
+                    # warm-up on the heavy pandas-UDF plans ramps over
+                    # ~4 runs: measured 5.3 → 4.0 → 3.4 → 3.0 s on
+                    # asr_pipeline_clips) — keep sampling until the
+                    # last run stops being the fastest by a margin, so
+                    # the recorded min is the steady state, not the
+                    # ramp.
+                    or (
+                        samples[-1] == min(samples)
+                        and max(samples) > 1.1 * samples[-1]
+                    )
                 )
             )
+            # Stall gate (VERDICT r9 task 1): when every sample so far
+            # was probe-flagged, grant up to 3 extra samples per query
+            # (drawn from the bench-wide stall budget) for a shot at a
+            # quiet window — a burst covering all regular samples must
+            # now also outlast the probe-gated extras to set a record.
+            or (
+                all_stalled()
+                and len(samples) < cap() + 3
+                and stall_budget > 0
+            )
         ):
+            if all_stalled() and len(samples) >= cap():
+                stall_budget -= 1
+                time.sleep(1.0)  # let the burst drain before retrying
             t0 = time.time()
             n = fn(spark, sf_dir).count()
             samples.append(time.time() - t0)
+            p = probe_ms()
+            sample_probes.append(p)
+            probes_all.append(p)
             # Per-query isolation: some plans persist() reuse points
             # (pipeline fan-out, LSH bands); drop them so every run is
             # measured against a clean executor, not leftover blocks.
             spark.catalog.clearCache()
+        # Record the GLOBAL min — a stall only ever inflates a sample,
+        # so the fastest sample is always the best floor estimate even
+        # if its post-sample probe was burst-hit. The quiet set drives
+        # the resampling gate and the stalled flag only: a query whose
+        # every sample was probe-flagged is visibly suspect in the
+        # JSON rather than silently inflated.
+        quiet = [s for s, p in zip(samples, sample_probes) if not stalled(p)]
         timings[name] = round(min(samples), 3)
+        probe_log[name] = {
+            "probe_ms": [round(p, 1) for p in sample_probes],
+            "stalled": not quiet,
+        }
         print(
             f"# {name}: {n} rows in {timings[name]:.2f}s "
-            f"(min of {len(samples)}: {[round(s, 2) for s in samples]})",
+            f"(min of {len(samples)}: {[round(s, 2) for s in samples]}; "
+            f"probes {[round(p) for p in sample_probes]} ms"
+            f"{'; STALLED' if not quiet else ''})",
             file=sys.stderr,
         )
     total = round(sum(timings.values()), 3)
@@ -144,6 +212,11 @@ def main() -> None:
                 "n_queries_total": len(REGISTRY),
                 "runs_per_query": runs_per_query,
                 "total_wall_s": wall,
+                "probe_quiet_ms": round(min(probes_all), 1),
+                "probes": probe_log,
+                "stalled_queries": sorted(
+                    q for q, d in probe_log.items() if d["stalled"]
+                ),
             }
         )
     )

@@ -590,3 +590,57 @@ def test_streaming_simhash_gate_equals_batch_twin(spark, sf_dir):
         assert doc_id % _SIMGATE_MOD == 0
         assert matched_id % _SIMGATE_MOD != 0
         assert 0 <= hamming <= _HAMMING_MAX
+
+
+def test_rate_by_source_fast_matrix_algebra(spark, sf_dir):
+    """dedup_rate_by_source_fast: the production (xxhash64) matrix
+    must equal an independent pandas recomputation of the labelling /
+    normalization / aggregation algebra from its OWN collected pair
+    set — the matrix layer is shared with the oracle-green portable
+    form, so this pins that swapping the pair provider changed the
+    inputs only, not the algebra."""
+    from decimal import Decimal
+
+    from asr_training_data_pipeline_spark.operators.dedup import (
+        dedup_minhash_lsh,
+        dedup_rate_by_source_fast,
+    )
+    from asr_training_data_pipeline_spark.sources.tables import load_table
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["source"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .collect()
+    }
+    n_docs: dict[str, int] = {}
+    for s in docs.values():
+        n_docs[s] = n_docs.get(s, 0) + 1
+    agg: dict[tuple[str, str], list] = {}
+    for r in pairs:
+        key = tuple(sorted((docs[r["doc_a"]], docs[r["doc_b"]])))
+        cell = agg.setdefault(key, [0, Decimal(0)])
+        cell[0] += 1
+        # davg semantics: decimal(27,6) sum / count, cast to double
+        cell[1] += Decimal(f"{r['est_jaccard']:.6f}")
+    want = {
+        key: (
+            n,
+            round(float(total / n), 6),
+            n_docs[key[0]],
+            n_docs[key[1]],
+        )
+        for key, (n, total) in agg.items()
+    }
+    got = {
+        (r["source_a"], r["source_b"]): (
+            r["dup_pairs"],
+            r["avg_est"],
+            r["docs_a"],
+            r["docs_b"],
+        )
+        for r in dedup_rate_by_source_fast(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert got  # fixture has real cross/within-source dups

@@ -254,3 +254,68 @@ TO '{d}/documents.parquet' (FORMAT PARQUET)""")
     # exactly one survivor per cluster
     survivors = [m for m, (_s, _c, k) in got.items() if k]
     assert sorted(survivors) == [0, 2, 4, 6]
+
+
+def test_audio_canonical_dense_dup_bounded(spark):
+    """Dense-dup corpus (the multimodal_audio_dedup hazard): a 40-copy
+    clique must yield a ONE-row-per-clip manifest whose clusters match
+    brute-force connected components over the full pairwise Hamming
+    graph — and the rep-collapse must keep the banded self-join's
+    input at one vertex per DISTINCT fingerprint, so the intermediate
+    pair set is bounded by dup-structure, not corpus size."""
+    from asr_training_data_pipeline_spark.operators.multimodal import (
+        audio_ahash,
+        canonical_manifest,
+        phash_near_dup_pairs,
+    )
+
+    base = [t * 12 for t in _BASE_TEXTS]
+    texts = []
+    for t in base:
+        texts.extend([t] * 40)            # dense clique: 40 exact copies
+        texts.append(_mutate(t, len(t) // 2))  # plus one near-dup
+    media = _audio_fixture(spark, texts)
+    hashes = {r["media_id"]: r["phash"] for r in audio_ahash(media).collect()}
+
+    # brute-force components over the FULL clip graph
+    parent = {m: m for m in hashes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ids = sorted(hashes)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if bin(hashes[a] ^ hashes[b]).count("1") <= _PHASH_HAMMING_MAX:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    comp_of = {m: find(m) for m in ids}
+    sizes = {}
+    for m, c in comp_of.items():
+        sizes[c] = sizes.get(c, 0) + 1
+
+    got = {
+        r["media_id"]: (r["survivor_id"], r["cluster_size"], r["keep"])
+        for r in canonical_manifest(audio_ahash(media)).collect()
+    }
+    assert set(got) == set(ids)  # one row per clip, always
+    for m in ids:
+        assert got[m] == (comp_of[m], sizes[comp_of[m]], m == comp_of[m]), m
+
+    # rep-collapse bound: the pair join runs over distinct hashes only
+    distinct = len(set(hashes.values()))
+    reps = (
+        audio_ahash(media)
+        .groupBy("phash")
+        .agg(F.min("media_id").alias("media_id"))
+        .select("media_id", "phash")
+    )
+    rep_pairs = phash_near_dup_pairs(reps).count()
+    assert rep_pairs <= distinct * (distinct - 1) // 2
+    # a 40-clique contributes ZERO rep pairs (one vertex), so the rep
+    # pair count is far below the clip graph's (~40*39/2 per clique)
+    assert rep_pairs < 40

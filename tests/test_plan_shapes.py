@@ -518,7 +518,7 @@ def test_bm25_vocabulary_never_shuffles_against_survivors(spark, sf_dir):
     plan = _executed_plan(spark, sf_dir, "bm25_topk")
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2  # qterms+df, stats
-    assert "SortMergeJoin" not in plan.split("Window")[0] or True
+    assert "SortMergeJoin" not in plan
     # the scorer's join keys: no exchange keyed on (lang, w) except the
     # df/tf aggregations themselves
     assert "bit_count" not in plan  # sanity: wrong-query guard
