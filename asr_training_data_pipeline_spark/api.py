@@ -26,132 +26,112 @@ from .streaming import stateful, windows  # noqa: F401
 
 _PRIORITY = (
     # ------------------------------------------------------------------
-    # r9 rotation wave 6 (VERDICT r8 tasks 1+4). Composition of the 50:
+    # r10 rotation wave 7 (VERDICT r9 task 2). Composition of the 50:
     #   * flagship word_coverage;
-    #   * the two r7/r8 driver REDS hll_distinct / hll_column_profile —
-    #     root-caused this round (uncast HUGEINT SUM → decimal128 in
-    #     the oracle's zero_registers; fixed at sketches.py
-    #     _hll_finalize_sql) — they stay at the head until the driver
-    #     confirms green, with hll_merge_shards as the family
-    #     cross-check;
-    #   * changed-code re-validations: record_linkage_fuzzy /
-    #     linkage_entities (the _linkage_candidates residue-gate
-    #     refactor + _best_links extraction);
-    #   * the five r9-new operators (first-round exposure):
-    #     linkage_cjk_residue (rows-only BY NATURE — codepoint
-    #     Levenshtein has no byte-exact DuckDB form; Python-reference
-    #     pinned), dsir_importance_weights, kcenter_coreset,
-    #     token_psi_drift, streaming_psi_monitor;
-    #   * second greens for the eight r8 newcomers (pagerank_coorder …
-    #     dedup_paragraph) and for the eight r7 first-green members
-    #     retired in wave 5 (dedup_ppjoin, event_transition_matrix,
-    #     cms_word_counts, streaming_bloom_gate, vad_speech_segments,
-    #     mllib_tfidf_features, mllib_brp_ann_topk,
-    #     multimodal_frame_sample);
-    #   * the standing rows-only reference-pipeline core
-    #     (dedup_minhash_lsh, asr_pipeline_clips, asr_pipeline_summary,
-    #     sink_export_manifest) — the composite that drives J1-J4,
-    #     F2-F6, W1-W4, A3/A8, C4-C7, C13 under the driver each round;
-    #   * the remaining slots split between the r9 LATE-WAVE operators
-    #     (first-round exposure, see the block comment below) and
-    #     verification-debt paydown for the oldest single-green r2
-    #     members that still fit (correlated_min_subquery …
-    #     semi_join_customers). The r2 singles displaced by the late
-    #     wave (anti_join_customers, conditional_agg_orders,
-    #     corr_qty_price, cust_order_distribution, distinct_counts,
-    #     cube/rollup/grouping-sets/ntile/pivot/percentile, q3, q4)
-    #     plus topk_orders_per_cust, set_ops_segments and
-    #     skew_join_salted defer one wave — all stay DuckDB-checked on
-    #     every suite run; next wave takes them plus the r3 singles
-    #     (group_concat_ordered, doc_fingerprint, …).
-    # Funded by retiring the twenty wave-5 second-green members and the
-    # changed-code re-validations CORRECTNESS_r08 confirmed green
-    # (rfm_segments, snm pair/multikey/recall, bpe_merges/vocab,
-    # langid_trained, pmi_collocations, basket_lift, cms_join_size,
-    # streaming_distinct_hll, vocab_coverage … event_rate_anomalies,
-    # exact_quantiles_orders). Every retiree stays DuckDB-checked on
-    # every suite run via tests/test_oracle_parity.py.
+    #   * the three queries with NO driver row yet:
+    #     multimodal_phash_canonical (added post-sweep in r9; judge-
+    #     verified but never driver-run) and the two r10-new production
+    #     forms multimodal_audio_canonical (bounded audio dedup
+    #     manifest, VERDICT task 3) and dedup_rate_by_source_fast
+    #     (xxhash64 source matrix, VERDICT task 4);
+    #   * changed-code re-validations: kcenter_coreset (the one-scan-
+    #     per-round selection fold, VERDICT task 5), dedup_rate_by_source
+    #     (rate_by_source_over extraction), multimodal_audio_dedup
+    #     (plan-time decoder capture);
+    #   * the DISPLACED r2 debt block, finally paying its second greens
+    #     (deferred from wave 6): anti_join_customers,
+    #     conditional_agg_orders, corr_qty_price,
+    #     correlated_min_subquery, cube_quantities,
+    #     cust_order_distribution, distinct_counts,
+    #     filter_pushdown_projection, grouping_sets_revenue,
+    #     ntile_quartiles, percentile_prices, pivot_revenue_by_status,
+    #     q3_shipping_priority, q4_order_priority, rollup_revenue,
+    #     topk_orders_per_cust, set_ops_segments, skew_join_salted;
+    #   * second greens for the remaining single-green r9 newcomers
+    #     (the late wave: multimodal_phash_dedup, bm25_topk,
+    #     unigram_lm_vocab/fertility, q7/q10/q14/q21/q22,
+    #     streaming_simhash_gate, window_rank_functions; the early
+    #     wave: linkage_cjk_residue, dsir_importance_weights,
+    #     token_psi_drift, streaming_psi_monitor);
+    #   * second greens for the r3 singles: group_concat_ordered,
+    #     doc_fingerprint, quality_score, stopword_filter,
+    #     tfidf_top_terms, timestamp_format, streaming_sliding_counts,
+    #     embedding_cosine_pairs;
+    #   * the rows-only pipeline composites asr_pipeline_clips +
+    #     asr_pipeline_summary (the frames that drive J1-J4, F2-F6,
+    #     W1-W4, A3-A8, C4-C7, C13 under the driver each round).
+    # Funded by retiring the r9-confirmed multi-green members (the HLL
+    # family, record_linkage_fuzzy/linkage_entities, the r8-newcomer
+    # second greens pagerank_coorder … dedup_paragraph, the r7 block
+    # dedup_ppjoin … multimodal_frame_sample, and the TPC-H shapes
+    # q5/q6/q15/q18/semi_join/join_broadcast now at 2 greens) plus the
+    # long-multi-green dedup_minhash_lsh (8 rows-greens; still run
+    # every round by bench.py) and sink_export_manifest (3 rows-greens).
+    # Every retiree stays DuckDB-checked on every suite run via
+    # tests/test_oracle_parity.py.
     # ------------------------------------------------------------------
     "word_coverage",
-    "hll_distinct",
-    "hll_column_profile",
-    "hll_merge_shards",
-    "record_linkage_fuzzy",
-    "linkage_entities",
-    "linkage_cjk_residue",
-    "dsir_importance_weights",
+    "multimodal_phash_canonical",
+    "multimodal_audio_canonical",
+    "dedup_rate_by_source_fast",
     "kcenter_coreset",
-    "token_psi_drift",
-    "streaming_psi_monitor",
-    "pagerank_coorder",
-    "incremental_agg_retract",
-    "sampled_quantiles_orders",
-    "bpe_fertility_by_lang",
-    "dedup_tf_cosine",
-    "top_event_paths",
-    "gopher_quality_flags",
-    "dedup_paragraph",
-    "dedup_ppjoin",
-    "event_transition_matrix",
-    "cms_word_counts",
-    "streaming_bloom_gate",
-    "vad_speech_segments",
-    "mllib_tfidf_features",
-    "mllib_brp_ann_topk",
-    "multimodal_frame_sample",
-    "dedup_minhash_lsh",
-    "asr_pipeline_clips",
-    "asr_pipeline_summary",
-    "sink_export_manifest",
-    # r9-late additions (first-round exposure, funded by deferring the
-    # five cube/rollup/window r2 singles one more wave — all five stay
-    # DuckDB-checked in-suite):
-    #   * dedup_rate_by_source — cross-source duplication matrix over
-    #     the portable-MinHash pair set (oracle replays the ENTIRE
-    #     pipeline end-to-end);
-    #   * multimodal_phash_dedup — DCT perceptual-hash image near-dup
-    #     pairs (rows-only BY NATURE: no SQL form for the DCT kernel;
-    #     LSH==brute-force and a loop-written kernel reference pinned
-    #     in tests/test_phash.py);
-    #   * q7/q21/q22 TPC-H decorrelation shapes (all exact oracles;
-    #     q21/q22 predicates adapted to the reduced testdata schema —
-    #     see their docstrings);
-    #   * unigram_lm_vocab — the SentencePiece unigram-LM tokenizer
-    #     trained by hard EM, with the Viterbi DP replayed EXACTLY in
-    #     SQL (Bellman-Ford unrolled over word positions).
     "dedup_rate_by_source",
+    "multimodal_audio_dedup",
+    "anti_join_customers",
+    "conditional_agg_orders",
+    "corr_qty_price",
+    "correlated_min_subquery",
+    "cube_quantities",
+    "cust_order_distribution",
+    "distinct_counts",
+    "filter_pushdown_projection",
+    "grouping_sets_revenue",
+    "ntile_quartiles",
+    "percentile_prices",
+    "pivot_revenue_by_status",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "rollup_revenue",
+    "topk_orders_per_cust",
+    "set_ops_segments",
+    "skew_join_salted",
     "multimodal_phash_dedup",
-    "q7_volume_shipping",
-    "q21_waiting_supplier",
-    "q22_global_sales_opportunity",
+    "bm25_topk",
     "unigram_lm_vocab",
     "unigram_lm_fertility",
-    "multimodal_audio_dedup",
-    "bm25_topk",
+    "q7_volume_shipping",
     "q10_returned_items",
     "q14_promo_effect",
+    "q21_waiting_supplier",
+    "q22_global_sales_opportunity",
     "streaming_simhash_gate",
     "window_rank_functions",
-    "join_broadcast_dims",
-    "q18_large_volume",
-    "q6_forecast_revenue",
-    "q15_top_supplier",
-    "q5_local_supplier_volume",
-    "semi_join_customers",
+    "linkage_cjk_residue",
+    "dsir_importance_weights",
+    "token_psi_drift",
+    "streaming_psi_monitor",
+    "group_concat_ordered",
+    "doc_fingerprint",
+    "quality_score",
+    "stopword_filter",
+    "tfidf_top_terms",
+    "timestamp_format",
+    "streaming_sliding_counts",
+    "embedding_cosine_pairs",
+    "asr_pipeline_clips",
+    "asr_pipeline_summary",
 )
 
-# Rotation queue for the NEXT (wave-7) prefix refresh, in order:
-# (a) second greens for the fifteen r9 late-wave newcomers
-#     (dedup_rate_by_source … window_rank_functions) and the five
-#     r9-early ones (linkage_cjk_residue … streaming_psi_monitor);
-# (b) the r2 debt block the late wave displaced (anti_join_customers,
-#     conditional_agg_orders, corr_qty_price, correlated_min_subquery,
-#     cust_order_distribution, distinct_counts,
-#     filter_pushdown_projection, percentile_prices, the
-#     cube/rollup/grouping-sets/ntile/pivot block, q3, q4) plus
-#     topk_orders_per_cust, set_ops_segments, skew_join_salted;
-# (c) the r3 singles (group_concat_ordered, doc_fingerprint, …).
-# Fund slots by retiring whichever members CORRECTNESS_r09 confirms
+# Rotation queue for the NEXT (wave-8) prefix refresh, in order:
+# (a) first re-greens for whatever wave 7 leaves single-green;
+# (b) the remaining once-green r4/r5/r6 members with "second green
+#     deferred" notes in COVERAGE.md §4 (cohort_retention,
+#     dedup_cluster_stats, dedup_substring_spans,
+#     length_filter_adaptive, minhash_calibration, mixture_weights,
+#     profile_embeddings, validate_embeddings, embedding_centroids,
+#     lang_id_confusion, mllib_minhash_pairs, bottomk_sample_per_lang);
+# (c) third greens for the standing pipeline composites.
+# Fund slots by retiring whichever members CORRECTNESS_r10 confirms
 # at ≥2 cumulative greens.
 
 

@@ -37,7 +37,14 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize a media table: one row per document with an opaque
     binary payload (deterministic bytes derived from the text — a
     stand-in for an audio container) + typed metadata."""
-    docs = load_table(spark, sf_dir, "documents")
+    return media_projection(load_table(spark, sf_dir, "documents"))
+
+
+def media_projection(docs: DataFrame) -> DataFrame:
+    """The documents→media projection behind :func:`media_table`,
+    usable on any frame with (doc_id, text, lang) — including a
+    STREAMING frame (pure stateless select), which is how the
+    streaming audio-dedup gate fingerprints arriving clips."""
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.encode(F.col("text"), "UTF-8").alias("payload"),
@@ -320,6 +327,23 @@ def image_phash(media: DataFrame) -> DataFrame:
     )
 
 
+def phash_band_structs():
+    """The 4×16-bit band-key derivation over a ``phash`` column —
+    shared by the batch pair join and the streaming ingest gate (one
+    derivation, JVM-side, no Python pass)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_no"),
+                F.shiftrightunsigned(F.col("phash"), b * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("band_val"),
+            )
+            for b in range(_PHASH_BANDS)
+        ]
+    )
+
+
 def phash_near_dup_pairs(
     hashes: DataFrame, max_hamming: int = _PHASH_HAMMING_MAX
 ) -> DataFrame:
@@ -338,17 +362,7 @@ def phash_near_dup_pairs(
         raise ValueError(
             f"band LSH is exact only for hamming < {_PHASH_BANDS}"
         )
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_no"),
-                F.shiftrightunsigned(F.col("phash"), b * 16)
-                .bitwiseAND(F.lit(0xFFFF))
-                .alias("band_val"),
-            )
-            for b in range(_PHASH_BANDS)
-        ]
-    )
+    bands = phash_band_structs()
     banded = hashes.select(
         "media_id", "phash", F.explode(bands).alias("bk")
     ).select("media_id", "phash", "bk.band_no", "bk.band_val")

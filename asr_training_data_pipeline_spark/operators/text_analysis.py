@@ -1931,10 +1931,16 @@ ORDER BY token_count DESC, v.piece""")
     return "".join(parts)
 
 
-def unigram_lm_train(spark: SparkSession, docs: DataFrame) -> DataFrame:
+def unigram_lm_train(
+    spark: SparkSession,
+    docs: DataFrame,
+    *,
+    rounds: int = _ULM_ROUNDS,
+    topk: int = _ULM_TOPK,
+) -> DataFrame:
     """Train the unigram-LM piece vocabulary over a documents frame:
     init (all single chars + top-K multi-char substrings by weighted
-    frequency), then ``_ULM_ROUNDS`` of hard EM — E-step: Viterbi-
+    frequency), then ``rounds`` of hard EM — E-step: Viterbi-
     segment every word TYPE under current piece probabilities (an
     Arrow-batched UDF over the type table; the corpus is reduced
     ONCE); M-step: piece counts from the segmentations, chars smoothed
@@ -1980,7 +1986,7 @@ def unigram_lm_train(spark: SparkSession, docs: DataFrame) -> DataFrame:
         .groupBy("piece")
         .agg(F.sum("cnt").alias("cnt"))
         .orderBy(F.col("cnt").desc(), "piece")
-        .limit(_ULM_TOPK)
+        .limit(topk)
         .collect()
     )
     vocab = {r["piece"]: int(r["cnt"]) for r in subs}
@@ -1988,7 +1994,7 @@ def unigram_lm_train(spark: SparkSession, docs: DataFrame) -> DataFrame:
         vocab[ch] = max(vocab.get(ch, 0), c)
 
     out_schema = "piece string, token_count bigint, is_char boolean"
-    for _ in range(_ULM_ROUNDS):
+    for _ in range(rounds):
         if not vocab:
             return spark.createDataFrame([], out_schema)
         total = sum(vocab.values())
