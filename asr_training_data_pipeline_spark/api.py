@@ -123,6 +123,10 @@ _PRIORITY = (
 )
 
 # Rotation queue for the NEXT (wave-8) prefix refresh, in order:
+# (a0) first driver exposure for streaming_audio_gate (registered
+#      after the wave-7 sweep; stream==batch-twin pinned in
+#      tests/test_phash.py and covered by the end-of-round
+#      full-registry verify sweep this round);
 # (a) first re-greens for whatever wave 7 leaves single-green;
 # (b) the remaining once-green r4/r5/r6 members with "second green
 #     deferred" notes in COVERAGE.md §4 (cohort_retention,

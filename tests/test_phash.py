@@ -319,3 +319,25 @@ def test_audio_canonical_dense_dup_bounded(spark):
     # a 40-clique contributes ZERO rep pairs (one vertex), so the rep
     # pair count is far below the clip graph's (~40*39/2 per clique)
     assert rep_pairs < 40
+
+
+def test_streaming_audio_gate_equals_batch_twin(spark, sf_dir):
+    """The audio ingest gate: the streamed frame must EQUAL the batch
+    twin built from the same expressions (stateless-plan unification,
+    as the SimHash/Bloom gates), and every flagged clip must verify at
+    hamming <= radius against a corpus clip on the other side of the
+    arrival split."""
+    from asr_training_data_pipeline_spark.streaming.windows import (
+        _SIMGATE_MOD,
+        streaming_audio_gate_frames,
+    )
+
+    streamed, twin = streaming_audio_gate_frames(spark, sf_dir)
+    got = [tuple(r) for r in streamed.collect()]
+    want = [tuple(r) for r in twin.collect()]
+    assert got == want
+    assert got  # the fixture flags real near-dups; equality isn't vacuous
+    for media_id, _band, matched_id, hamming in got:
+        assert media_id % _SIMGATE_MOD == 0
+        assert matched_id % _SIMGATE_MOD != 0
+        assert 0 <= hamming <= _PHASH_HAMMING_MAX
