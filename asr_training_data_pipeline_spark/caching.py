@@ -20,9 +20,22 @@ from pyspark.sql import DataFrame
 _SLOTS: dict[str, DataFrame] = {}
 
 
-def hold(slot: str, df: DataFrame, storage_level=None) -> DataFrame:
+def hold(
+    slot: str, df: DataFrame, storage_level=None, eager: bool = False
+) -> DataFrame:
     """Persist ``df`` as the named slot's occupant, unpersisting the
-    slot's previous frame. Returns the persisted frame."""
+    slot's previous frame. Returns the persisted frame.
+
+    ``eager=True`` materializes the cache NOW (one count job) instead
+    of on first downstream touch. Use it when the frame is expensive
+    to compute (an Arrow Python kernel) AND the consuming plan
+    references it from independent branches (e.g. both sides of a
+    self-join): lazy persist has no cross-stage lock, so branches
+    scheduled in parallel before the cache is populated each compute
+    the kernel themselves — observed as N ArrowEvalPython evaluations
+    of the MinHash signature kernel inside one action at the 500k-doc
+    fixture. The eager barrier costs one pass and guarantees exactly
+    one kernel evaluation."""
     from pyspark import StorageLevel
 
     prev = _SLOTS.pop(slot, None)
@@ -33,4 +46,6 @@ def hold(slot: str, df: DataFrame, storage_level=None) -> DataFrame:
             pass  # session already gone — nothing to release
     df = df.persist(storage_level or StorageLevel.MEMORY_AND_DISK)
     _SLOTS[slot] = df
+    if eager:
+        df.count()
     return df

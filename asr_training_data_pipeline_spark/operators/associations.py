@@ -61,7 +61,7 @@ from ..functions.casefold import (
 )
 from ..registry import register
 from ..sources.tables import load_table
-from .shingles import shingles_col, shingles_sql
+from .shingles import shingles_col, shingles_sql, tokens_attr
 
 _RANK_SLOT = itertools.count()  # cycling cache slots for rank inputs
 
@@ -388,9 +388,9 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = lhs.join(
         rhs, F.col("rank_b") == F.col("rank_a") + F.col("gap")
     ).select("doc_a", "doc_b", "rank_a", "gap")
-    sh = docs.select(
+    sh = tokens_attr(docs)[0].select(
         "doc_id",
-        shingles_col(F.split(F.col("text"), " "), _SNM_SHINGLE_K).alias("sh"),
+        shingles_col(F.col("__shingle_toks"), _SNM_SHINGLE_K).alias("sh"),
     ).filter(F.col("sh").isNotNull())
     verified = (
         cand.join(
@@ -529,9 +529,9 @@ def sorted_neighborhood_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("p2").alias("in_suffix_pass"),
         )
     )
-    sh = docs.select(
+    sh = tokens_attr(docs)[0].select(
         "doc_id",
-        shingles_col(F.split(F.col("text"), " "), _SNM_SHINGLE_K).alias("sh"),
+        shingles_col(F.col("__shingle_toks"), _SNM_SHINGLE_K).alias("sh"),
     ).filter(F.col("sh").isNotNull())
     verified = (
         cand.join(

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources.tables import load_table
-from .shingles import shingles_col, shingles_sql
+from .shingles import shingles_col, shingles_sql, tokens_attr
 from .similarity import _VALID_WHERE as _SIM_VALID_WHERE
 
 # ---------------------------------------------------------------------
@@ -419,9 +419,9 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     size. At 100 TB the eval suite is still MBs; the plan is unchanged.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
+    sh = tokens_attr(docs)[0].select(
         "doc_id",
-        shingles_col(F.split(F.col("text"), " "), _CONTAM_K).alias("shingles"),
+        shingles_col(F.col("__shingle_toks"), _CONTAM_K).alias("shingles"),
     ).filter(F.col("shingles").isNotNull())
     bench = (
         sh.filter(F.col("doc_id") % _CONTAM_MOD == 0)

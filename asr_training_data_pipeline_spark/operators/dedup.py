@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from ..functions.text import whitespace_tokens_col
 from ..registry import register
 from ..sources.tables import load_table
-from .shingles import shingles_col, shingles_sql
+from .shingles import shingles_col, tokens_attr, shingles_sql
 
 
 def _batch_segments(arrs, chunk_rows: int):
@@ -301,11 +301,10 @@ def _ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
     explode distinct 5-gram shingles, self-join on shingle to count
     intersections, |A∪B| = |A|+|B|−|A∩B|. Returns
     (doc_a, doc_b, jaccard) thresholded, unordered."""
-    sh = docs.select(
+    toked, toks = tokens_attr(docs)  # attribute contract: shingles.py
+    sh = toked.select(
         "doc_id",
-        F.explode(shingles_col(F.split(F.col("text"), " "), _SHINGLE_K)).alias(
-            "shingle"
-        ),
+        F.explode(shingles_col(toks, _SHINGLE_K)).alias("shingle"),
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
@@ -421,14 +420,19 @@ def _band_pairs(
     """
     from ..caching import hold
 
+    # EAGER holds: the self-join below references the cached frame
+    # from both aliases, and a lazily-populated persist lets the two
+    # branch stages race — each side then runs the fingerprint kernel
+    # itself (see caching.hold's docstring; observed at the 500k-doc
+    # fixture as multiple ArrowEvalPython evaluations in one action).
     mode = persist_mode or _BAND_PERSIST_DEFAULT
     if mode == "doc":
-        base = hold(f"band_pairs:{payload}", base)
+        base = hold(f"band_pairs:{payload}", base, eager=True)
     bands = base.select(
         "doc_id", payload, F.explode(band_structs).alias("band")
     ).select("doc_id", payload, "band.band_id", "band.band_key")
     if mode == "band":
-        bands = hold(f"band_pairs:{payload}", bands)
+        bands = hold(f"band_pairs:{payload}", bands, eager=True)
     a = bands.alias("a")
     b = bands.alias("b")
     return a.join(
@@ -528,6 +532,15 @@ def minhash_signature_col(shingles, hash_transform=None):
 
 @register("dedup_minhash_lsh", bench=True, tags=("dedup", "lsh"))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, sorted for presentation — the
+    registered report form of :func:`minhash_lsh_pairs` (which
+    downstream composers consume UNSORTED: the final orderBy is a
+    range exchange of the whole pair set that buys nothing when the
+    pairs feed another aggregation, e.g. dedup_rate_by_source_fast)."""
+    return minhash_lsh_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs — the 100 TB dedup path.
 
     shingle → 64-slot MinHash signature → 16 banded keys → self-join
@@ -567,11 +580,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_part = spark.sparkContext.defaultParallelism
     sigs = hold(
         "minhash_sigs",
-        docs.repartition(n_part)
+        tokens_attr(docs.repartition(n_part))[0]
         .select(
             "doc_id",
             minhash_signature_col(
-                shingles_col(F.split(F.col("text"), " "), _SHINGLE_K)
+                shingles_col(F.col("__shingle_toks"), _SHINGLE_K)
             ).alias("sig"),
         )
         .filter(F.col("sig").isNotNull())
@@ -581,7 +594,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # is 2^-128 — same content-addressing bet as dedup_exact_hash)
         .withColumn("skey", F.md5(F.concat_ws(",", "sig"))),
         # one Python boundary total: groups and members both read this
-        # cache; slot-held so repeat invocations release the old one
+        # cache; slot-held so repeat invocations release the old one.
+        # EAGER: the banded self-join references this lineage from
+        # both aliases — lazy persist let parallel branches each run
+        # the signature kernel (see caching.hold's docstring).
+        eager=True,
     )
     groups = hold(
         "minhash_groups",
@@ -651,7 +668,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # group self-pairs at 1.0, exactly as the uncollapsed join emits
     return expand_rep_pairs(
         rep_pairs, multi_members, "est_jaccard", multi_members, 1.0
-    ).orderBy("doc_a", "doc_b")
+    )
 
 
 # ---------------------------------------------------------------------
@@ -728,10 +745,10 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         % _MERSENNE
     )
     n_part = spark.sparkContext.defaultParallelism
-    sigs = docs.repartition(n_part).select(
+    sigs = tokens_attr(docs.repartition(n_part))[0].select(
         "doc_id",
         minhash_signature_col(
-            shingles_col(F.split(F.col("text"), " "), _SHINGLE_K),
+            shingles_col(F.col("__shingle_toks"), _SHINGLE_K),
             hash_transform=portable_hash,
         ).alias("sig"),
     )
@@ -904,16 +921,22 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_rate_by_source_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRODUCTION default of the cross-source duplication matrix
-    (VERDICT r9 task 4): the same matrix layer composed over
-    dedup_minhash_lsh's xxhash64 pair set — identical downstream
-    shape, ~10× cheaper signatures, plus the exact-dup signature
-    pre-collapse the portable form lacks. Rows-only BY NATURE (the
+    (VERDICT r9 task 4): the same matrix layer composed over the
+    UNSORTED xxhash64 MinHash pair set (minhash_lsh_pairs — the
+    registered pair query's final orderBy is skipped: a range exchange
+    of the whole pair set buys nothing ahead of the aggregation) —
+    identical downstream shape, ~10× cheaper signatures, plus the
+    exact-dup signature pre-collapse the portable form lacks. The
+    per-side source labelling co-shuffles the pair set on doc_id
+    twice against the (doc_id, source) projection — at 100 TB neither
+    side is broadcastable, so the co-shuffle is the right shape; the
+    count table broadcast is |sources|-sized. Rows-only BY NATURE (the
     xxhash64 pair set is hash-function specific); the matrix algebra
     itself is the oracle-green dedup_rate_by_source's, re-pinned
     against an independent pandas recomputation in
     tests/test_dedup.py::test_rate_by_source_fast_matrix_algebra."""
     return rate_by_source_over(
-        spark, sf_dir, dedup_minhash_lsh(spark, sf_dir)
+        spark, sf_dir, minhash_lsh_pairs(spark, sf_dir)
     )
 
 
@@ -1160,12 +1183,13 @@ def dedup_ngram_jaccard_stopshingle(spark: SparkSession, sf_dir: str) -> DataFra
     """
     docs = load_table(spark, sf_dir, "documents")
     sh = (
-        docs.repartition(spark.sparkContext.defaultParallelism)
-        .select(
+        tokens_attr(
+            docs.repartition(spark.sparkContext.defaultParallelism)
+        )[0].select(
             "doc_id",
-            F.explode(shingles_col(F.split(F.col("text"), " "), _SHINGLE_K)).alias(
-                "shingle"
-            ),
+            F.explode(
+                shingles_col(F.col("__shingle_toks"), _SHINGLE_K)
+            ).alias("shingle"),
         )
     )
     # document frequency per shingle; one hash shuffle on the shingle,
@@ -2512,9 +2536,9 @@ def _ppjoin_pairs(docs: DataFrame) -> DataFrame:
     """Prefix-filtered exact-Jaccard pair core over any ``(doc_id,
     text)`` frame — (doc_a, doc_b, jaccard) thresholded, unordered.
     See :func:`dedup_ppjoin` for the algorithm and citations."""
-    arr = docs.select(
+    arr = tokens_attr(docs)[0].select(
         "doc_id",
-        shingles_col(F.split(F.col("text"), " "), _SHINGLE_K).alias("sh"),
+        shingles_col(F.col("__shingle_toks"), _SHINGLE_K).alias("sh"),
     ).filter(F.col("sh").isNotNull())
     sh = arr.select("doc_id", F.explode("sh").alias("shingle"))
     df_tbl = sh.groupBy("shingle").agg(F.count("*").cast("bigint").alias("df"))

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from ..registry import register
 from ..sources.tables import load_table
 from .dedup import _SHINGLE_K  # same shingles as dedup_ngram_jaccard
-from .shingles import shingles_col
+from .shingles import shingles_col, tokens_attr
 from .similarity import _N_QUERIES, _TOPK  # same query set / k as ann_cosine_topk
 
 _HASH_DIM = 1 << 18
@@ -83,9 +83,9 @@ def mllib_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
+    sh = tokens_attr(docs)[0].select(
         "doc_id",
-        shingles_col(F.split(F.col("text"), " "), _SHINGLE_K).alias("shingles"),
+        shingles_col(F.col("__shingle_toks"), _SHINGLE_K).alias("shingles"),
     ).filter(F.size("shingles") > 0)
     tf = HashingTF(
         inputCol="shingles", outputCol="v", numFeatures=_HASH_DIM, binary=True

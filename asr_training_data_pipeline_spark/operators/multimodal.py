@@ -428,8 +428,15 @@ def canonical_manifest(
     dup-involved hash groups back onto the fingerprint frame (small
     when dups are rare, small when dups are dense), exactly
     dedup_canonical's locked shape."""
+    from ..caching import hold
     from .dedup import connected_components
 
+    # The fingerprint frame is consumed twice (rep groups + the final
+    # manifest join); without a reuse point the Arrow decode/FFT
+    # kernel — the dominant cost — would run twice. EAGER: a lazy
+    # persist still lets the two branches race ahead of cache
+    # population (see caching.hold's docstring).
+    hashes = hold("canonical_hashes", hashes, eager=True)
     groups = hashes.groupBy("phash").agg(
         F.min("media_id").alias("media_id"),
         F.count("*").cast("bigint").alias("n_members"),

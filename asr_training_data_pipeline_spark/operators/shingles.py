@@ -17,7 +17,21 @@ from pyspark.sql import functions as F
 
 
 def shingles_col(tokens: Column, k: int) -> Column:
-    """Distinct word k-gram shingles of an ``array<string>`` column."""
+    """Distinct word k-gram shingles of an ``array<string>`` column.
+
+    CONTRACT: ``tokens`` must be an ATTRIBUTE (a pre-projected
+    column — ``withColumn('_toks', split(...))`` then
+    ``F.col('_toks')``), never an expression like ``split(text)``
+    passed inline. The per-shingle transform lambda references
+    ``tokens``, and higher-order functions run on Catalyst's
+    interpreted eval path (no whole-stage codegen, no
+    common-subexpression elimination): a non-attribute subtree in the
+    lambda body re-evaluates ON EVERY ELEMENT, so an inline
+    ``split(text)`` re-split the whole document once per shingle —
+    O(tokens²) per doc (jstack-pinned to StringSplit.nullSafeEval
+    under the transform lambda at the 500k-doc fixture). An attribute
+    is a row-field read: O(1) per reference. Call sites pre-project
+    via :func:`tokens_attr`."""
     n = F.size(tokens)
     idx = F.sequence(F.lit(1), n - (k - 1))
     return F.when(
@@ -25,6 +39,20 @@ def shingles_col(tokens: Column, k: int) -> Column:
         F.array_distinct(
             F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, k)))
         ),
+    )
+
+
+_TOKS = "__shingle_toks"
+
+
+def tokens_attr(df, text_col: str = "text", sep: str = " "):
+    """(df', tokens_column) with the split pre-projected as a real
+    column, satisfying :func:`shingles_col`'s attribute contract.
+    Drop ``tokens_column`` (name: ``__shingle_toks``) from the final
+    projection."""
+    return (
+        df.withColumn(_TOKS, F.split(F.col(text_col), sep)),
+        F.col(_TOKS),
     )
 
 

@@ -18,7 +18,7 @@ from ..functions.casefold import FOLD_DST as _FOLD_DST
 from ..functions.casefold import FOLD_SRC as _FOLD_SRC
 from ..registry import register
 from ..sources.tables import load_table
-from .shingles import shingles_col, shingles_sql
+from .shingles import shingles_col, shingles_sql, tokens_attr
 
 # A small English stopword core (public knowledge); enough for a
 # ratio-based heuristic on whitespace text.
@@ -181,9 +181,11 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     probability ≈ their Jaccard similarity.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
+    sh = tokens_attr(docs)[0].select(
         "doc_id",
-        F.explode(shingles_col(F.split(F.col("text"), " "), _FP_K)).alias("shingle"),
+        F.explode(
+            shingles_col(F.col("__shingle_toks"), _FP_K)
+        ).alias("shingle"),
     )
     return (
         sh.groupBy("doc_id")

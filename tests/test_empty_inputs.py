@@ -115,6 +115,20 @@ FAMILIES = [
     "q6_forecast_revenue",  # global agg: ONE row (NULL sum, zero count)
     "q15_top_supplier",
     "window_rank_functions",
+    # r10 wave: bounded manifests, production source matrix, streaming
+    # audio gate, and the TPC-H completions — empty corpora must yield
+    # empty (or one-NULL-row global-aggregate) frames
+    "multimodal_audio_canonical",
+    "dedup_rate_by_source_fast",
+    "streaming_audio_gate",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_late_lines",
+    "q16_part_supplier_count",
+    "q17_small_qty_revenue",  # global agg: ONE NULL row
+    "q19_discounted_revenue",  # global agg: ONE row (NULL sum, 0 count)
+    "q20_promo_suppliers",
 ]
 
 # row counts that are CONSTANT by design (parameter reports / per-dim
@@ -130,6 +144,8 @@ _EXPECTED_NONZERO = {
     "snm_recall_eval": 2,  # one row per method, vacuous 100% ppm
     "q14_promo_effect": 1,  # global ratio report: one NULL row
     "q6_forecast_revenue": 1,  # global aggregate: one NULL/zero row
+    "q17_small_qty_revenue": 1,  # global aggregate: one NULL row
+    "q19_discounted_revenue": 1,  # global aggregate: one NULL/zero row
 }
 
 
