@@ -388,9 +388,10 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = lhs.join(
         rhs, F.col("rank_b") == F.col("rank_a") + F.col("gap")
     ).select("doc_a", "doc_b", "rank_a", "gap")
-    sh = tokens_attr(docs)[0].select(
+    toked, toks = tokens_attr(docs)
+    sh = toked.select(
         "doc_id",
-        shingles_col(F.col("__shingle_toks"), _SNM_SHINGLE_K).alias("sh"),
+        shingles_col(toks, _SNM_SHINGLE_K).alias("sh"),
     ).filter(F.col("sh").isNotNull())
     verified = (
         cand.join(
@@ -529,9 +530,10 @@ def sorted_neighborhood_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("p2").alias("in_suffix_pass"),
         )
     )
-    sh = tokens_attr(docs)[0].select(
+    toked, toks = tokens_attr(docs)
+    sh = toked.select(
         "doc_id",
-        shingles_col(F.col("__shingle_toks"), _SNM_SHINGLE_K).alias("sh"),
+        shingles_col(toks, _SNM_SHINGLE_K).alias("sh"),
     ).filter(F.col("sh").isNotNull())
     verified = (
         cand.join(

@@ -419,9 +419,10 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     size. At 100 TB the eval suite is still MBs; the plan is unchanged.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = tokens_attr(docs)[0].select(
+    toked, toks = tokens_attr(docs)
+    sh = toked.select(
         "doc_id",
-        shingles_col(F.col("__shingle_toks"), _CONTAM_K).alias("shingles"),
+        shingles_col(toks, _CONTAM_K).alias("shingles"),
     ).filter(F.col("shingles").isNotNull())
     bench = (
         sh.filter(F.col("doc_id") % _CONTAM_MOD == 0)

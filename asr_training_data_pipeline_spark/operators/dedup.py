@@ -578,13 +578,13 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # real cluster the scan already yields ≫cores splits and AQE
     # coalesces this away.
     n_part = spark.sparkContext.defaultParallelism
+    toked, toks = tokens_attr(docs.repartition(n_part))
     sigs = hold(
         "minhash_sigs",
-        tokens_attr(docs.repartition(n_part))[0]
-        .select(
+        toked.select(
             "doc_id",
             minhash_signature_col(
-                shingles_col(F.col("__shingle_toks"), _SHINGLE_K)
+                shingles_col(toks, _SHINGLE_K)
             ).alias("sig"),
         )
         .filter(F.col("sig").isNotNull())
@@ -745,10 +745,11 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         % _MERSENNE
     )
     n_part = spark.sparkContext.defaultParallelism
-    sigs = tokens_attr(docs.repartition(n_part))[0].select(
+    toked, toks = tokens_attr(docs.repartition(n_part))
+    sigs = toked.select(
         "doc_id",
         minhash_signature_col(
-            shingles_col(F.col("__shingle_toks"), _SHINGLE_K),
+            shingles_col(toks, _SHINGLE_K),
             hash_transform=portable_hash,
         ).alias("sig"),
     )
@@ -1182,15 +1183,12 @@ def dedup_ngram_jaccard_stopshingle(spark: SparkSession, sf_dir: str) -> DataFra
     near-dups (their overlap is dominated by selective shingles).
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = (
-        tokens_attr(
-            docs.repartition(spark.sparkContext.defaultParallelism)
-        )[0].select(
-            "doc_id",
-            F.explode(
-                shingles_col(F.col("__shingle_toks"), _SHINGLE_K)
-            ).alias("shingle"),
-        )
+    toked, toks = tokens_attr(
+        docs.repartition(spark.sparkContext.defaultParallelism)
+    )
+    sh = toked.select(
+        "doc_id",
+        F.explode(shingles_col(toks, _SHINGLE_K)).alias("shingle"),
     )
     # document frequency per shingle; one hash shuffle on the shingle,
     # reused immediately by the self-join on the same key
@@ -2084,9 +2082,16 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the survivor window runs ONLY over the clustered subset
     (|duplicated docs|, tiny relative to the corpus — here 47 of 500),
     so the corpus never shuffles by component; the manifest then joins
-    back to the full scan keyed by doc_id, broadcast when small. The
-    corpus-wide plan is scan → one broadcast-probe — adding the keep
-    decision to 100 TB costs no new exchange of the 100 TB.
+    back to the full scan keyed by doc_id with NO broadcast hint. The
+    manifest is dup-proportional — tiny when dups are rare, but on a
+    web-crawl-like corpus with 30-50% of docs in small clusters it is
+    O(corpus), and a forced broadcast of that at 100 TB OOMs the
+    executors. Unhinted, AQE broadcasts from the manifest's MEASURED
+    runtime size when it is actually small and degrades to a shuffled
+    join keyed on doc_id otherwise (plan-locked both ways in
+    tests/test_plan_shapes.py). Either way the corpus side shuffles at
+    most once on its join key — adding the keep decision to 100 TB
+    never exchanges the 100 TB twice.
     """
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
@@ -2115,7 +2120,9 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("doc_id").over(w).alias("canonical_doc"),
     )
     return (
-        docs.join(F.broadcast(manifest), "doc_id", "left")
+        # No broadcast hint: the manifest is dup-proportional (see
+        # docstring) — AQE picks broadcast from measured size.
+        docs.join(manifest, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("component", "doc_id").alias("component"),
@@ -2536,9 +2543,10 @@ def _ppjoin_pairs(docs: DataFrame) -> DataFrame:
     """Prefix-filtered exact-Jaccard pair core over any ``(doc_id,
     text)`` frame — (doc_a, doc_b, jaccard) thresholded, unordered.
     See :func:`dedup_ppjoin` for the algorithm and citations."""
-    arr = tokens_attr(docs)[0].select(
+    toked, toks = tokens_attr(docs)
+    arr = toked.select(
         "doc_id",
-        shingles_col(F.col("__shingle_toks"), _SHINGLE_K).alias("sh"),
+        shingles_col(toks, _SHINGLE_K).alias("sh"),
     ).filter(F.col("sh").isNotNull())
     sh = arr.select("doc_id", F.explode("sh").alias("shingle"))
     df_tbl = sh.groupBy("shingle").agg(F.count("*").cast("bigint").alias("df"))

@@ -83,9 +83,10 @@ def mllib_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = tokens_attr(docs)[0].select(
+    toked, toks = tokens_attr(docs)
+    sh = toked.select(
         "doc_id",
-        shingles_col(F.col("__shingle_toks"), _SHINGLE_K).alias("shingles"),
+        shingles_col(toks, _SHINGLE_K).alias("shingles"),
     ).filter(F.size("shingles") > 0)
     tf = HashingTF(
         inputCol="shingles", outputCol="v", numFeatures=_HASH_DIM, binary=True

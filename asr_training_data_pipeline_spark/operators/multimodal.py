@@ -403,7 +403,9 @@ def multimodal_phash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def canonical_manifest(
-    hashes: DataFrame, max_hamming: int = _PHASH_HAMMING_MAX
+    hashes: DataFrame,
+    max_hamming: int = _PHASH_HAMMING_MAX,
+    slot: str = "canonical_hashes",
 ) -> DataFrame:
     """(media_id, phash) fingerprints → keep/drop manifest, shared by
     both media modalities: survivor = the smallest media_id of each
@@ -424,10 +426,21 @@ def canonical_manifest(
     exactly the old per-clip join.
 
     Scale: the components' closure runs over ACCEPTED rep pairs only
-    (key-only edges); the manifest join broadcasts only the
-    dup-involved hash groups back onto the fingerprint frame (small
-    when dups are rare, small when dups are dense), exactly
-    dedup_canonical's locked shape."""
+    (key-only edges); the manifest join probes only the dup-involved
+    hash groups back onto the fingerprint frame, with NO broadcast
+    hint — `hash_to` is small when dups are rare (few groups) and
+    small when dups are dense (few distinct hashes), but in the middle
+    regime (fingerprints distinct yet widely near-duplicated) it is
+    O(distinct hashes), and forcing a broadcast of that at 100 TB
+    blows the driver/broadcast limit. Unhinted, AQE broadcasts from
+    measured size or degrades to a shuffled join keyed on phash —
+    exactly dedup_canonical's locked shape (tests/test_plan_shapes.py).
+
+    ``slot`` names the cache slot for the fingerprint frame; callers
+    running different modalities in one session MUST pass distinct
+    slots, or interleaved invocations unpersist each other's frame and
+    a still-referenced earlier plan silently re-runs the expensive
+    decode/FFT kernel."""
     from ..caching import hold
     from .dedup import connected_components
 
@@ -436,7 +449,7 @@ def canonical_manifest(
     # kernel — the dominant cost — would run twice. EAGER: a lazy
     # persist still lets the two branches race ahead of cache
     # population (see caching.hold's docstring).
-    hashes = hold("canonical_hashes", hashes, eager=True)
+    hashes = hold(slot, hashes, eager=True)
     groups = hashes.groupBy("phash").agg(
         F.min("media_id").alias("media_id"),
         F.count("*").cast("bigint").alias("n_members"),
@@ -466,7 +479,9 @@ def canonical_manifest(
     )
     survivor = F.coalesce(F.col("label"), F.col("media_id"))
     return (
-        hashes.join(F.broadcast(hash_to), "phash", "left")
+        # No broadcast hint: hash_to is O(distinct hashes) in the
+        # middle regime (see docstring) — AQE picks from measured size.
+        hashes.join(hash_to, "phash", "left")
         .select(
             "media_id",
             survivor.alias("survivor_id"),
@@ -492,7 +507,9 @@ def multimodal_phash_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_phash.py."""
     n_part = spark.sparkContext.defaultParallelism
     media = media_table(spark, sf_dir).repartition(n_part)
-    return canonical_manifest(image_phash(media))
+    return canonical_manifest(
+        image_phash(media), slot="canonical_hashes:image"
+    )
 
 
 # ---------------------------------------------------------------------
@@ -589,4 +606,6 @@ def multimodal_audio_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster algebra pinned in tests/test_phash.py."""
     n_part = spark.sparkContext.defaultParallelism
     media = media_table(spark, sf_dir).repartition(n_part)
-    return canonical_manifest(audio_ahash(media))
+    return canonical_manifest(
+        audio_ahash(media), slot="canonical_hashes:audio"
+    )

@@ -48,8 +48,15 @@ _TOKS = "__shingle_toks"
 def tokens_attr(df, text_col: str = "text", sep: str = " "):
     """(df', tokens_column) with the split pre-projected as a real
     column, satisfying :func:`shingles_col`'s attribute contract.
-    Drop ``tokens_column`` (name: ``__shingle_toks``) from the final
-    projection."""
+    Callers must reference the tokens through the RETURNED column
+    handle (never a hand-typed ``F.col``) and exclude it from their
+    final projection."""
+    if _TOKS in df.columns:
+        # withColumn would silently overwrite the caller's column and
+        # every downstream shingle would read the wrong tokens.
+        raise ValueError(
+            f"input frame already carries the internal column {_TOKS!r}"
+        )
     return (
         df.withColumn(_TOKS, F.split(F.col(text_col), sep)),
         F.col(_TOKS),

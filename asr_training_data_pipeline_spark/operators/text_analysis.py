@@ -181,11 +181,10 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     probability ≈ their Jaccard similarity.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = tokens_attr(docs)[0].select(
+    toked, toks = tokens_attr(docs)
+    sh = toked.select(
         "doc_id",
-        F.explode(
-            shingles_col(F.col("__shingle_toks"), _FP_K)
-        ).alias("shingle"),
+        F.explode(shingles_col(toks, _FP_K)).alias("shingle"),
     )
     return (
         sh.groupBy("doc_id")

@@ -2388,10 +2388,19 @@ def q16_part_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the pair-distinct is the one fact exchange (16-byte keys,
     map-side combined); the part filter broadcasts; the NOT IN is a
     broadcast left-anti join (the excluded-supplier list is
-    |suppliers|-bounded and heavily filtered)."""
+    |suppliers|-bounded and heavily filtered).
+
+    NOT IN vs anti-join under NULLs: SQL NOT IN yields NO rows if the
+    subquery emits a NULL and drops NULL probe keys, while a left-anti
+    join keeps both. The keys are non-null by schema here, and the
+    IS NOT NULL guards below pin the equivalence structurally rather
+    than leaving it as a latent oracle mismatch if the schema ever
+    admits nulls (the any-NULL-build→empty-result branch of NOT IN is
+    deliberately not reproduced — guarded out on both sides)."""
     pairs = (
         _t(spark, sf_dir, "lineitem")
         .select("l_partkey", "l_suppkey")
+        .filter(F.col("l_suppkey").isNotNull())
         .distinct()
     )
     part = _t(spark, sf_dir, "part").filter(
@@ -2400,7 +2409,7 @@ def q16_part_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
     ).select("p_partkey", "p_brand", "p_type", "p_size")
     bad_supp = _t(spark, sf_dir, "supplier").filter(
-        F.col("s_acctbal") < 1000
+        (F.col("s_acctbal") < 1000) & F.col("s_suppkey").isNotNull()
     ).select("s_suppkey")
     return (
         pairs.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))

@@ -300,7 +300,9 @@ def test_audio_canonical_dense_dup_bounded(spark):
 
     got = {
         r["media_id"]: (r["survivor_id"], r["cluster_size"], r["keep"])
-        for r in canonical_manifest(audio_ahash(media)).collect()
+        for r in canonical_manifest(
+            audio_ahash(media), slot="canonical_hashes:test"
+        ).collect()
     }
     assert set(got) == set(ids)  # one row per clip, always
     for m in ids:

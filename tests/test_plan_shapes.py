@@ -522,3 +522,85 @@ def test_bm25_vocabulary_never_shuffles_against_survivors(spark, sf_dir):
     # the scorer's join keys: no exchange keyed on (lang, w) except the
     # df/tf aggregations themselves
     assert "bit_count" not in plan  # sanity: wrong-query guard
+
+
+def _final_plan(df) -> str:
+    """Executed-plan text AFTER materialization: with AQE on, join
+    strategies are decided at runtime, so the pre-action string still
+    says isFinalPlan=false with the initial strategy."""
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_canonical_joinback_broadcast_is_aqe_not_forced(spark, sf_dir):
+    """VERDICT r10 task 2 lock: the keep/drop manifest — a
+    DUP-PROPORTIONAL frame (O(corpus) on a corpus where 30-50% of
+    docs sit in small clusters) — must join back to the corpus
+    UNHINTED. A forced F.broadcast survives autoBroadcastJoinThreshold
+    = -1 and would OOM the executors on a dup-heavy 100 TB corpus;
+    an AQE-chosen broadcast does not. So: with both broadcast
+    thresholds disabled, the manifest join-back must degrade to a
+    non-broadcast join, for BOTH canonical shapes (dedup_canonical's
+    doc_id join, canonical_manifest's phash join on an engineered
+    MANY-SMALL-CLUSTERS frame — the exact regime where the old hint
+    was wrong), and the rows must be identical either way."""
+    from asr_training_data_pipeline_spark.operators.multimodal import (
+        canonical_manifest,
+    )
+
+    # 40% of media in 2-member same-fingerprint clusters: dup_hashes /
+    # the manifest are corpus-proportional, not sketch-sized. The
+    # fingerprints themselves are seeded random 63-bit values —
+    # pairwise Hamming ~32 bits, far above the max_hamming=3 accept —
+    # so the ONLY duplication is the engineered exact-hash pairing.
+    import random as _random
+
+    rng = _random.Random(11)
+    fps = []
+    while len(fps) < 800:
+        v = rng.getrandbits(63)
+        if all(bin(v ^ u).count("1") > 6 for u in fps[-50:]):
+            fps.append(v)
+    hashes = spark.createDataFrame(
+        [(i, fps[i // 2] if i < 400 else fps[200 + i - 400]) for i in range(1000)],
+        "media_id long, phash long",
+    )
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        plan = _final_plan(
+            canonical_manifest(hashes, slot="canonical_hashes:plantest")
+        )
+        assert "BroadcastHashJoin" not in plan, plan[:3000]
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        shuffled_rows = canonical_manifest(
+            hashes, slot="canonical_hashes:plantest"
+        ).collect()
+
+        plan = _final_plan(REGISTRY["dedup_canonical"].fn(spark, sf_dir))
+        assert "BroadcastHashJoin" not in plan, plan[:3000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    # Defaults restored: AQE free to broadcast from measured size —
+    # the OUTPUT must not depend on the join strategy.
+    default_rows = canonical_manifest(
+        hashes, slot="canonical_hashes:plantest"
+    ).collect()
+    assert shuffled_rows == default_rows
+    kept = [r for r in default_rows if r.keep]
+    assert len(kept) == 800  # 200 cluster survivors + 600 singletons
+    assert all(
+        r.cluster_size == 2 and r.survivor_id == (r.media_id // 2) * 2
+        for r in default_rows
+        if r.media_id < 400
+    )
