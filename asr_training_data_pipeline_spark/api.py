@@ -26,116 +26,115 @@ from .streaming import stateful, windows  # noqa: F401
 
 _PRIORITY = (
     # ------------------------------------------------------------------
-    # r10 rotation wave 7 (VERDICT r9 task 2). Composition of the 50:
+    # r11 rotation wave 8 (VERDICT r10 task 1). Composition of the 50:
     #   * flagship word_coverage;
-    #   * the three queries with NO driver row yet:
-    #     multimodal_phash_canonical (added post-sweep in r9; judge-
-    #     verified but never driver-run) and the two r10-new production
-    #     forms multimodal_audio_canonical (bounded audio dedup
-    #     manifest, VERDICT task 3) and dedup_rate_by_source_fast
-    #     (xxhash64 source matrix, VERDICT task 4);
-    #   * changed-code re-validations: kcenter_coreset (the one-scan-
-    #     per-round selection fold, VERDICT task 5), dedup_rate_by_source
-    #     (rate_by_source_over extraction), multimodal_audio_dedup
-    #     (plan-time decoder capture);
-    #   * the DISPLACED r2 debt block, finally paying its second greens
-    #     (deferred from wave 6): anti_join_customers,
-    #     conditional_agg_orders, corr_qty_price,
-    #     correlated_min_subquery, cube_quantities,
-    #     cust_order_distribution, distinct_counts,
-    #     filter_pushdown_projection, grouping_sets_revenue,
-    #     ntile_quartiles, percentile_prices, pivot_revenue_by_status,
-    #     q3_shipping_priority, q4_order_priority, rollup_revenue,
-    #     topk_orders_per_cust, set_ops_segments, skew_join_salted;
-    #   * second greens for the remaining single-green r9 newcomers
-    #     (the late wave: multimodal_phash_dedup, bm25_topk,
-    #     unigram_lm_vocab/fertility, q7/q10/q14/q21/q22,
-    #     streaming_simhash_gate, window_rank_functions; the early
-    #     wave: linkage_cjk_residue, dsir_importance_weights,
-    #     token_psi_drift, streaming_psi_monitor);
-    #   * second greens for the r3 singles: group_concat_ordered,
-    #     doc_fingerprint, quality_score, stopword_filter,
-    #     tfidf_top_terms, timestamp_format, streaming_sliding_counts,
-    #     embedding_cosine_pairs;
-    #   * the rows-only pipeline composites asr_pipeline_clips +
-    #     asr_pipeline_summary (the frames that drive J1-J4, F2-F6,
-    #     W1-W4, A3-A8, C4-C7, C13 under the driver each round).
-    # Funded by retiring the r9-confirmed multi-green members (the HLL
-    # family, record_linkage_fuzzy/linkage_entities, the r8-newcomer
-    # second greens pagerank_coorder … dedup_paragraph, the r7 block
-    # dedup_ppjoin … multimodal_frame_sample, and the TPC-H shapes
-    # q5/q6/q15/q18/semi_join/join_broadcast now at 2 greens) plus the
-    # long-multi-green dedup_minhash_lsh (8 rows-greens; still run
-    # every round by bench.py) and sink_export_manifest (3 rows-greens).
-    # Every retiree stays DuckDB-checked on every suite run via
-    # tests/test_oracle_parity.py.
+    #   * the NINE queries the driver has never run: the eight r10
+    #     TPC-H completions (judge-verified 8/8 MATCH at sf0.01 in the
+    #     r10 session, but never driver-run) and streaming_audio_gate
+    #     (stream==batch-twin pinned, tests/test_phash.py);
+    #   * linkage_cjk_residue_demo — NEW this round (VERDICT task 4):
+    #     the residue operator over an inline multilingual fixture so
+    #     the driver materializes real codepoint distances instead of
+    #     the corpus query's honest-but-vacuous 0 rows (the pure-ASCII
+    #     testdata); replaces linkage_cjk_residue's prefix slot, with
+    #     the vacuity documented in COVERAGE.md §4;
+    #   * the ELEVEN single-green members (ledger recomputed from
+    #     CORRECTNESS_r02-r10 this round): multimodal_phash_canonical,
+    #     multimodal_audio_canonical, dedup_rate_by_source_fast (the
+    #     r10-new trio, second rows), approx_stats_orders (single
+    #     since r2!), bloom_calibration, hll_column_profile,
+    #     hll_distinct, incremental_agg_refresh, kmv_corpus_overlap,
+    #     q15_top_supplier, q6_forecast_revenue;
+    #   * changed-code re-validations (every query whose plan this
+    #     round's edits touch): dedup_canonical (manifest join-back
+    #     unhinted, VERDICT task 2), dedup_minhash_lsh (JVM-vs-Python
+    #     signature kernel A/B, task 3), the shingle tokens_attr
+    #     call-site refactor's consumers (dedup_minhash_portable,
+    #     dedup_ngram_jaccard, dedup_ngram_jaccard_stopshingle,
+    #     dedup_ppjoin, mllib_minhash_pairs, doc_fingerprint,
+    #     contamination_check, sorted_neighborhood_pairs,
+    #     sorted_neighborhood_multikey, snm_recall_eval,
+    #     dedup_components), and the _linkage_candidates docs-param
+    #     refactor's consumers (record_linkage_fuzzy, linkage_entities);
+    #   * the VERDICT-named deferred r4-r6 members, third greens:
+    #     cohort_retention, dedup_cluster_stats, dedup_substring_spans,
+    #     length_filter_adaptive, minhash_calibration, mixture_weights,
+    #     profile_embeddings, validate_embeddings, embedding_centroids,
+    #     lang_id_confusion, bottomk_sample_per_lang;
+    #   * the standing rows-only pipeline composites asr_pipeline_clips
+    #     + asr_pipeline_summary (ninth rows each — the frames that
+    #     drive J1-J4, F2-F6, W1-W4, A3-A8, C4-C7, C13 every round).
+    # Funded by retiring the wave-7 members CORRECTNESS_r10 confirmed
+    # at ≥2 cumulative greens (the displaced r2 debt block, the r9
+    # newcomer second greens, the r3 singles) and the vacuous
+    # linkage_cjk_residue slot. Every retiree stays DuckDB-checked on
+    # every suite run via tests/test_oracle_parity.py.
     # ------------------------------------------------------------------
     "word_coverage",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_late_lines",
+    "q16_part_supplier_count",
+    "q17_small_qty_revenue",
+    "q19_discounted_revenue",
+    "q20_promo_suppliers",
+    "streaming_audio_gate",
+    "linkage_cjk_residue_demo",
     "multimodal_phash_canonical",
     "multimodal_audio_canonical",
     "dedup_rate_by_source_fast",
-    "kcenter_coreset",
-    "dedup_rate_by_source",
-    "multimodal_audio_dedup",
-    "anti_join_customers",
-    "conditional_agg_orders",
-    "corr_qty_price",
-    "correlated_min_subquery",
-    "cube_quantities",
-    "cust_order_distribution",
-    "distinct_counts",
-    "filter_pushdown_projection",
-    "grouping_sets_revenue",
-    "ntile_quartiles",
-    "percentile_prices",
-    "pivot_revenue_by_status",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "rollup_revenue",
-    "topk_orders_per_cust",
-    "set_ops_segments",
-    "skew_join_salted",
-    "multimodal_phash_dedup",
-    "bm25_topk",
-    "unigram_lm_vocab",
-    "unigram_lm_fertility",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q14_promo_effect",
-    "q21_waiting_supplier",
-    "q22_global_sales_opportunity",
-    "streaming_simhash_gate",
-    "window_rank_functions",
-    "linkage_cjk_residue",
-    "dsir_importance_weights",
-    "token_psi_drift",
-    "streaming_psi_monitor",
-    "group_concat_ordered",
+    "approx_stats_orders",
+    "bloom_calibration",
+    "hll_column_profile",
+    "hll_distinct",
+    "incremental_agg_refresh",
+    "kmv_corpus_overlap",
+    "q15_top_supplier",
+    "q6_forecast_revenue",
+    "dedup_canonical",
+    "dedup_minhash_lsh",
+    "dedup_minhash_portable",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_stopshingle",
+    "dedup_ppjoin",
+    "mllib_minhash_pairs",
     "doc_fingerprint",
-    "quality_score",
-    "stopword_filter",
-    "tfidf_top_terms",
-    "timestamp_format",
-    "streaming_sliding_counts",
-    "embedding_cosine_pairs",
+    "contamination_check",
+    "sorted_neighborhood_pairs",
+    "sorted_neighborhood_multikey",
+    "snm_recall_eval",
+    "dedup_components",
+    "record_linkage_fuzzy",
+    "linkage_entities",
+    "cohort_retention",
+    "dedup_cluster_stats",
+    "dedup_substring_spans",
+    "length_filter_adaptive",
+    "minhash_calibration",
+    "mixture_weights",
+    "profile_embeddings",
+    "validate_embeddings",
+    "embedding_centroids",
+    "lang_id_confusion",
+    "bottomk_sample_per_lang",
     "asr_pipeline_clips",
     "asr_pipeline_summary",
 )
 
-# Rotation queue for the NEXT (wave-8) prefix refresh, in order:
-# (a0) first driver exposure for streaming_audio_gate (registered
-#      after the wave-7 sweep; stream==batch-twin pinned in
-#      tests/test_phash.py and covered by the end-of-round
-#      full-registry verify sweep this round);
-# (a) first re-greens for whatever wave 7 leaves single-green;
-# (b) the remaining once-green r4/r5/r6 members with "second green
-#     deferred" notes in COVERAGE.md §4 (cohort_retention,
-#     dedup_cluster_stats, dedup_substring_spans,
-#     length_filter_adaptive, minhash_calibration, mixture_weights,
-#     profile_embeddings, validate_embeddings, embedding_centroids,
-#     lang_id_confusion, mllib_minhash_pairs, bottomk_sample_per_lang);
-# (c) third greens for the standing pipeline composites.
-# Fund slots by retiring whichever members CORRECTNESS_r10 confirms
+# Rotation queue for the NEXT (wave-9) prefix refresh, in order:
+# (a) first re-greens for whatever wave 8 leaves single-green (the
+#     nine driver-new queries and linkage_cjk_residue_demo);
+# (b) the remaining oldest-green twos by last-green round: the r5-era
+#     block (doc_winnowing, dedup_winnow_pairs, dedup_semantic,
+#     dedup_semantic_clustered, dedup_exact_hash, asof_join_orders,
+#     avg_confidence_coalesce, case_adaptive_guard, json_extract_props,
+#     lag_lead_boundaries, leak_vote_2of3, longest_span_top1,
+#     moving_avg_range_frame, ms_round_convert, range_join_events,
+#     sequence_position, first_match_confidence) and the r8-era pairs
+#     (vocab_coverage, langid_trained, dedup_method_eval);
+# (c) tenth rows for the standing pipeline composites.
+# Fund slots by retiring whichever members CORRECTNESS_r11 confirms
 # at ≥2 cumulative greens.
 
 

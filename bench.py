@@ -83,10 +83,23 @@ def main() -> None:
     probe_quiet = min(probe_ms() for _ in range(5))  # warm + baseline
     probes_all: list[float] = [probe_quiet]
 
+    # Absolute sanity floor (ADVICE r10): the relative rule compares
+    # against the running min of THIS process's probes — if the host is
+    # loaded for the entire run, that min is itself burst-inflated and
+    # the relative rule never fires. A quiet scheduler turnaround on
+    # this box is 60-240 ms; any probe beyond 3x this absolute ceiling
+    # is a stall no matter what the in-process baseline says, and a
+    # whole-run baseline above the ceiling is surfaced in the JSON as
+    # probe_quiet_suspect (every timing then deserves suspicion).
+    abs_quiet_ceiling_ms = float(
+        os.environ.get("SPARK_GRAFT_BENCH_QUIET_CEILING_MS", "400")
+    )
+
     def stalled(p: float) -> bool:
         # quiet level = running min over every probe this process took
-        # (immune to a stalled start-of-bench baseline).
-        return p > 3.0 * min(probes_all)
+        # (immune to a stalled start-of-bench baseline), with the
+        # absolute ceiling as a backstop for an always-loaded host.
+        return p > 3.0 * min(probes_all) or p > 3.0 * abs_quiet_ceiling_ms
 
     # Bound the total stall-wait so a permanently-loaded host still
     # terminates: across the whole bench, at most this many EXTRA
@@ -188,6 +201,11 @@ def main() -> None:
         probe_log[name] = {
             "probe_ms": [round(p, 1) for p in sample_probes],
             "stalled": not quiet,
+            # engine number: fastest sample whose post-sample probe was
+            # quiet — the value a judge reads without re-adjudicating
+            # host weather (VERDICT r10 task 5). None = no quiet sample
+            # existed (the stalled flag is set alongside).
+            "quiet_s": round(min(quiet), 3) if quiet else None,
         }
         print(
             f"# {name}: {n} rows in {timings[name]:.2f}s "
@@ -197,6 +215,16 @@ def main() -> None:
             file=sys.stderr,
         )
     total = round(sum(timings.values()), 3)
+    # Quiet-floor headline: per-query min over NON-STALLED samples
+    # (falls back to the global min where no quiet sample exists, with
+    # the query listed in stalled_queries right next to it).
+    total_quiet = round(
+        sum(
+            d["quiet_s"] if d["quiet_s"] is not None else timings[q]
+            for q, d in probe_log.items()
+        ),
+        3,
+    )
     wall = round(time.time() - t_total, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -212,7 +240,15 @@ def main() -> None:
                 "n_queries_total": len(REGISTRY),
                 "runs_per_query": runs_per_query,
                 "total_wall_s": wall,
+                "value_quiet": total_quiet,
+                "queries_quiet": {
+                    q: d["quiet_s"] for q, d in probe_log.items()
+                },
                 "probe_quiet_ms": round(min(probes_all), 1),
+                # True = even the best probe this run exceeded the
+                # absolute quiet ceiling: the host never went quiet and
+                # every number here is burst-inflated to some degree.
+                "probe_quiet_suspect": min(probes_all) > abs_quiet_ceiling_ms,
                 "probes": probe_log,
                 "stalled_queries": sorted(
                     q for q, d in probe_log.items() if d["stalled"]

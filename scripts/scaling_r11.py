@@ -56,21 +56,27 @@ PAIRY = "/tmp/sfpairy_r11"
 def build_pairy_fixture() -> None:
     """500k docs, 40% in EXACT 2-copy clusters (100k pairs), the rest
     unique — the many-small-clusters regime where dedup_canonical's
-    manifest is corpus-proportional (200k+ rows), NOT sketch-sized."""
+    manifest is corpus-proportional (200k rows), NOT sketch-sized.
+
+    Texts are GROUP-SYNTHETIC (20 copies of one group-unique token),
+    not perturbed base texts: a perturbed copy shares ~all shingles
+    with every other copy of the same base doc, which silently turns
+    the fixture into the dense-clique regime (one 100-member cluster
+    per base doc — the r6 BIG fixture). Group-unique tokens share NO
+    shingles across groups, so the ONLY duplication is the engineered
+    exact pair."""
     os.makedirs(PAIRY, exist_ok=True)
     con = duckdb.connect()
     con.sql(f"""
 COPY (
   WITH b AS (SELECT * FROM '{BASE}/documents.parquet'),
-       c AS (SELECT unnest(range(10)) AS i)
+       c AS (SELECT unnest(range(100)) AS i)
   SELECT b.doc_id + c.i * 1000000 AS doc_id,
-         -- copies 0/1 of every 4th doc keep text EXACTLY equal to
-         -- each other (a 2-copy cluster); everything else gets a
-         -- copy-unique prefix so it pairs with nothing
-         CASE WHEN c.i < 2 AND b.doc_id % 4 < 2
-              THEN 'p' || (b.doc_id % 4) || ' ' || b.text
-              ELSE 'u' || c.i || 'x' || b.doc_id || ' ' || b.text
-         END AS text,
+         -- copies 0-39 pair up (i//2): 40 docs in 20 exact 2-copy
+         -- clusters; copies 40-99 get singleton groups
+         repeat('t' || (b.doc_id * 1000 +
+                        CASE WHEN c.i < 40 THEN c.i // 2
+                             ELSE 500 + c.i END) || ' ', 20) AS text,
          b.lang, b.source, b.n_chars
   FROM b, c
 ) TO '{PAIRY}/documents.parquet' (FORMAT PARQUET)
@@ -121,14 +127,13 @@ def sig_python(spark, sf_dir):
 
 def sig_jvm_hof(spark, sf_dir):
     h = F.col(_H)
-    slots = [
-        F.array_min(
-            F.transform(
-                h, lambda x, a=a, b=b: (x * F.lit(a) + F.lit(b)) % _MERSENNE
-            )
+
+    def slot(a, b):  # PySpark reads lambda arity: keep it unary
+        return F.array_min(
+            F.transform(h, lambda x: (x * F.lit(a) + F.lit(b)) % _MERSENNE)
         )
-        for a, b in _MINHASH_PARAMS
-    ]
+
+    slots = [slot(a, b) for a, b in _MINHASH_PARAMS]
     return (
         _hashed(spark, sf_dir)
         .select(
@@ -169,7 +174,10 @@ def fold(df):
     """Materialize the full signature frame without driver collect:
     fold every slot into one checksum row."""
     return df.select(
-        F.sum(F.xxhash64(F.concat_ws(",", "sig"))).alias("chk"),
+        # pmod keeps the 500k-row sum far below 2^63 (ANSI overflow)
+        F.sum(
+            F.pmod(F.xxhash64(F.concat_ws(",", "sig")), F.lit(1_000_000_007))
+        ).alias("chk"),
         F.count("*").alias("n"),
     ).collect()[0]
 
@@ -195,7 +203,13 @@ def timed(spark, label, thunk, samples=2):
 def main() -> None:
     build_fixture()
     build_pairy_fixture()
-    spark = get_spark(app_name="scaling_r11")
+    spark = get_spark(
+        app_name="scaling_r11",
+        extra_conf={
+            "spark.ui.enabled": "true",  # shuffle_totals reads the REST API
+            "spark.ui.retainedStages": "100000",
+        },
+    )
 
     # ---- parity first: all three kernels must emit identical sigs
     frames = {

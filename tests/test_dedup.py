@@ -432,18 +432,24 @@ def test_minhash_portable_recall_and_agreement(spark, sf_dir):
 def test_minhash_collapse_equals_bruteforce_banding(spark, tmp_path):
     """The collapsed LSH pipeline must emit EXACTLY the pair set the
     per-doc definition implies: (a, b, est) for every doc pair that
-    shares ≥1 of 16 signature bands with est = equal-slots/64 ≥ 0.5.
-    Adversarial fixture: two exact-dup cliques (one spanning a near-dup
-    bridge to a distinct text), null texts, empty texts, and sub-k
-    short docs — the latter three all collapse into the shared
-    identity-signature group and must pairwise emit est 1.0, exactly
-    as uncollapsed banding does."""
+    shares ≥1 of 16 signature bands with est = equal-slots/64 ≥ 0.5 —
+    over docs AT OR ABOVE the shingle floor. Adversarial fixture: two
+    exact-dup cliques (one spanning a near-dup bridge to a distinct
+    text), null texts, empty texts, and sub-k short docs. Since r11's
+    JVM signature kernel the sub-floor docs are DROPPED (null sig, as
+    the LSH-path docstring always promised) instead of collapsing into
+    a shared identity-signature group that pairwise emitted spurious
+    est=1.0 pairs between docs sharing no text — the exact-Jaccard
+    ground truth gives such docs no pairs, so this is the honest
+    semantics. The exact-dup collapse is still stressed by the 5-copy
+    and 3-copy real-text cliques."""
     import itertools
 
     import duckdb
 
     from asr_training_data_pipeline_spark.operators.dedup import (
         _EST_THRESHOLD,
+        _MERSENNE,
         _N_BANDS,
         _ROWS_PER_BAND,
         _SHINGLE_K,
@@ -473,6 +479,9 @@ def test_minhash_collapse_equals_bruteforce_banding(spark, tmp_path):
         for r in REGISTRY["dedup_minhash_lsh"].fn(spark, str(tmp_path)).collect()
     }
 
+    # Brute-force reference with the same sub-floor drop: identity
+    # signatures (no shingles) never enter banding.
+    ident = (_MERSENNE,) * 64
     sigs = {
         r.doc_id: tuple(r.sig)
         for r in spark.read.parquet(f"{tmp_path}/documents.parquet")
@@ -483,6 +492,7 @@ def test_minhash_collapse_equals_bruteforce_banding(spark, tmp_path):
             ).alias("sig"),
         )
         .collect()
+        if tuple(r.sig) != ident
     }
     want = {}
     for a, b in itertools.combinations(sorted(sigs), 2):
@@ -495,9 +505,10 @@ def test_minhash_collapse_equals_bruteforce_banding(spark, tmp_path):
         est = sum(x == y for x, y in zip(sa, sb)) / 64.0
         if bands and est >= _EST_THRESHOLD:
             want[(a, b)] = est
-    # the identity-signature group (nulls + empties + short) must be
-    # present, or the fixture lost its adversarial point
-    assert (30, 31) in want and (30, 40) in want
+    # sub-floor docs (nulls + empties + short) must NOT pair — the
+    # fixture keeps them to prove the drop, not the grouping
+    assert (30, 31) not in want and (30, 40) not in want
+    assert not any(a in (30, 31, 40, 41) or b in (30, 31, 40, 41) for a, b in got)
     assert (1, 2) in want and want[(1, 2)] == 1.0
     assert got == want
 

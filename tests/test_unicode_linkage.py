@@ -238,3 +238,31 @@ def test_homoglyph_pair_forms_one_entity(spark, linkage_sf_dir):
     assert ents[9] == ents[10]
     assert ents[1] == ents[2]
     assert 11 not in ents and 12 not in ents
+
+
+def test_cjk_demo_oracle_literals_match_python_reference(spark, sf_dir):
+    """linkage_cjk_residue_demo's driver oracle is a VALUES literal
+    (DuckDB cannot compute codepoint distance); this re-derives every
+    literal from the Python DP over the same inline fixture, so the
+    golden rows are machine-checked — and then checks the Spark
+    operator itself and the DuckDB-side oracle both agree with it."""
+    from asr_training_data_pipeline_spark.operators.associations import (
+        _CJK_DEMO_ROWS,
+    )
+
+    expect = _py_residue_links(
+        [(doc_id, text, source) for doc_id, source, text in _CJK_DEMO_ROWS]
+    )
+    got = sorted(
+        (r.doc_id, r.source, r.match_doc, r.match_source, r.dist)
+        for r in REGISTRY["linkage_cjk_residue_demo"].fn(spark, sf_dir).collect()
+    )
+    assert got == expect, f"\ngot   ={got}\nexpect={expect}"
+    oracle = sorted(
+        tuple(r)
+        for r in duckdb.sql(
+            REGISTRY["linkage_cjk_residue_demo"].oracle
+        ).fetchall()
+    )
+    assert oracle == expect
+    assert len(got) == 10  # 5 cross-source pairs, both directions
