@@ -105,17 +105,21 @@ def test_sq8_topk_no_vector_shuffle(spark, sf_dir):
         assert "embedding" not in part and "qv" not in part.split(","), part
 
 
-def test_canonical_manifest_broadcasts_back(spark, sf_dir):
-    """The survivor manifest (clustered docs only) must broadcast-join
-    back to the corpus scan: the OUTERMOST join — the corpus-level one
-    — is a doc_id broadcast left-outer. (A component-keyed exchange is
-    fine BELOW it: that's the survivor window over the tiny clustered
-    frame, never the corpus.)"""
+def test_canonical_manifest_joins_back_on_doc_id(spark, sf_dir):
+    """The survivor manifest (clustered docs only) joins back to the
+    corpus scan keyed on doc_id as a left-outer — UNHINTED since r11
+    (VERDICT r10 task 2): on a sparse-dup fixture AQE is free to pick
+    broadcast from the manifest's measured size, but the hint that
+    FORCED it (an OOM on a dup-heavy 100 TB corpus where the manifest
+    is O(corpus)) is gone. The degradation direction is locked by
+    test_canonical_joinback_broadcast_is_aqe_not_forced below; here we
+    lock the join key/type and that the corpus side never exchanges on
+    component (a component-keyed exchange is fine BELOW the join:
+    that's the survivor window over the tiny clustered frame)."""
     plan = _executed_plan(spark, sf_dir, "dedup_canonical")
-    m = re.search(r"(BroadcastHashJoin|SortMergeJoin)[^\n]*", plan)
+    m = re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)[^\n]*", plan)
     assert m, "no join in plan"
     top_join = m.group(0)
-    assert top_join.startswith("BroadcastHashJoin"), top_join
     assert "doc_id" in top_join and "LeftOuter" in top_join, top_join
 
 
