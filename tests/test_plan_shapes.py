@@ -26,19 +26,17 @@ def test_word_coverage_scan_prunes_to_text(spark, sf_dir):
 
 
 def test_minhash_signature_computed_once(spark, sf_dir):
-    """The signature kernel must live ONLY inside the persisted
-    per-doc signature cache (one Python boundary total — every
-    consumer reads the cache), and the r7 exact-dup pre-collapse must
-    be in the plan: a signature-keyed exchange (the groupBy that folds
+    """The signature computation must live ONLY inside the persisted
+    per-doc signature cache (every consumer reads the cache), and —
+    since the r11 JVM kernel — the WHOLE plan must be Python-free:
+    no ArrowEvalPython/BatchEvalPython anywhere, including inside the
+    cached relation's fill plan. The r7 exact-dup pre-collapse must be
+    in the plan: a signature-keyed exchange (the groupBy that folds
     duplicate signatures map-side) and a final Union (rep-pair
     expansion + intra-group pairs)."""
     plan = _executed_plan(spark, sf_dir, "dedup_minhash_lsh")
-    # No Python boundary among the TOP-LEVEL streaming operators (the
-    # text before the first cached-relation print): the kernel would
-    # otherwise re-execute per consumer. InMemoryRelation repeats its
-    # fill plan under each scan, so occurrences INSIDE are expected.
-    outside = plan.split("InMemoryRelation", 1)[0]
-    assert "ArrowEvalPython" not in outside
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
     assert "InMemoryTableScan" in plan
     # the collapse: duplicate signatures fold in an exchange keyed by
     # the constant-width signature hash
