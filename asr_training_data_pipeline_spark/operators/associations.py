@@ -389,10 +389,13 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         rhs, F.col("rank_b") == F.col("rank_a") + F.col("gap")
     ).select("doc_a", "doc_b", "rank_a", "gap")
     toked, toks = tokens_attr(docs)
-    sh = toked.select(
+    # token-count pre-filter, NOT sh.isNotNull(): a shingle-column
+    # filter pushes to the scan with the HOF chain inlined (r11
+    # forensics, SCALING.md)
+    sh = toked.filter(F.size(toks) >= _SNM_SHINGLE_K).select(
         "doc_id",
         shingles_col(toks, _SNM_SHINGLE_K).alias("sh"),
-    ).filter(F.col("sh").isNotNull())
+    )
     verified = (
         cand.join(
             sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa")),
@@ -531,10 +534,13 @@ def sorted_neighborhood_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     toked, toks = tokens_attr(docs)
-    sh = toked.select(
+    # token-count pre-filter, NOT sh.isNotNull(): a shingle-column
+    # filter pushes to the scan with the HOF chain inlined (r11
+    # forensics, SCALING.md)
+    sh = toked.filter(F.size(toks) >= _SNM_SHINGLE_K).select(
         "doc_id",
         shingles_col(toks, _SNM_SHINGLE_K).alias("sh"),
-    ).filter(F.col("sh").isNotNull())
+    )
     verified = (
         cand.join(
             sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa")),

@@ -420,17 +420,21 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     toked, toks = tokens_attr(docs)
-    sh = toked.select(
-        "doc_id",
-        shingles_col(toks, _CONTAM_K).alias("shingles"),
-    ).filter(F.col("shingles").isNotNull())
+    # token-count pre-filter, NOT shingles.isNotNull(): a shingle-
+    # column filter pushes to the scan with the HOF chain inlined
+    # (r11 forensics, SCALING.md)
+    # Explode the EXPRESSION, not a projected alias: attribute-input
+    # explode triggers InferFiltersFromGenerate, whose inferred
+    # isnotnull/size>0 filters push to the scan with the shingle
+    # chain inlined (shingles.py second contract).
+    floored = toked.filter(F.size(toks) >= _CONTAM_K)
     bench = (
-        sh.filter(F.col("doc_id") % _CONTAM_MOD == 0)
-        .select(F.explode("shingles").alias("shingle"))
+        floored.filter(F.col("doc_id") % _CONTAM_MOD == 0)
+        .select(F.explode(shingles_col(toks, _CONTAM_K)).alias("shingle"))
         .distinct()
     )
-    corpus = sh.filter(F.col("doc_id") % _CONTAM_MOD != 0).select(
-        "doc_id", F.explode("shingles").alias("shingle")
+    corpus = floored.filter(F.col("doc_id") % _CONTAM_MOD != 0).select(
+        "doc_id", F.explode(shingles_col(toks, _CONTAM_K)).alias("shingle")
     )
     # ONE pass: left-probe the broadcast benchmark set, then a single
     # doc_id aggregation counts total and matched shingles together.

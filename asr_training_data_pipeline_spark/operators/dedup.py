@@ -637,7 +637,17 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hashes contracts): tokens -> hash ARRAY as a real column, then
     # the 64 permutation mins read that attribute. All JVM — no
     # Python boundary anywhere in this query since r11.
-    hashed = toked.withColumn(
+    #
+    # Short docs are dropped HERE, on the cheap token count — NEVER
+    # via a filter on the sig/hash column: predicate pushdown
+    # substitutes attributes back to their defining expressions when
+    # pushing a filter through the projections, so `sig IS NOT NULL`
+    # lands at the SCAN with the whole shingle+hash chain inlined —
+    # including the per-shingle re-split the r10 fix removed —
+    # re-evaluated per row (r11 forensics, SCALING.md). The token
+    # count pushes down as `size(split(text)) >= k`: row-local, O(n),
+    # and prunes short docs before any shingle work.
+    hashed = toked.filter(F.size(toks) >= _SHINGLE_K).withColumn(
         _MH_HASHES,
         F.transform(
             shingles_col(toks, _SHINGLE_K),
@@ -650,7 +660,6 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             minhash_sig_from_hashes(F.col(_MH_HASHES)).alias("sig"),
         )
-        .filter(F.col("sig").isNotNull())
         # constant-width group key: hashing/sorting a 33-byte string
         # beats element-wise comparisons on the 64-slot array in the
         # exchange (an md5 collision merging two DISTINCT signatures
@@ -2607,11 +2616,25 @@ def _ppjoin_pairs(docs: DataFrame) -> DataFrame:
     text)`` frame — (doc_a, doc_b, jaccard) thresholded, unordered.
     See :func:`dedup_ppjoin` for the algorithm and citations."""
     toked, toks = tokens_attr(docs)
-    arr = toked.select(
+    # token-count pre-filter, NOT sh.isNotNull(): a filter on the
+    # shingle column pushes to the scan with the whole HOF chain
+    # inlined (see minhash_lsh_pairs; r11 forensics) — this plan
+    # carried SIX such scan-filter copies before the fix
+    floored = toked.filter(F.size(toks) >= _SHINGLE_K)
+    arr = floored.select(
         "doc_id",
         shingles_col(toks, _SHINGLE_K).alias("sh"),
-    ).filter(F.col("sh").isNotNull())
-    sh = arr.select("doc_id", F.explode("sh").alias("shingle"))
+    )
+    # Explode the EXPRESSION, not the projected alias: explode of an
+    # attribute triggers InferFiltersFromGenerate (isnotnull + size>0
+    # on the attribute), and pushdown then substitutes the whole
+    # shingle chain into those inferred scan filters — the same
+    # monster the token-count pre-filter exists to avoid. Explode of
+    # a complex expression skips the inference (probed; the ngram
+    # operator's shape).
+    sh = floored.select(
+        "doc_id", F.explode(shingles_col(toks, _SHINGLE_K)).alias("shingle")
+    )
     df_tbl = sh.groupBy("shingle").agg(F.count("*").cast("bigint").alias("df"))
     # rarest-first order: attach df, rebuild the per-doc list sorted by
     # (df, shingle), slice the prefix  n - ceil(t*n) + 1  (t = 0.8 →

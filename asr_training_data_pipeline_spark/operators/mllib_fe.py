@@ -84,13 +84,25 @@ def mllib_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toked, toks = tokens_attr(docs)
-    sh = toked.select(
+    # token-count pre-filter, NOT size(shingles) > 0: a shingle-
+    # column filter pushes to the scan with the HOF chain inlined
+    # (r11 forensics, SCALING.md)
+    sh = toked.filter(F.size(toks) >= _SHINGLE_K).select(
         "doc_id",
         shingles_col(toks, _SHINGLE_K).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
+    )
     tf = HashingTF(
         inputCol="shingles", outputCol="v", numFeatures=_HASH_DIM, binary=True
     ).transform(sh)
+    # Persist barrier: approxSimilarityJoin's internals explode the
+    # hash attribute, and InferFiltersFromGenerate's inferred filters
+    # push through MLlib's projections with the whole shingle+TF+LSH
+    # chain inlined into the scan filter (shingles.py second
+    # contract). An InMemoryRelation is a hard pushdown boundary —
+    # and the self-join reads tf twice anyway.
+    from ..caching import hold
+
+    tf = hold("mllib_minhash_tf", tf.select("doc_id", "v"), eager=True)
     model = MinHashLSH(inputCol="v", outputCol="bands", numHashTables=16, seed=1217).fit(tf)
     pairs = model.approxSimilarityJoin(tf, tf, 1.0 - _JACCARD_THRESHOLD, distCol="d")
     return (

@@ -31,7 +31,21 @@ def shingles_col(tokens: Column, k: int) -> Column:
     O(tokens²) per doc (jstack-pinned to StringSplit.nullSafeEval
     under the transform lambda at the 500k-doc fixture). An attribute
     is a row-field read: O(1) per reference. Call sites pre-project
-    via :func:`tokens_attr`."""
+    via :func:`tokens_attr`.
+
+    SECOND CONTRACT (r11 forensics): downstream filters must NEVER
+    reference the shingle column (or anything derived from it —
+    signatures, hash arrays). Predicate pushdown substitutes
+    attributes back to their defining expressions as it pushes a
+    filter through the projections, so `sh IS NOT NULL` lands at the
+    parquet scan with this whole transform — inline re-split
+    included — re-evaluated once per row on top of the real
+    projection (jstack-pinned in the r11 500k run: StringSplit under
+    ConcatWs under ArrayTransform in the SCAN stage). Drop short docs
+    with ``df.filter(F.size(tokens_column) >= k)`` BEFORE shingling:
+    it pushes down as a cheap row-local `size(split(text)) >= k` and
+    makes the shingle column non-null by construction. Plan-locked in
+    tests/test_plan_shapes.py::test_no_hof_chain_in_scan_filters."""
     n = F.size(tokens)
     idx = F.sequence(F.lit(1), n - (k - 1))
     return F.when(

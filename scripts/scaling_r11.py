@@ -104,7 +104,11 @@ def _hashed(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     n_part = spark.sparkContext.defaultParallelism
     toked, toks = tokens_attr(docs.repartition(n_part))
-    return toked.withColumn(
+    # token-count pre-filter per shingles.py's r11 second contract —
+    # the original A/B variants filtered sig/hash columns post-hoc,
+    # which pushdown turned into a scan filter with the whole HOF
+    # chain inlined (SCALING.md r11 forensics)
+    return toked.filter(F.size(toks) >= _SHINGLE_K).withColumn(
         _H,
         F.transform(
             shingles_col(toks, _SHINGLE_K),
@@ -119,10 +123,10 @@ def sig_python(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     n_part = spark.sparkContext.defaultParallelism
     toked, toks = tokens_attr(docs.repartition(n_part))
-    return toked.select(
+    return toked.filter(F.size(toks) >= _SHINGLE_K).select(
         "doc_id",
         minhash_signature_col(shingles_col(toks, _SHINGLE_K)).alias("sig"),
-    ).filter(F.col("sig").isNotNull())
+    )
 
 
 def sig_jvm_hof(spark, sf_dir):
@@ -134,13 +138,9 @@ def sig_jvm_hof(spark, sf_dir):
         )
 
     slots = [slot(a, b) for a, b in _MINHASH_PARAMS]
-    return (
-        _hashed(spark, sf_dir)
-        .select(
-            "doc_id",
-            F.when(F.size(h) >= 1, F.array(*slots)).alias("sig"),
-        )
-        .filter(F.col("sig").isNotNull())
+    return _hashed(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.size(h) >= 1, F.array(*slots)).alias("sig"),
     )
 
 

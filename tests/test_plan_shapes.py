@@ -606,3 +606,35 @@ def test_canonical_joinback_broadcast_is_aqe_not_forced(spark, sf_dir):
         for r in default_rows
         if r.media_id < 400
     )
+
+
+def test_no_hof_chain_in_scan_filters(spark, sf_dir):
+    """shingles_col's second contract (r11 forensics): no executed
+    plan may carry a Filter whose predicate inlines the shingle HOF
+    chain. Predicate pushdown substitutes attributes back to their
+    defining expressions, so a filter on a shingle-derived column
+    (sh IS NOT NULL / sig IS NOT NULL / size(shingles) > 0) lands at
+    the scan with the per-shingle re-split inlined — the r10
+    quadratic resurrected inside the scan filter, evaluated per row
+    on top of the real projection. The fixed call sites filter on the
+    token count BEFORE shingling instead."""
+    for name in (
+        "dedup_minhash_lsh",
+        "dedup_ppjoin",
+        "contamination_check",
+        "mllib_minhash_pairs",
+        "sorted_neighborhood_pairs",
+        "sorted_neighborhood_multikey",
+        "dedup_ngram_jaccard",
+        "doc_fingerprint",
+    ):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        df.count()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        bad = [
+            ln[:200]
+            for ln in plan.splitlines()
+            if "Filter" in ln and "lambdafunction" in ln and "split(text" in ln
+        ]
+        assert not bad, f"{name} pushes the HOF chain into a filter: {bad[:2]}"
+        spark.catalog.clearCache()
