@@ -26,49 +26,42 @@ from .streaming import stateful, windows  # noqa: F401
 
 _PRIORITY = (
     # ------------------------------------------------------------------
-    # r11 rotation wave 8 (VERDICT r10 task 1). Composition of the 50:
+    # r12 rotation wave 9 (VERDICT r11 task 2). Composition of the 50:
     #   * flagship word_coverage;
-    #   * the NINE queries the driver has never run: the eight r10
-    #     TPC-H completions (judge-verified 8/8 MATCH at sf0.01 in the
-    #     r10 session, but never driver-run) and streaming_audio_gate
-    #     (stream==batch-twin pinned, tests/test_phash.py);
-    #   * linkage_cjk_residue_demo — NEW this round (VERDICT task 4):
-    #     the residue operator over an inline multilingual fixture so
-    #     the driver materializes real codepoint distances instead of
-    #     the corpus query's honest-but-vacuous 0 rows (the pure-ASCII
-    #     testdata); replaces linkage_cjk_residue's prefix slot, with
-    #     the vacuity documented in COVERAGE.md §4;
-    #   * the ELEVEN single-green members (ledger recomputed from
-    #     CORRECTNESS_r02-r10 this round): multimodal_phash_canonical,
-    #     multimodal_audio_canonical, dedup_rate_by_source_fast (the
-    #     r10-new trio, second rows), approx_stats_orders (single
-    #     since r2!), bloom_calibration, hll_column_profile,
-    #     hll_distinct, incremental_agg_refresh, kmv_corpus_overlap,
-    #     q15_top_supplier, q6_forecast_revenue;
-    #   * changed-code re-validations (every query whose plan this
-    #     round's edits touch): dedup_canonical (manifest join-back
-    #     unhinted, VERDICT task 2), dedup_minhash_lsh (JVM-vs-Python
-    #     signature kernel A/B, task 3), the shingle tokens_attr
-    #     call-site refactor's consumers (dedup_minhash_portable,
-    #     dedup_ngram_jaccard, dedup_ngram_jaccard_stopshingle,
-    #     dedup_ppjoin, mllib_minhash_pairs, doc_fingerprint,
-    #     contamination_check, sorted_neighborhood_pairs,
-    #     sorted_neighborhood_multikey, snm_recall_eval,
-    #     dedup_components), and the _linkage_candidates docs-param
-    #     refactor's consumers (record_linkage_fuzzy, linkage_entities);
-    #   * the VERDICT-named deferred r4-r6 members, third greens:
-    #     cohort_retention, dedup_cluster_stats, dedup_substring_spans,
-    #     length_filter_adaptive, minhash_calibration, mixture_weights,
-    #     profile_embeddings, validate_embeddings, embedding_centroids,
-    #     lang_id_confusion, bottomk_sample_per_lang;
+    #   * the TEN single-green members (ledger recomputed from
+    #     CORRECTNESS_r02-r11 this round; VERDICT r11 confirmed the
+    #     same set): the eight r10 TPC-H completions (q8/q9/q11/q12/
+    #     q16/q17/q19/q20 — q16 additionally re-validates the ADVICE
+    #     r11 oracle-side NOT-IN NULL guards), streaming_audio_gate,
+    #     linkage_cjk_residue_demo — second greens let them retire
+    #     under the house rule;
+    #   * changed-code re-validations — every query whose plan the r12
+    #     spread_for_kernel gate touches (the payload-repartition fix,
+    #     VERDICT r11 task 1): dedup_minhash_lsh, dedup_minhash_
+    #     portable, dedup_simhash, dedup_simhash_portable,
+    #     dedup_ngram_jaccard_stopshingle, dedup_winnow_pairs (also an
+    #     r5-era queue member), all seven multimodal kernels, and
+    #     asr_scan_stub;
+    #   * the documented wave-9 queue (oldest-green twos): the r5-era
+    #     block (doc_winnowing, dedup_semantic, dedup_semantic_
+    #     clustered, dedup_exact_hash, asof_join_orders,
+    #     avg_confidence_coalesce, case_adaptive_guard,
+    #     json_extract_props, lag_lead_boundaries, leak_vote_2of3,
+    #     longest_span_top1, moving_avg_range_frame, ms_round_convert,
+    #     range_join_events, sequence_position, first_match_confidence)
+    #     and the r8-era pairs (vocab_coverage, langid_trained,
+    #     dedup_method_eval);
     #   * the standing rows-only pipeline composites asr_pipeline_clips
-    #     + asr_pipeline_summary (ninth rows each — the frames that
-    #     drive J1-J4, F2-F6, W1-W4, A3-A8, C4-C7, C13 every round).
-    # Funded by retiring the wave-7 members CORRECTNESS_r10 confirmed
-    # at ≥2 cumulative greens (the displaced r2 debt block, the r9
-    # newcomer second greens, the r3 singles) and the vacuous
-    # linkage_cjk_residue slot. Every retiree stays DuckDB-checked on
-    # every suite run via tests/test_oracle_parity.py.
+    #     + asr_pipeline_summary (tenth rows each);
+    #   * four filler slots to the oldest last-green twos remaining:
+    #     q1_pricing_summary, scalar_normalize_tokens,
+    #     phoneme_case_extension, positional_pairing (all last green
+    #     r3 — the oldest unretired evidence in the ledger).
+    # Funded by retiring the wave-8 members CORRECTNESS_r11 confirmed
+    # at ≥2 cumulative greens (the r10-new trio second greens, the
+    # r2/r4-r6 debt block third greens, the changed-code re-greens).
+    # Every retiree stays DuckDB-checked on every suite run via
+    # tests/test_oracle_parity.py.
     # ------------------------------------------------------------------
     "word_coverage",
     "q8_market_share",
@@ -81,60 +74,57 @@ _PRIORITY = (
     "q20_promo_suppliers",
     "streaming_audio_gate",
     "linkage_cjk_residue_demo",
-    "multimodal_phash_canonical",
-    "multimodal_audio_canonical",
-    "dedup_rate_by_source_fast",
-    "approx_stats_orders",
-    "bloom_calibration",
-    "hll_column_profile",
-    "hll_distinct",
-    "incremental_agg_refresh",
-    "kmv_corpus_overlap",
-    "q15_top_supplier",
-    "q6_forecast_revenue",
-    "dedup_canonical",
     "dedup_minhash_lsh",
     "dedup_minhash_portable",
-    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_portable",
     "dedup_ngram_jaccard_stopshingle",
-    "dedup_ppjoin",
-    "mllib_minhash_pairs",
-    "doc_fingerprint",
-    "contamination_check",
-    "sorted_neighborhood_pairs",
-    "sorted_neighborhood_multikey",
-    "snm_recall_eval",
-    "dedup_components",
-    "record_linkage_fuzzy",
-    "linkage_entities",
-    "cohort_retention",
-    "dedup_cluster_stats",
-    "dedup_substring_spans",
-    "length_filter_adaptive",
-    "minhash_calibration",
-    "mixture_weights",
-    "profile_embeddings",
-    "validate_embeddings",
-    "embedding_centroids",
-    "lang_id_confusion",
-    "bottomk_sample_per_lang",
+    "dedup_winnow_pairs",
+    "multimodal_audio_features",
+    "multimodal_frame_sample",
+    "multimodal_image_resize",
+    "multimodal_phash_dedup",
+    "multimodal_phash_canonical",
+    "multimodal_audio_dedup",
+    "multimodal_audio_canonical",
+    "asr_scan_stub",
+    "doc_winnowing",
+    "dedup_semantic",
+    "dedup_semantic_clustered",
+    "dedup_exact_hash",
+    "asof_join_orders",
+    "avg_confidence_coalesce",
+    "case_adaptive_guard",
+    "json_extract_props",
+    "lag_lead_boundaries",
+    "leak_vote_2of3",
+    "longest_span_top1",
+    "moving_avg_range_frame",
+    "ms_round_convert",
+    "range_join_events",
+    "sequence_position",
+    "first_match_confidence",
+    "vocab_coverage",
+    "langid_trained",
+    "dedup_method_eval",
+    "q1_pricing_summary",
+    "scalar_normalize_tokens",
+    "phoneme_case_extension",
+    "positional_pairing",
     "asr_pipeline_clips",
     "asr_pipeline_summary",
 )
-
-# Rotation queue for the NEXT (wave-9) prefix refresh, in order:
-# (a) first re-greens for whatever wave 8 leaves single-green (the
-#     nine driver-new queries and linkage_cjk_residue_demo);
-# (b) the remaining oldest-green twos by last-green round: the r5-era
-#     block (doc_winnowing, dedup_winnow_pairs, dedup_semantic,
-#     dedup_semantic_clustered, dedup_exact_hash, asof_join_orders,
-#     avg_confidence_coalesce, case_adaptive_guard, json_extract_props,
-#     lag_lead_boundaries, leak_vote_2of3, longest_span_top1,
-#     moving_avg_range_frame, ms_round_convert, range_join_events,
-#     sequence_position, first_match_confidence) and the r8-era pairs
-#     (vocab_coverage, langid_trained, dedup_method_eval);
-# (c) tenth rows for the standing pipeline composites.
-# Fund slots by retiring whichever members CORRECTNESS_r11 confirms
+# Rotation queue for the NEXT (wave-10) prefix refresh, in order:
+# (a) re-greens for anything wave 9 leaves single-green or red;
+# (b) the remaining oldest last-green twos by round: the rest of the
+#     r3 block (num_to_words_sizes), then the r5-era twos not in wave
+#     9 (pii_scrub, repetition_signals, stratified_sample,
+#     profile_documents, unigram_perplexity, curation_funnel), then
+#     the oldest 3-green members by last-green round (sessionize_
+#     events, ann_lsh_topk, lang_id_heuristic, token_count, ... —
+#     recompute the ledger from CORRECTNESS_r02-r12 as always);
+# (c) eleventh rows for the standing pipeline composites.
+# Fund slots by retiring whichever members CORRECTNESS_r12 confirms
 # at ≥2 cumulative greens.
 
 

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.text import whitespace_tokens_col
+from ..partitioning import spread_for_kernel
 from ..registry import register
 from ..sources.tables import load_table
 from .shingles import shingles_col, tokens_attr, shingles_sql
@@ -489,8 +490,13 @@ def minhash_signature_col(shingles, hash_transform=None):
     r11 update: that verdict was about the single monolithic fold.
     64 INDEPENDENT ``array_min(transform(...))`` expressions over a
     pre-projected hash-array attribute (:func:`minhash_sig_from_hashes`)
-    beat this kernel 46.6 s vs 289.7 s at 500k docs (scripts/
-    scaling_r11.py, identical checksums) — the production xxhash64
+    beat this kernel ~4x warm steady-state — canonical measurement
+    (scripts/scaling_r11.py, 500k docs, same session, identical
+    checksums): 47.6 s jvm-hof vs 191.1 s pandas, both warm; cold
+    first runs in that session 979.4 s / 525 s (SCALING.md r11
+    cold-JIT record). An earlier same-round session read 46.6 vs
+    289.7 s — the pandas side there was first-run/burst-hit, so the
+    warm pair above is the quotable ratio. The production xxhash64
     path now uses that JVM form; THIS kernel remains only where the
     caller supplies a custom ``hash_transform`` (the portable
     md5 variant, whose cost is the md5, not the permutations).
@@ -557,9 +563,13 @@ def minhash_sig_from_hashes(hashes):
     the scan work. As an attribute it is one row-field read.
 
     Measured (scripts/scaling_r11.py, 500k docs, identical checksums
-    across kernels): 46.6 s vs the numpy pandas-UDF kernel's 289.7 s
-    and an explode+codegen-agg form's 55.2 s (which also tripled the
-    shuffle: 268 vs 83 MB). No Python workers in the plan at all —
+    across kernels; canonical warm steady-state pair, same session):
+    47.6 s vs the numpy pandas-UDF kernel's 191.1 s (~4x), and an
+    explode+codegen-agg form's 55.2 s (which also tripled the
+    shuffle: 268 vs 83 MB). Cold-JVM first run is 10-20x slower until
+    C2 warms (979.4 s same plan/session — see the class docstring and
+    SCALING.md r11/r12 for the amortization boundary). No Python
+    workers in the plan at all —
     host-load bursts that stretched the Arrow roundtrips (r9/r10
     bench forensics: 4× same-session spread) no longer have a Python
     boundary to land on.
@@ -628,11 +638,11 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     # Local fixture parquet is a single split; signature computation is
-    # the CPU-heavy stage, so spread it across cores explicitly. On a
-    # real cluster the scan already yields ≫cores splits and AQE
-    # coalesces this away.
-    n_part = spark.sparkContext.defaultParallelism
-    toked, toks = tokens_attr(docs.repartition(n_part))
+    # the CPU-heavy stage, so spread it across cores — GATED: on a
+    # multi-split scan (any real cluster read) spread_for_kernel is a
+    # structural no-op, so document bodies never cross the network
+    # just to rebalance work (partitioning.py; plan-locked).
+    toked, toks = tokens_attr(spread_for_kernel(docs))
     # Two-step attribute discipline (shingles.py / minhash_sig_from_
     # hashes contracts): tokens -> hash ARRAY as a real column, then
     # the 64 permutation mins read that attribute. All JVM — no
@@ -816,8 +826,7 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
         % _MERSENNE
     )
-    n_part = spark.sparkContext.defaultParallelism
-    toked, toks = tokens_attr(docs.repartition(n_part))
+    toked, toks = tokens_attr(spread_for_kernel(docs))
     sigs = toked.select(
         "doc_id",
         minhash_signature_col(
@@ -1093,7 +1102,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a doc and its near-dup mutation land within the radius).
     """
     docs = load_table(spark, sf_dir, "documents")
-    fp = docs.repartition(spark.sparkContext.defaultParallelism).select(
+    fp = spread_for_kernel(docs).select(
         "doc_id", simhash_col(whitespace_tokens_col("text")).alias("fp")
     )
     band_structs = F.array(
@@ -1181,7 +1190,7 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         h_lo = F.conv(F.substring(hexs, 9, 8), 16, 10).cast("long")
         return F.shiftleft(h_hi, 32).bitwiseOR(h_lo)
 
-    fp = docs.repartition(spark.sparkContext.defaultParallelism).select(
+    fp = spread_for_kernel(docs).select(
         "doc_id",
         simhash_col(
             F.split(F.lower(F.col("text")), " "), hash_transform=portable_hash
@@ -1255,9 +1264,7 @@ def dedup_ngram_jaccard_stopshingle(spark: SparkSession, sf_dir: str) -> DataFra
     near-dups (their overlap is dominated by selective shingles).
     """
     docs = load_table(spark, sf_dir, "documents")
-    toked, toks = tokens_attr(
-        docs.repartition(spark.sparkContext.defaultParallelism)
-    )
+    toked, toks = tokens_attr(spread_for_kernel(docs))
     sh = toked.select(
         "doc_id",
         F.explode(shingles_col(toks, _SHINGLE_K)).alias("shingle"),

@@ -12,6 +12,11 @@ Layout principle for 100 TB: keep bytes opaque (BinaryType) until
 the single UDF stage that needs them decoded; never shuffle decoded
 arrays; project metadata columns for all filtering/routing so
 partition pruning and pushdown act on the scan, not after decode.
+ENCODED payloads never shuffle either: the CPU-spreading repartition
+every kernel entry point needs on the single-split local fixture is
+gated behind ``spread_for_kernel`` (partitioning.py, r12) — a
+structural no-op on any multi-split scan, plan-locked in
+tests/test_plan_shapes.py::test_spread_gate_is_noop_on_multisplit_scans.
 """
 
 from __future__ import annotations
@@ -24,6 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..partitioning import spread_for_kernel
 from ..registry import register
 from ..sources.tables import load_table
 
@@ -174,16 +180,14 @@ def multimodal_audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary (rows-only; stub decode is hash-deterministic — pinned
     by tests/test_multimodal.py including an n_bytes cross-check
     against the documents table)."""
-    n_part = spark.sparkContext.defaultParallelism
-    media = media_table(spark, sf_dir).repartition(n_part)
+    media = spread_for_kernel(media_table(spark, sf_dir))
     return audio_features(media).orderBy("media_id")
 
 
 @register("multimodal_frame_sample", tags=("multimodal", "udf"))
 def multimodal_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1→M frame-sampling through mapInPandas (video-frame shape)."""
-    n_part = spark.sparkContext.defaultParallelism
-    media = media_table(spark, sf_dir).repartition(n_part)
+    media = spread_for_kernel(media_table(spark, sf_dir))
     return frame_sample(media, every_n=100).orderBy("media_id", "frame_no")
 
 
@@ -249,8 +253,7 @@ def image_resize(media: DataFrame, dst_h: int = 16, dst_w: int = 16) -> DataFram
 def multimodal_image_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary → decode-stub → strided 16×16 thumbnail → stats through
     the pandas-UDF boundary (rows-only; deterministic payloads)."""
-    n_part = spark.sparkContext.defaultParallelism
-    media = media_table(spark, sf_dir).repartition(n_part)
+    media = spread_for_kernel(media_table(spark, sf_dir))
     return image_resize(media).orderBy("media_id")
 
 
@@ -395,8 +398,7 @@ def multimodal_phash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     has no SQL form); the LSH pair set is pinned EQUAL to the
     brute-force Hamming join and the kernel to a loop-written
     reference in tests/test_phash.py."""
-    n_part = spark.sparkContext.defaultParallelism
-    media = media_table(spark, sf_dir).repartition(n_part)
+    media = spread_for_kernel(media_table(spark, sf_dir))
     return phash_near_dup_pairs(image_phash(media)).orderBy(
         "media_id_a", "media_id_b"
     )
@@ -505,8 +507,7 @@ def multimodal_phash_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     its 100 TB shape. Rows-only BY NATURE (the DCT kernel); the
     cluster algebra is pinned on an engineered fixture in
     tests/test_phash.py."""
-    n_part = spark.sparkContext.defaultParallelism
-    media = media_table(spark, sf_dir).repartition(n_part)
+    media = spread_for_kernel(media_table(spark, sf_dir))
     return canonical_manifest(
         image_phash(media), slot="canonical_hashes:image"
     )
@@ -582,8 +583,7 @@ def multimodal_audio_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming LSH + popcount verify as the image path (the candidate
     join is modality-agnostic over (media_id, phash)). Rows-only BY
     NATURE; kernel + recall pinned in tests/test_phash.py."""
-    n_part = spark.sparkContext.defaultParallelism
-    media = media_table(spark, sf_dir).repartition(n_part)
+    media = spread_for_kernel(media_table(spark, sf_dir))
     return phash_near_dup_pairs(audio_ahash(media)).orderBy(
         "media_id_a", "media_id_b"
     )
@@ -604,8 +604,7 @@ def multimodal_audio_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     set bounded by the distinct-fingerprint count — so this form is
     the production default at scale. Rows-only BY NATURE (FFT kernel);
     cluster algebra pinned in tests/test_phash.py."""
-    n_part = spark.sparkContext.defaultParallelism
-    media = media_table(spark, sf_dir).repartition(n_part)
+    media = spread_for_kernel(media_table(spark, sf_dir))
     return canonical_manifest(
         audio_ahash(media), slot="canonical_hashes:audio"
     )

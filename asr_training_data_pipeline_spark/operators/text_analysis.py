@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from ..caching import hold
 from ..functions.casefold import FOLD_DST as _FOLD_DST
 from ..functions.casefold import FOLD_SRC as _FOLD_SRC
+from ..partitioning import spread_for_kernel
 from ..registry import register
 from ..sources.tables import load_table
 from .shingles import shingles_col, shingles_sql, tokens_attr
@@ -535,7 +536,7 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     wf = hold(
         "winnow_fps",
         winnow_fps(
-            docs.repartition(docs.sparkSession.sparkContext.defaultParallelism),
+            spread_for_kernel(docs),
             k=_WPAIR_K,
             w=_WPAIR_W,
         ),

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..functions.exact import davg
 from ..operators.alignment import lcs_equal_runs, lcs_runs_fused
+from ..partitioning import spread_for_kernel
 from ..registry import register
 from ..sources import fixtures
 from ..sources.asr_scan import asr_scan
@@ -565,5 +566,4 @@ def asr_scan_stub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 inference-scan plumbing: mapInPandas + per-worker model
     singleton over the documents table (deterministic stub backend)."""
     docs = load_table(spark, sf_dir, "documents")
-    n_part = spark.sparkContext.defaultParallelism
-    return asr_scan(spark, docs.repartition(n_part)).orderBy("pair_id", "idx")
+    return asr_scan(spark, spread_for_kernel(docs)).orderBy("pair_id", "idx")

@@ -2363,17 +2363,24 @@ def q12_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # No partsupp ⇒ the supplier-part relation is the DISTINCT
 # (l_partkey, l_suppkey) pairs actually shipped; no s_comment ⇒ the
-# "complaints" exclusion is proxied by s_acctbal < 1000.
+# "complaints" exclusion is proxied by s_acctbal < 1000. The IS NOT
+# NULL guards mirror the Spark side exactly (ADVICE r11): without
+# them the oracle keeps NOT IN's any-NULL-build→empty / NULL-probe-
+# dropped branches that the engine's left-anti deliberately does not
+# reproduce — harmless on non-null TPC-H keys, but the equivalence is
+# now pinned on BOTH sides, not just the engine's.
 _Q16_SQL = """
 SELECT p_brand, p_type, p_size,
        cast(count(DISTINCT l_suppkey) AS bigint) AS supplier_cnt
-FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+      WHERE l_suppkey IS NOT NULL) ps
 JOIN part ON p_partkey = l_partkey
 WHERE p_brand <> 'Brand#1'
   AND p_type NOT LIKE 'PROMO%'
   AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
   AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
-                        WHERE s_acctbal < 1000)
+                        WHERE s_acctbal < 1000
+                          AND s_suppkey IS NOT NULL)
 GROUP BY p_brand, p_type, p_size
 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 """
