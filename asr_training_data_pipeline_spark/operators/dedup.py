@@ -499,7 +499,12 @@ def minhash_signature_col(shingles, hash_transform=None):
     warm pair above is the quotable ratio. The production xxhash64
     path now uses that JVM form; THIS kernel remains only where the
     caller supplies a custom ``hash_transform`` (the portable
-    md5 variant, whose cost is the md5, not the permutations).
+    md5 variant, whose cost is the md5, not the permutations) — and
+    as the deliberate choice for one-shot cold-JVM jobs or
+    churn-heavy executor fleets: it is warm-up-insensitive, while the
+    JVM-HOF form pays a 10-20× interpreted cold window until C2
+    warms. Measured crossover ≈ 2.1 M docs per executor-JVM lifetime
+    (SCALING.md r12: below that, this kernel is net faster).
 
     The kernel is vectorized across the WHOLE Arrow batch, not per
     doc: all docs' hashes are concatenated, the (hashes × 64)

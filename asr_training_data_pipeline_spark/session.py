@@ -66,9 +66,17 @@ def get_spark(
         # Python-heavy stages (cogrouped LCS, inference mapInPandas)
         # are CPU-bound per ROW, not per byte — don't let AQE coalesce
         # their shuffles down to a handful of 1 MB tasks and idle the
-        # other cores. 64 KB floor keeps ~cores-many tasks alive at
-        # small SF while remaining a no-op at cluster scale.
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+        # other cores. The old 64 KB floor failed its own purpose:
+        # measured r12, the validator-consensus input (17.9k clip
+        # rows, ~450 KB) coalesced to 7 partitions (max 4352 rows) —
+        # the inference kernel ran on 7 of 32 cores. 4 KB floors the
+        # same stage at 32 even partitions (max 638 rows). With
+        # parallelismFirst (default on) the floor only binds when a
+        # stage's total shuffle bytes < floor × parallelism, i.e.
+        # tiny-data stages where task overhead is milliseconds — at
+        # cluster scale bytes/parallelism dominates and the floor is
+        # inert, so this is not a local-only tune.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "4k")
         # --- memory ----------------------------------------------------
         .config("spark.driver.memory", driver_memory)
         .config("spark.driver.maxResultSize", "4g")

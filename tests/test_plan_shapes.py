@@ -640,10 +640,14 @@ def test_no_hof_chain_in_scan_filters(spark, sf_dir):
         spark.catalog.clearCache()
 
 
-# The 14 spread_for_kernel call sites (r12 gate): every query whose
+# The 15 spread_for_kernel call sites (r12 gate): every query whose
 # kernel input still carries the heavy column (document text / media
-# payload) when the CPU-spreading decision is made.
+# payload) when the CPU-spreading decision is made. asr_pipeline_clips
+# locks the 15th site (sources/fixtures.py doc_word_arrays — the raw
+# document rows under the whole ASR-pipeline fixture derivation,
+# found by this round's audit after the original 14-site sweep).
 _SPREAD_GATED = (
+    "asr_pipeline_clips",
     "dedup_minhash_lsh",
     "dedup_minhash_portable",
     "dedup_simhash",
