@@ -301,13 +301,33 @@ def _ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
     """Exact-Jaccard pair core over any ``(doc_id, text)`` frame:
     explode distinct 5-gram shingles, self-join on shingle to count
     intersections, |A∪B| = |A|+|B|−|A∩B|. Returns
-    (doc_a, doc_b, jaccard) thresholded, unordered."""
+    (doc_a, doc_b, jaccard) thresholded, unordered.
+
+    |set| rides the exploded rows (r12): the shingle array is already
+    a projected attribute, so each doc's set size is a field-length
+    read — carrying it as 8 bytes per inverted-index row replaces a
+    separate sizes aggregation (a third and fourth evaluation of the
+    whole tokenize→shingle chain, one per join side) plus TWO joins of
+    the pair set back against it. At 100 TB those joins are pair-set-
+    wide exchanges (the sizes table is |docs|-sized — no broadcast);
+    the widened index rows are Σdf·8 extra bytes through a shuffle
+    that already carries the shingle text. Values are bit-identical:
+    count(*)-per-doc over the exploded DISTINCT shingles IS
+    size(array), and the Jaccard arithmetic is unchanged (oracle
+    hash-equality of dedup_ngram_jaccard pins it every suite run)."""
     toked, toks = tokens_attr(docs)  # attribute contract: shingles.py
-    sh = toked.select(
-        "doc_id",
-        F.explode(shingles_col(toks, _SHINGLE_K)).alias("shingle"),
+    # Short docs yield no shingles (NULL array): drop them on the
+    # cheap token count so the array below is non-null by
+    # construction and the filter pushes down as size(split(text))>=k
+    # (shingles.py contract #2 — never filter on the shingle column).
+    arr = toked.filter(F.size(toks) >= _SHINGLE_K).withColumn(
+        "_sh_arr", shingles_col(toks, _SHINGLE_K)
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sh = arr.select(
+        "doc_id",
+        F.size("_sh_arr").alias("n"),
+        F.explode("_sh_arr").alias("shingle"),
+    )
     a = sh.alias("a")
     b = sh.alias("b")
     shared = (
@@ -316,22 +336,22 @@ def _ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        # na/nb are functionally dependent on doc_a/doc_b: same
+        # groups, and partial (map-side) aggregation is preserved.
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
         )
         .agg(F.count("*").alias("inter"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
     jac = F.col("inter").cast("double") / (
-        F.col("sa.n") + F.col("sb.n") - F.col("inter")
+        F.col("na") + F.col("nb") - F.col("inter")
     )
-    return (
-        shared.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
-    )
+    return shared.select(
+        "doc_a", "doc_b", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
 
 
 def _ngram_collapsed_state(spark: SparkSession, sf_dir: str):

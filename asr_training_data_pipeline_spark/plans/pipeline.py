@@ -395,6 +395,7 @@ def full_pipeline(
     p: PipelineParams = P,
     persist: bool = True,
     barrier: bool = False,
+    pins: tuple[str, ...] = ("arrays", "runs", "validated"),
 ) -> dict[str, DataFrame]:
     """The whole dataflow, lazily: returns the named intermediate
     stages so callers pick what to materialize.
@@ -408,6 +409,19 @@ def full_pipeline(
     where you'd persist (or checkpoint past the lineage) — the stages
     above them are pandas-UDF work that does not get cheaper at scale.
 
+    ``pins`` narrows WHICH of the three points persist (guide §5:
+    cache only what the caller's action graph actually reuses). The
+    fan-out counts above are over ALL returned stages; a caller that
+    materializes only ``exported`` in ONE action (asr_pipeline_clips)
+    reuses just ``arrays`` (alignment side + the assemble join's
+    array side) — ``runs`` and ``validated`` each have a single
+    consumer in that action, so pinning them is a pure cache-write
+    tax (r12 interleaved A/B, same session, arms alternated:
+    arrays-only 3.35 s vs all-three 3.75 s vs none 3.49 s quiet
+    mins). Multi-action callers (summary: groups + the kept/rejected
+    split; the export sinks: clips + validated + rejections) keep the
+    default all-three.
+
     Measured scaling (local[32]): 10× the documents (50k docs,
     ~2.7M words) runs end-to-end in 3.8× the wall of the sf0.1 base —
     sub-linear because the narrow plan's per-job overheads amortize
@@ -416,13 +430,13 @@ def full_pipeline(
     """
     from ..caching import hold
 
-    _pin_slot = iter(("pipeline_arrays", "pipeline_runs", "pipeline_validated"))
-
-    def pin(df: DataFrame) -> DataFrame:
+    def pin(name: str, df: DataFrame) -> DataFrame:
         # slot-managed: re-invoking the pipeline in a long session
         # (registry sweeps, benchmarks) replaces the previous
         # invocation's caches instead of accumulating orphans
-        return hold(next(_pin_slot), df) if persist else df
+        if persist and name in pins:
+            return hold(f"pipeline_{name}", df)
+        return df
 
     # Word ARRAYS are the pinned form, and BOTH fixture sides ride in
     # the same frame (they derive from the same document row), so the
@@ -431,11 +445,11 @@ def full_pipeline(
     # (sources.fixtures.doc_word_arrays). The one cached frame feeds
     # the fused alignment AND the array-sliced clip assembly; the word
     # row form stays exposed for callers, lazily derived.
-    arrays = pin(fixtures.doc_word_arrays(spark, sf_dir))
+    arrays = pin("arrays", fixtures.doc_word_arrays(spark, sf_dir))
     pair_words = arrays.select("pair_id", "norms", "starts", "ends", "texts", "confs")
     words = fixtures.asr_words_from_arrays(arrays)
     book = fixtures.book_tokens_from_arrays(arrays)
-    runs = pin(lcs_runs_fused(arrays, min_run=p.min_run))
+    runs = pin("runs", lcs_runs_fused(arrays, min_run=p.min_run))
     if persist and barrier:
         # Optional materialization barrier: populate the arrays+runs
         # caches BEFORE the downstream action so AQE's concurrent
@@ -455,7 +469,7 @@ def full_pipeline(
     # 1-run clip is always >0, so this is a structural no-op kept for
     # parity with the reference's guard.
     base = clips.filter(F.col("clip_len_ms") > 0)
-    validated = pin(validated_clips(spark, base, p))
+    validated = pin("validated", validated_clips(spark, base, p))
     min_dur_ms = int(p.min_dur_s * 1000)
     dur_ms = F.col("e_ms") - F.col("s_ms")
     # F6 min-duration split on the PRE-SLICE span (:588-595): rejected
@@ -510,8 +524,13 @@ def asr_pipeline_clips_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end: fixture → align → bridge → assemble → validator
     consensus → boundary math → quality-gate → clip metadata (the
     clips.tsv analog, SURVEY K3: duration, words=validated span size,
-    pieces=runs, span avg confidence)."""
-    stages = full_pipeline(spark, sf_dir)
+    pieces=runs, span avg confidence).
+
+    ONE action over ``exported`` only, so only the genuinely-shared
+    subtree is pinned (``pins=("arrays",)`` — see full_pipeline's
+    docstring): runs/validated have a single consumer in this action
+    and pinning them measurably slowed the query (r12)."""
+    stages = full_pipeline(spark, sf_dir, pins=("arrays",))
     return stages["exported"].select(
         "pair_id",
         "group_id",

@@ -35,8 +35,34 @@ from ..functions.text import normalize_word_col
 from .tables import load_table
 
 
+def _norm_of_clean(c: F.Column) -> F.Column:
+    """normalize_word_col's TAIL over an already lower+class-stripped
+    token (see ``_CLEAN_DOC_RE`` below): drop '/-, empty → NULL."""
+    return F.nullif(F.translate(c, "'-", ""), F.lit(""))
+
+
+# The C1 character-class strip, run ONCE over the WHOLE document with
+# the token separator (space) kept in the class, instead of one
+# regexp_replace call per token inside the interpreted transform
+# lambdas (r12, guide §4.2 "vectorize over the batch" applied to the
+# JVM side: one regex pass over N chars beats ~N/5 per-token engine
+# invocations — measured 1.13 → 0.66 s on the arrays stage at sf0.1).
+# Equivalence is per-character: the class deletion touches single
+# codepoints, never spaces (space is IN the class), so
+# split-then-strip == strip-then-split position by position, and it
+# commutes with reverse() (the book substitution) for the same
+# reason. lower() runs on the full text first; Java's only
+# context-sensitive lowercase rule (final sigma) never reaches across
+# a space, so full-text lower == per-token lower on split(' ')
+# tokens. Parity with the per-token form is pinned by
+# tests/test_pipeline.py::test_fixture_array_parity (the windowform
+# oracle still normalizes per token via functions.text).
+_CLEAN_DOC_RE = r"[^a-z0-9'\- ]"
+
+
 def _word_struct_array() -> F.Column:
-    """Per-token ASR facts from a ``_toks`` split-array column:
+    """Per-token ASR facts from ``_toks`` (raw split) + ``_ctoks``
+    (lower+stripped split, same positions — see ``_CLEAN_DOC_RE``):
     struct(text, norm, start, end, confidence) for EVERY raw token
     (pre-filter), with start = prefix sum of (dur + gap) over the
     preceding tokens — float addition in the same sequential order as
@@ -76,7 +102,7 @@ def _word_struct_array() -> F.Column:
         F.col("_toks"),
         lambda t, i: F.struct(
             t.alias("text"),
-            normalize_word_col(t).alias("norm"),
+            _norm_of_clean(F.get(F.col("_ctoks"), i)).alias("norm"),
             F.get(F.col("_starts_all"), i).alias("start"),
             (F.get(F.col("_starts_all"), i) + dur(t, i)).alias("end"),
             (0.4 + F.pmod(h(t, i), F.lit(601)).cast("double") / 1000.0).alias(
@@ -87,9 +113,12 @@ def _word_struct_array() -> F.Column:
 
 
 def _book_norm_array() -> F.Column:
-    """Per-document book token array from ``_toks``: ~1/7 dropped and
-    ~1/13 substituted (reversed) at the RAW position, then normalized
-    and nulls dropped — dense positions fall out of the array order."""
+    """Per-document book token array from ``_toks``/``_ctoks``: ~1/7
+    dropped and ~1/13 substituted (reversed) at the RAW position, then
+    normalized and nulls dropped — dense positions fall out of the
+    array order. Drop/sub decisions hash the RAW token; the normalized
+    output reads the pre-stripped token (reverse commutes with the
+    per-char strip — see ``_CLEAN_DOC_RE``)."""
 
     def hdrop(tok, i):
         return F.xxhash64(F.col("pair_id"), tok, i, F.lit("bookdrop"))
@@ -101,8 +130,11 @@ def _book_norm_array() -> F.Column:
         F.col("_toks"),
         lambda t, i: F.when(
             F.pmod(hdrop(t, i), F.lit(7)) != 0,
-            normalize_word_col(
-                F.when(F.pmod(hsub(t, i), F.lit(13)) == 0, F.reverse(t)).otherwise(t)
+            _norm_of_clean(
+                F.when(
+                    F.pmod(hsub(t, i), F.lit(13)) == 0,
+                    F.reverse(F.get(F.col("_ctoks"), i)),
+                ).otherwise(F.get(F.col("_ctoks"), i))
             ),
         ),
     )
@@ -141,9 +173,18 @@ def doc_word_arrays(
     base = docs.select(
         F.col("doc_id").alias("pair_id"),
         F.split(F.col("text"), " ").alias("_toks"),
+        # one C1 strip pass per DOCUMENT (space kept in the class ⇒
+        # positions align with _toks; see _CLEAN_DOC_RE)
+        F.split(
+            F.regexp_replace(F.lower(F.col("text")), _CLEAN_DOC_RE, ""),
+            " ",
+            -1,
+        ).alias("_ctoks"),
     )
     word_structs, starts_all = _word_struct_array()
-    staged = base.select("pair_id", "_toks", starts_all.alias("_starts_all"))
+    staged = base.select(
+        "pair_id", "_toks", "_ctoks", starts_all.alias("_starts_all")
+    )
     kept = F.filter(word_structs, lambda w: w["norm"].isNotNull())
     arr = staged.select(
         "pair_id", kept.alias("_w"), _book_norm_array().alias("book_norms")

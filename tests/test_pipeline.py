@@ -263,6 +263,44 @@ def test_fixture_array_parity(spark, sf_dir):
         pd.testing.assert_frame_equal(new, old[new.columns], check_exact=True)
 
 
+def test_fixture_doc_level_strip_parity_unicode(spark, tmp_path):
+    """The r12 one-regex-pass-per-document normalization
+    (fixtures._CLEAN_DOC_RE) must equal the per-token windowform on
+    inputs the ASCII sf fixtures never exercise: final sigma (Java's
+    only context-sensitive lowercase rule), Turkish İ (lowercases to
+    i + combining dot — length changes), combining accents, tabs/
+    newlines inside tokens, doubled spaces (empty tokens), and
+    punctuation-only tokens. The strip is per-character and space is
+    in its keep-class, so strip∘split == split∘strip and it commutes
+    with reverse — this pins that argument against regressions."""
+    import duckdb
+
+    rows = [
+        (1, "Hello, WORLD! it's a-b c--d 42 x"),
+        (2, "ΑΣ ΒΣΓ İstanbul STRASSE straße"),
+        (3, "tab\there new\nline  double  space '' -- "),
+        (4, "éclair café ' - '- -' o'neil"),
+        (5, ""),
+        (6, "... !!! ???"),
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    con.execute(
+        "COPY (SELECT doc_id, text, 'en' AS lang, 's' AS source,"
+        " length(text) AS n_chars FROM d)"
+        f" TO '{tmp_path}/documents.parquet' (FORMAT PARQUET)"
+    )
+    sfd = str(tmp_path)
+    for new_fn, old_fn in (
+        (fixtures.asr_words, fixtures.asr_words_windowform),
+        (fixtures.book_tokens, fixtures.book_tokens_windowform),
+    ):
+        new, old = new_fn(spark, sfd), old_fn(spark, sfd)
+        assert new.exceptAll(old).count() == 0
+        assert old.exceptAll(new).count() == 0
+
+
 def test_narrow_fixture_plan_shape(spark, sf_dir):
     """documents → aligned runs must stay NARROW: one exchange (the
     raw-document repartition for local parallelism), no window, no
