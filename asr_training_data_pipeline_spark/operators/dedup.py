@@ -323,10 +323,26 @@ def _ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
     arr = toked.filter(F.size(toks) >= _SHINGLE_K).withColumn(
         "_sh_arr", shingles_col(toks, _SHINGLE_K)
     )
+    # TWO pushdown traps guard this select (both caught by
+    # test_no_hof_chain_in_scan_filters when this briefly used the
+    # bare forms — each one resurrects the r10 per-shingle re-split
+    # quadratic INSIDE a scan filter):
+    # 1. explode of a bare attribute triggers InferFiltersFromGenerate
+    #    (isnotnull + size>0 on _sh_arr), and pushdown substitutes the
+    #    whole shingle HOF chain into those inferred scan filters. The
+    #    no-op coalesce makes the generator input a complex
+    #    expression, which the inference rule skips (the _ppjoin_pairs
+    #    probe), while _sh_arr stays a once-evaluated attribute read.
+    # 2. the downstream jaccard>=t filter implies isnotnull(na/nb) by
+    #    constraint inference, which pushes below the aggregate and
+    #    substitutes n back to size(<chain>) at the scan. Routing n
+    #    through coalesce(·, -1) makes the attribute NON-NULLABLE, so
+    #    the inferred isnotnull folds to true and no filter forms —
+    #    a no-op on values (the array is non-null post-floor).
     sh = arr.select(
         "doc_id",
-        F.size("_sh_arr").alias("n"),
-        F.explode("_sh_arr").alias("shingle"),
+        F.coalesce(F.size("_sh_arr"), F.lit(-1)).alias("n"),
+        F.explode(F.coalesce(F.col("_sh_arr"), F.array())).alias("shingle"),
     )
     a = sh.alias("a")
     b = sh.alias("b")
