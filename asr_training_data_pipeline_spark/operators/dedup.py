@@ -308,13 +308,20 @@ def _ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
     read — carrying it as 8 bytes per inverted-index row replaces a
     separate sizes aggregation (a third and fourth evaluation of the
     whole tokenize→shingle chain, one per join side) plus TWO joins of
-    the pair set back against it. At 100 TB those joins are pair-set-
-    wide exchanges (the sizes table is |docs|-sized — no broadcast);
-    the widened index rows are Σdf·8 extra bytes through a shuffle
-    that already carries the shingle text. Values are bit-identical:
-    count(*)-per-doc over the exploded DISTINCT shingles IS
-    size(array), and the Jaccard arithmetic is unchanged (oracle
-    hash-equality of dedup_ngram_jaccard pins it every suite run)."""
+    the pair set back against it. Measured on a 50k-doc near-dup
+    fixture (243 840 pairs, scripts/jaccard_scale_r12.py): wall
+    −26% with the sizes joins broadcast, −20% with broadcasts forced
+    off — the win is the two removed chain evaluations + two removed
+    join stages. Shuffle BYTES are geometry-dependent: carried-n
+    ships Σdf·8·2 extra through the index exchanges, the old form
+    re-shuffles the pair set twice (no-broadcast regime) — so bytes
+    favor carried-n only when |pairs|·row ≳ Σdf·16 (dup-dense
+    corpora, the dedup target); on the 11:1 index:pairs fixture the
+    old form shuffled ~10% fewer bytes while losing 20% wall.
+    Values are bit-identical: count(*)-per-doc over the exploded
+    DISTINCT shingles IS size(array), and the Jaccard arithmetic is
+    unchanged (oracle hash-equality of dedup_ngram_jaccard pins it
+    every suite run)."""
     toked, toks = tokens_attr(docs)  # attribute contract: shingles.py
     # Short docs yield no shingles (NULL array): drop them on the
     # cheap token count so the array below is non-null by
