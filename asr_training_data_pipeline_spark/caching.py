@@ -49,3 +49,18 @@ def hold(
     if eager:
         df.count()
     return df
+
+
+def release(slot: str) -> None:
+    """Unpersist and drop the named slot's occupant, if any. Callers
+    that pin a SUBSET of their usual slots (full_pipeline's ``pins``)
+    release the rest so a mixed-query session does not carry a
+    previous invocation's frames in executor storage — bounded to one
+    frame per slot, but it competes with live caches and skews
+    benchmarks (ADVICE r12)."""
+    prev = _SLOTS.pop(slot, None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass  # session already gone — nothing to release

@@ -672,18 +672,43 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair-dedup exchange all run over DISTINCT signatures only —
     identical texts (and any hash-identical twins) band identically
     and estimate 1.0 against each other, so their C(k,2) comparisons
-    are pure waste. The per-signature groupBy happens AFTER the kernel
-    (bodies still never shuffle; duplicate signatures collapse
-    map-side before the exchange), rep pairs are re-expanded through
-    ids-only joins, and the emitted pair set is EXACTLY the
-    uncollapsed one (pairs are a function of signatures alone) — the
-    equality is pinned by tests/test_dedup.py. On the sf1-equivalent
-    dry-run fixture (34-copy cliques) this removes the quadratic term
-    from every shuffle; only the final output explode stays
+    are pure waste. Rep pairs are re-expanded through ids-only joins,
+    and the emitted pair set is EXACTLY the uncollapsed one (pairs are
+    a function of signatures alone) — the equality is pinned by
+    tests/test_dedup.py. On the sf1-equivalent dry-run fixture
+    (34-copy cliques) this removes the quadratic term from the band
+    join and pair-dedup shuffles; only the final output explode stays
     output-proportional, as it must.
+
+    r13 collapse shape (guide §2.4/§5): ONE signature-keyed exchange
+    feeds everything. rep_id/group_size are window functions over
+    ``skey`` on the exchanged signature frame, so reps AND members are
+    filters over the SAME frame — the old form's separate
+    groupBy(skey) exchange plus the sigs⋈multi join-back (a second
+    full pass of the signature frame through a skey exchange) are
+    gone, and with them the EAGER persist barrier and its extra
+    count() pass: kernel-once no longer depends on the cache at all,
+    because every consumer branch sits above the one exchange and
+    AQE's stage cache materializes an identical exchange exactly once
+    per action (plan-locked by test_minhash_signature_computed_once).
+    The windowed frame keeps a LAZY slot-held persist purely as a
+    read amortizer — six consumer branches (band join ×2, expansion
+    joins ×4) otherwise each re-read the shuffle and re-run the
+    window; a racing branch before the cache fills recomputes a
+    window-over-shuffle-read, never the kernel. Three-arm interleaved
+    A/B at sf0.1 (scripts/minhash_ab_r13.py + OPTIMIZATION_r13.md):
+    hybrid 1.92/2.1–2.2 s vs old 2.25/2.4–2.5 s vs no-hold
+    2.43/2.6–2.8 s; pair sets identical across all arms.
+    Tradeoff recorded: the window ships every signature row through
+    the skey exchange where the old groupBy collapsed duplicates
+    map-side — but the old plan's join-back shipped the full frame
+    through the same key anyway (broadcast only when the dup-group
+    table was small), so worst-case bytes are unchanged and one full
+    exchange plus two passes are saved. A mega-dup group lands in one
+    window partition; WindowExec buffers via a spillable array, the
+    same graceful-degradation posture as the SMJ sort it replaces.
     """
     from ..caching import hold
-
     docs = load_table(spark, sf_dir, "documents")
     # Local fixture parquet is a single split; signature computation is
     # the CPU-heavy stage, so spread it across cores — GATED: on a
@@ -712,41 +737,38 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda sh: F.pmod(F.xxhash64(sh), F.lit(_MERSENNE)).cast("long"),
         ),
     )
-    sigs = hold(
-        "minhash_sigs",
-        hashed.select(
-            "doc_id",
-            minhash_sig_from_hashes(F.col(_MH_HASHES)).alias("sig"),
-        )
+    keyed = hashed.select(
+        "doc_id",
+        minhash_sig_from_hashes(F.col(_MH_HASHES)).alias("sig"),
         # constant-width group key: hashing/sorting a 33-byte string
         # beats element-wise comparisons on the 64-slot array in the
         # exchange (an md5 collision merging two DISTINCT signatures
         # is 2^-128 — same content-addressing bet as dedup_exact_hash)
-        .withColumn("skey", F.md5(F.concat_ws(",", "sig"))),
-        # one Python boundary total: groups and members both read this
-        # cache; slot-held so repeat invocations release the old one.
-        # EAGER: the banded self-join references this lineage from
-        # both aliases — lazy persist let parallel branches each run
-        # the signature kernel (see caching.hold's docstring).
-        eager=True,
-    )
-    groups = hold(
-        "minhash_groups",
-        sigs.groupBy("skey").agg(
-            F.min("doc_id").alias("rep_id"),
-            F.count("*").cast("bigint").alias("group_size"),
-            # identical within the group by construction
-            F.first("sig").alias("sig"),
+    ).withColumn("skey", F.md5(F.concat_ws(",", "sig")))
+    # ONE skey exchange serves collapse, reps and members (see the
+    # docstring): rep_id / group_size ride every signature row as
+    # window aggregates, so reps and multi_members are plain filters —
+    # no groupBy exchange, no join-back, no persist barrier.
+    wg = W.partitionBy("skey")
+    sigs_w = hold(
+        "minhash_sigs_w",
+        keyed.select(
+            "doc_id",
+            "sig",
+            F.min("doc_id").over(wg).alias("rep_id"),
+            F.count("*").over(wg).cast("bigint").alias("group_size"),
         ),
+        # LAZY on purpose: the kernel-once guarantee is the shared
+        # exchange below (stage cache), so the worst a fill race can
+        # duplicate is the cheap window-over-shuffle-read, and the
+        # eager barrier's extra full pass measurably cost more than
+        # it saved (A/B in the docstring).
     )
-    reps = groups.select(F.col("rep_id").alias("doc_id"), "sig")
-    multi = groups.filter(F.col("group_size") > 1).select(
-        "skey", "rep_id", "group_size"
+    reps = sigs_w.filter(F.col("doc_id") == F.col("rep_id")).select(
+        "doc_id", "sig"
     )
-    multi_members = (
-        sigs.select("doc_id", "skey")
-        .join(multi, "skey")
-        .select("doc_id", "rep_id", "group_size")
+    multi_members = sigs_w.filter(F.col("group_size") > 1).select(
+        "doc_id", "rep_id", "group_size"
     )
 
     band_structs = F.transform(
@@ -1322,7 +1344,24 @@ def dedup_ngram_jaccard_stopshingle(spark: SparkSession, sf_dir: str) -> DataFra
     kept = sh.withColumn(
         "dfq", F.count("*").over(W.partitionBy("shingle"))
     ).filter(F.col("dfq") <= _STOP_DF)
-    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # r13 carried-n, WINDOW form (guide §2.3/§2.4; VERDICT r12 task 2):
+    # the per-doc surviving-shingle count is a post-df-cap count, so —
+    # unlike the exact-Jaccard core, where |set| is a field-length
+    # read — attaching it to the index costs one doc_id-keyed window
+    # exchange over the posting frame. That replaces the separate
+    # sizes aggregation (which re-walked the posting subtree) and BOTH
+    # pair-set join-backs: n rides each posting row as 8 bytes, and
+    # na/nb leave the pair aggregation as groupBy keys (functionally
+    # dependent on doc_a/doc_b — partial aggregation preserved, values
+    # unchanged; the oracle hash pins it). Tradeoff, measured on both
+    # corpus shapes (scripts/stopshingle_scale_r13.py): the window
+    # form trades two |pairs|-sized exchanges for one index-sized one,
+    # so it wins exactly when pairs dominate the index — the dup-dense
+    # regime this operator targets; numbers in OPTIMIZATION_r13.md.
+    # n is count(*) over a window: non-nullable, so the downstream
+    # jaccard>=t filter's inferred isnotnull folds away (the r12
+    # scan-filter trap has no purchase here).
+    kept = kept.withColumn("n", F.count("*").over(W.partitionBy("doc_id")))
     a = kept.alias("a")
     b = kept.alias("b")
     shared = (
@@ -1331,18 +1370,19 @@ def dedup_ngram_jaccard_stopshingle(spark: SparkSession, sf_dir: str) -> DataFra
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
         .agg(F.count("*").alias("inter"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
     jac = F.col("inter").cast("double") / (
-        F.col("sa.n") + F.col("sb.n") - F.col("inter")
+        F.col("na") + F.col("nb") - F.col("inter")
     )
     return (
-        shared.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        shared.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
         .orderBy("doc_a", "doc_b")
     )
@@ -1549,8 +1589,22 @@ def dedup_tf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = tf.withColumn(
         "dfq", F.count("*").over(W.partitionBy("w"))
     ).filter(F.col("dfq") <= _TFC_STOP_DF)
-    norms = kept.groupBy("doc_id").agg(
-        F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("n2")
+    # r13 carried-norm, WINDOW form — the same shuffle-shape change as
+    # dedup_ngram_jaccard_stopshingle (see the comment there): ‖d‖² is
+    # a post-df-cap sum, attached to every posting row by one
+    # doc_id-keyed window over the posting frame, which removes the
+    # separate norms aggregation and BOTH |pairs|-sized join-backs;
+    # norm2_a/norm2_b become pair-groupBy keys (functionally dependent
+    # on doc_a/doc_b — partial aggregation preserved, values and the
+    # exact-integer threshold arithmetic unchanged; oracle-pinned).
+    # Window sums over ≥1 non-null tf² are non-nullable in practice
+    # and the cos2 filter tests a derived column, so no isnotnull
+    # constraint reaches the scan (r12 trap; plan-audited).
+    kept = kept.withColumn(
+        "n2",
+        F.sum(F.col("tf") * F.col("tf"))
+        .over(W.partitionBy("doc_id"))
+        .cast("bigint"),
     )
     a = kept.alias("a")
     b = kept.alias("b")
@@ -1560,19 +1614,20 @@ def dedup_tf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.w") == F.col("b.w"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n2").alias("norm2_a"),
+            F.col("b.n2").alias("norm2_b"),
+        )
         .agg(F.sum(F.col("a.tf") * F.col("b.tf")).cast("bigint").alias("dot"))
     )
-    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("norm2_a"))
-    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("norm2_b"))
     cos2 = F.expr(
         "cast(cast(dot as decimal(38,0)) * dot * 1000000"
         " div (cast(norm2_a as decimal(38,0)) * norm2_b) as bigint)"
     )
     return (
-        dots.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .withColumn("cos2_ppm", cos2)
+        dots.withColumn("cos2_ppm", cos2)
         .filter(F.col("cos2_ppm") >= _TFC_MIN_COS2_PPM)
         .select("doc_a", "doc_b", "dot", "norm2_a", "norm2_b", "cos2_ppm")
         .orderBy("doc_a", "doc_b")

@@ -428,14 +428,18 @@ def full_pipeline(
     while the per-document work parallelizes; no stage grows
     super-linearly.
     """
-    from ..caching import hold
+    from ..caching import hold, release
 
     def pin(name: str, df: DataFrame) -> DataFrame:
         # slot-managed: re-invoking the pipeline in a long session
-        # (registry sweeps, benchmarks) replaces the previous
+        # (registry sweeps, benchmarks) replaces — or, for slots this
+        # invocation does not pin, RELEASES — the previous
         # invocation's caches instead of accumulating orphans
+        # (ADVICE r12: with narrowed pins, an un-re-held slot kept the
+        # prior invocation's frame persisted for nobody to read).
         if persist and name in pins:
             return hold(f"pipeline_{name}", df)
+        release(f"pipeline_{name}")
         return df
 
     # Word ARRAYS are the pinned form, and BOTH fixture sides ride in
@@ -450,7 +454,10 @@ def full_pipeline(
     words = fixtures.asr_words_from_arrays(arrays)
     book = fixtures.book_tokens_from_arrays(arrays)
     runs = pin("runs", lcs_runs_fused(arrays, min_run=p.min_run))
-    if persist and barrier:
+    if persist and barrier and "runs" in pins:
+        # barrier requires the runs pin: counting an uncached frame
+        # would be a full extra job that populates nothing (ADVICE
+        # r12 — the combination became expressible with `pins`).
         # Optional materialization barrier: populate the arrays+runs
         # caches BEFORE the downstream action so AQE's concurrent
         # broadcast-subtree materialization can only ever read caches.

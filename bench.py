@@ -185,12 +185,25 @@ def main() -> None:
     # terminates: across the whole bench, at most this many EXTRA
     # samples are granted on the stall signal alone.
     stall_budget = int(os.environ.get("SPARK_GRAFT_BENCH_STALL_BUDGET", "40"))
+
+    # Declared warm-up depth (VERDICT r12 task 6, r13): the two
+    # kernel-warmth-bound plans ramp over ~3-4 executions while the
+    # JVM C2-compiles their interpreted-HOF / codegen-heavy stages
+    # (measured r12/r13: clips 17.4 → 6.7 → 5.6 s, minhash sampling
+    # 2.3-14.6 s at QUIET probes), so one warm-up leaves the recorded
+    # min riding JIT lottery and round-over-round PERF deltas measure
+    # warm-up depth, not the engine. ONE extra untimed warm-up each —
+    # fixed, declared here and in the JSON (`warmups`), bounded —
+    # narrows that spread. Timing semantics (min over timed samples,
+    # cache cleared between every run) are unchanged.
+    extra_warmups = {"dedup_minhash_lsh": 1, "asr_pipeline_clips": 1}
     samples_by_query: dict[str, list[float]] = {}
     probes_by_query: dict[str, list[float]] = {}
     t_total = time.time()
     for name, fn in sorted(bench_queries().items()):
-        fn(spark, sf_dir).count()  # untimed plan warm-up
-        spark.catalog.clearCache()
+        for _ in range(1 + extra_warmups.get(name, 0)):
+            fn(spark, sf_dir).count()  # untimed plan warm-up
+            spark.catalog.clearCache()
         samples: list[float] = []
         sample_probes: list[float] = []
         n = 0
@@ -303,6 +316,7 @@ def main() -> None:
                 "cpus": cpus,
                 "n_queries_total": len(REGISTRY),
                 "runs_per_query": runs_per_query,
+                "warmups": {q: 1 + e for q, e in extra_warmups.items()},
                 "total_wall_s": wall,
                 **summary,
             }

@@ -26,22 +26,38 @@ def test_word_coverage_scan_prunes_to_text(spark, sf_dir):
 
 
 def test_minhash_signature_computed_once(spark, sf_dir):
-    """The signature computation must live ONLY inside the persisted
-    per-doc signature cache (every consumer reads the cache), and —
-    since the r11 JVM kernel — the WHOLE plan must be Python-free:
-    no ArrowEvalPython/BatchEvalPython anywhere, including inside the
-    cached relation's fill plan. The r7 exact-dup pre-collapse must be
-    in the plan: a signature-keyed exchange (the groupBy that folds
-    duplicate signatures map-side) and a final Union (rep-pair
-    expansion + intra-group pairs)."""
-    plan = _executed_plan(spark, sf_dir, "dedup_minhash_lsh")
+    """The signature kernel must execute exactly once per action, and
+    — since the r11 JVM kernel — the WHOLE plan must be Python-free:
+    no ArrowEvalPython/BatchEvalPython anywhere. Since r13 the
+    kernel-once property is structural, not a cache: every consumer
+    (reps for banding ×2, members for the expansion joins ×4) is a
+    filter above ONE signature-keyed exchange — rep_id/group_size are
+    window functions over skey, not a groupBy + member join-back — so
+    AQE's stage cache materializes that exchange's map stage (the
+    kernel) once even before the lazy read-amortizer cache fills.
+    Locked here: exactly ONE distinct skey-keyed exchange in the whole
+    executed plan (the r12 shape had a second one for the sigs⋈multi
+    join-back), NO join keyed on skey, the windowed frame's slot-held
+    cache present, and the final Union of the r7 re-expansion
+    (rep-pair cross × intra pairs)."""
+    name = "dedup_minhash_lsh"
+    df = REGISTRY[name].fn(spark, sf_dir)
+    df.collect()  # final adaptive plan carries the evidence
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    spark.catalog.clearCache()
     assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
+    # the read-amortizer cache of the WINDOWED frame (lazy; not a
+    # kernel barrier — see dedup.minhash_lsh_pairs)
     assert "InMemoryTableScan" in plan
-    # the collapse: duplicate signatures fold in an exchange keyed by
-    # the constant-width signature hash
-    exchange_keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
-    assert any(k.lstrip().startswith("skey#") for k in exchange_keys), exchange_keys
+    # ONE skey exchange: collapse, reps and members share it
+    skey_ids = set(re.findall(r"Exchange hashpartitioning\((skey#\d+)", plan))
+    assert len(skey_ids) == 1, skey_ids
+    # the r12 member join-back (a join keyed on skey) must stay gone
+    joins_on_skey = [
+        ln for ln in plan.splitlines() if "Join" in ln and "skey" in ln
+    ]
+    assert not joins_on_skey, joins_on_skey[:2]
     # the re-expansion: cross (rep-pair × members²) ∪ intra pairs
     assert "Union" in plan
 
