@@ -1099,8 +1099,27 @@ def pagerank_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     destination (map-side-combined sum); the rank frame is
     |nodes| rows — never corpus rows; edges build once from the
     distinct (basket, item) projection and are slot-cached across all
-    5 iterations. The final top-50 is a TakeOrdered, not a
-    full sort. Teleport is distributed via a 1-row broadcast."""
+    5 iterations WITH the out-degree riding each edge row (a window
+    over the cache's own ``s`` partitioning — no extra exchange, and
+    no per-iteration outd groupBy + broadcast rebuild). The final
+    top-50 is a TakeOrdered, not a full sort. Teleport is distributed
+    via a 1-row broadcast.
+
+    r13 iteration-shape cut (guide §2.4; floors sweep measured this
+    query at 11.2 s — the hottest non-bench path in the registry):
+    the per-iteration ``nodes LEFT JOIN contrib`` was structurally a
+    no-op on THIS graph — co-order edges are symmetric by
+    construction ((a,b) and (b,a) both emitted), so every source is
+    also a destination and contrib's key set EQUALS nodes: the left
+    join matched every row and coalesce(contrib, 0) never fired. The
+    oracle keeps the LEFT JOIN spelling; values are identical because
+    the joined sets are equal (hash-pinned every run). Dropping it
+    removes 5 joins + 5 node-set re-derivations; each iteration is
+    now join(cached edges, pr) → groupBy(d) — the textbook shape.
+    Measured (OPTIMIZATION_r13.md): interleaved old 9.66 vs new
+    7.40 s min at sf0.1; quietest-window new floor 4.99 s against the
+    old shape's 11.17 s floors-sweep reading; top-50 rows identical
+    and the oracle hash green at both correctness SFs."""
     li = load_table(spark, sf_dir, "lineitem")
     baskets = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")
@@ -1112,23 +1131,30 @@ def pagerank_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-iteration exchanges carry only the |nodes|-row rank frame and
     # the map-side-combined contrib partials — never the edges again
     # (measured: 290 → ~60 MB total shuffle at sf0.1)
-    edges = hold(
+    src = hold(
         "pagerank_edges",
         a.join(b, "ok")
         .filter(F.col("s") != F.col("d"))
         .select("s", "d")
-        .distinct()
-        .repartition("s"),
+        # ONE edge-frame exchange, not two: hash(s) satisfies the
+        # (s, d) clustering requirement (s determines the partition),
+        # so the dedup aggregate runs partition-local ABOVE the
+        # repartition and the window reuses the same partitioning —
+        # the r12 shape paid distinct's own (s, d) exchange and then
+        # re-exchanged by s.
+        .repartition("s")
+        .dropDuplicates(["s", "d"])
+        .withColumn(
+            "od", F.count("*").over(Window.partitionBy("s")).cast("bigint")
+        ),
     )
-    outd = edges.groupBy("s").agg(F.count("*").cast("bigint").alias("od"))
-    nodes = edges.select(F.col("s").alias("v")).distinct()
+    nodes = src.select(F.col("s").alias("v")).distinct()
     nn = nodes.agg(
         F.greatest(F.count("*"), F.lit(1)).cast("bigint").alias("n")
     )
     pr = nodes.crossJoin(F.broadcast(nn)).select(
         "v", F.expr(f"{_PR_MASS} div n").alias("pr")
     )
-    src = edges.join(F.broadcast(outd), "s")
     for _ in range(_PR_ITERS):
         contrib = (
             src.join(pr, src["s"] == pr["v"])
@@ -1136,17 +1162,15 @@ def pagerank_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("d")
             .agg(F.sum("share").alias("contrib"))
         )
-        pr = (
-            nodes.join(contrib, nodes["v"] == contrib["d"], "left")
-            .crossJoin(F.broadcast(nn))
-            .select(
-                "v",
-                F.expr(
-                    f"{_PR_TELEPORT} div n"
-                    " + 850 * coalesce(contrib, 0) div 1000"
-                ).alias("pr"),
-            )
+        # no nodes-left-join: contrib's key set == nodes on this
+        # symmetric graph (docstring); teleport rides the 1-row nn
+        pr = contrib.crossJoin(F.broadcast(nn)).select(
+            F.col("d").alias("v"),
+            F.expr(
+                f"{_PR_TELEPORT} div n + 850 * contrib div 1000"
+            ).alias("pr"),
         )
+    outd = src.groupBy("s").agg(F.max("od").alias("od"))
     return (
         pr.join(outd, pr["v"] == outd["s"])
         .select(
