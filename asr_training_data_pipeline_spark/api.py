@@ -26,6 +26,91 @@ from .streaming import stateful, windows  # noqa: F401
 
 _PRIORITY = (
     # ------------------------------------------------------------------
+    # r13 rotation wave 10 (VERDICT r12 task 1 + the standing queue
+    # note below, recomputed from CORRECTNESS_r02-r12 — no member is
+    # red or single-green after wave 9, so the changed-code rule and
+    # the debt queue fill every slot). Composition of the 50:
+    #   * flagship word_coverage;
+    #   * changed-code re-validations FIRST (repo policy api.py:16-22):
+    #     the five r12 carried-n Jaccard consumers whose plan changed
+    #     in 6d3a753 AFTER the wave-9 rotation landed (VERDICT r12
+    #     What's-wrong #1: dedup_ngram_jaccard, dedup_components,
+    #     dedup_cluster_stats, dedup_canonical, snm_recall_eval), then
+    #     every query whose plan the r13 optimization round changed:
+    #     dedup_ngram_jaccard_stopshingle + dedup_tf_cosine (window-
+    #     form carried-n), pagerank_coorder (iteration join cut),
+    #     dedup_minhash_lsh + dedup_rate_by_source_fast (one-exchange
+    #     signature collapse; rows-only — pytest-pinned, re-run for
+    #     rows evidence);
+    #   * the standing rows-only pipeline composites asr_pipeline_clips
+    #     + asr_pipeline_summary (eleventh rows each);
+    #   * verification debt, oldest last-green twos first (the whole
+    #     remaining ledger is at >=2 greens): num_to_words_sizes (r3),
+    #     the r5 block (curation_funnel, pii_scrub, profile_documents,
+    #     repetition_signals, stratified_sample, unigram_perplexity),
+    #     the r6 block (ann_sq8_topk, kmeans_embeddings,
+    #     streaming_curation_gate, streaming_interval_join,
+    #     zorder_layout_events), the full r7 block (15), and the first
+    #     ten r8 twos alphabetically (basket_lift .. sink_training_
+    #     shards).
+    # Funded by retiring the wave-9 members CORRECTNESS_r12 confirmed
+    # green (all 50). Every retiree stays DuckDB-checked on every
+    # suite run via tests/test_oracle_parity.py.
+    # ------------------------------------------------------------------
+    "word_coverage",
+    "dedup_ngram_jaccard",
+    "dedup_components",
+    "dedup_cluster_stats",
+    "dedup_canonical",
+    "snm_recall_eval",
+    "dedup_ngram_jaccard_stopshingle",
+    "dedup_tf_cosine",
+    "pagerank_coorder",
+    "dedup_minhash_lsh",
+    "dedup_rate_by_source_fast",
+    "asr_pipeline_clips",
+    "asr_pipeline_summary",
+    "num_to_words_sizes",
+    "curation_funnel",
+    "pii_scrub",
+    "profile_documents",
+    "repetition_signals",
+    "stratified_sample",
+    "unigram_perplexity",
+    "ann_sq8_topk",
+    "kmeans_embeddings",
+    "streaming_curation_gate",
+    "streaming_interval_join",
+    "zorder_layout_events",
+    "ann_ivf_topk",
+    "ann_lsh_buckets",
+    "ann_pq_rerank",
+    "ann_pq_topk",
+    "bigram_perplexity",
+    "corpus_curation_multimodal",
+    "curation_signals_fused",
+    "dedup_bloom_probe",
+    "embedding_drift",
+    "fk_integrity_audit",
+    "heavy_hitter_words",
+    "linreg_closed_form",
+    "logreg_irls_probe",
+    "profile_events",
+    "snapshot_diff",
+    "basket_lift",
+    "bpe_vocab",
+    "cms_join_size",
+    "dedup_incremental",
+    "event_rate_anomalies",
+    "funnel_stages",
+    "pack_sequences",
+    "pmi_collocations",
+    "rfm_segments",
+    "sink_training_shards",
+)
+# Wave-9 list, retired by wave 10 (kept for the ledger trail):
+_WAVE9 = (
+    # ------------------------------------------------------------------
     # r12 rotation wave 9 (VERDICT r11 task 2). Composition of the 50:
     #   * flagship word_coverage;
     #   * the TEN single-green members (ledger recomputed from
@@ -114,17 +199,18 @@ _PRIORITY = (
     "asr_pipeline_clips",
     "asr_pipeline_summary",
 )
-# Rotation queue for the NEXT (wave-10) prefix refresh, in order:
-# (a) re-greens for anything wave 9 leaves single-green or red;
-# (b) the remaining oldest last-green twos by round: the rest of the
-#     r3 block (num_to_words_sizes), then the r5-era twos not in wave
-#     9 (pii_scrub, repetition_signals, stratified_sample,
-#     profile_documents, unigram_perplexity, curation_funnel), then
-#     the oldest 3-green members by last-green round (sessionize_
-#     events, ann_lsh_topk, lang_id_heuristic, token_count, ... —
-#     recompute the ledger from CORRECTNESS_r02-r12 as always);
-# (c) eleventh rows for the standing pipeline composites.
-# Fund slots by retiring whichever members CORRECTNESS_r12 confirms
+# Rotation queue for the NEXT (wave-11) prefix refresh, in order:
+# (a) re-greens for anything wave 10 leaves single-green or red;
+# (b) queries whose code changes after the wave-10 rotation lands
+#     (repo policy above — lead with them);
+# (c) the remaining oldest last-green twos by round: the rest of the
+#     r8 block (streaming_distinct_hll, train_test_split, ...), the
+#     r9/r10/r11 twos, then the oldest 3-green members by last-green
+#     round (sessionize_events, ann_lsh_topk, lang_id_heuristic,
+#     token_count, corpus_curation, streaming_tumbling_counts, ... —
+#     recompute the ledger from CORRECTNESS_r02-r13 as always);
+# (d) twelfth rows for the standing pipeline composites.
+# Fund slots by retiring whichever members CORRECTNESS_r13 confirms
 # at ≥2 cumulative greens.
 
 
