@@ -1126,11 +1126,17 @@ def pagerank_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     a = baskets.select("ok", F.col("item").alias("s"))
     b = baskets.select("ok", F.col("item").alias("d"))
-    # pre-partition the edge frame on the join key ONCE: the cached
-    # partitioning satisfies every iteration's join requirement, so the
-    # per-iteration exchanges carry only the |nodes|-row rank frame and
-    # the map-side-combined contrib partials — never the edges again
-    # (measured: 290 → ~60 MB total shuffle at sf0.1)
+    # pre-partition the edge frame on the join key ONCE. Honest r13
+    # note on what the cache partitioning buys at runtime: AQE plans
+    # the action BEFORE the cache materializes, so the cached hash(s)
+    # partitioning is unknown to the initial plan and EnsureRequirements
+    # still inserts an s-keyed exchange above the cache for the
+    # iteration joins (canonically identical across iterations —
+    # stage-reuse fodder, and AQE converts the joins to broadcast when
+    # the rank frame measures small). The cache's real job is that the
+    # basket self-join + dedup + degree window run ONCE; measured
+    # whole-query shuffle at sf0.1: old shape 92.1/85.8 MB read/write
+    # vs this shape 65.7/59.5 MB (scripts + OPTIMIZATION_r13.md).
     src = hold(
         "pagerank_edges",
         a.join(b, "ok")
