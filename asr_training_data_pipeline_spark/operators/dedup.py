@@ -183,6 +183,11 @@ def collapse_exact_text(docs: DataFrame):
     amplification of a shingle explode); ``multi_members`` ships ids +
     the 33-byte key only. The shared ``groups`` frame is slot-persisted
     (``caching.hold``) because both outputs derive from it.
+    Deliberately NOT the r13 minhash window-over-one-exchange shape:
+    here the join-back side is ids+key (cheap) and the groupBy's
+    map-side collapse is what keeps TEXT from crossing the wire per
+    duplicate — a window would ship every text row uncollapsed through
+    the exchange, strictly worse (OPTIMIZATION_r13.md, not-adopted).
     NULL text is its own group (tag byte — a join key must not be
     NULL), matching every consumer's "null ≡ null" behavior.
     """
